@@ -1,0 +1,111 @@
+"""Model configuration, loaded from HuggingFace-format config.json.
+
+TPU-native analog of the reference's ModelConfig (srt/configs/model_config.py).
+We read the raw config.json (no transformers dependency on the hot path) and
+normalize across the llama/qwen2/qwen3/mistral/mixtral families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class ModelConfig:
+    architecture: str = "LlamaForCausalLM"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # qwen2 uses bias on qkv
+    qk_norm: bool = False  # qwen3 uses per-head q/k RMSNorm
+    hidden_act: str = "silu"
+    # MoE fields (mixtral/qwen-moe style)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    # misc
+    bos_token_id: Optional[int] = None
+    eos_token_ids: List[int] = field(default_factory=list)
+    torch_dtype: str = "bfloat16"
+    raw: Dict[str, Any] = field(default_factory=dict, repr=False)
+
+    @property
+    def actual_head_dim(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf_config(cls, cfg: Dict[str, Any]) -> "ModelConfig":
+        archs = cfg.get("architectures") or ["LlamaForCausalLM"]
+        eos = cfg.get("eos_token_id")
+        if eos is None:
+            eos_list = []
+        elif isinstance(eos, list):
+            eos_list = list(eos)
+        else:
+            eos_list = [eos]
+        return cls(
+            architecture=archs[0],
+            vocab_size=cfg.get("vocab_size", 32000),
+            hidden_size=cfg.get("hidden_size", 4096),
+            intermediate_size=cfg.get("intermediate_size", 11008),
+            num_hidden_layers=cfg.get("num_hidden_layers", 32),
+            num_attention_heads=cfg.get("num_attention_heads", 32),
+            num_key_value_heads=cfg.get(
+                "num_key_value_heads", cfg.get("num_attention_heads", 32)
+            ),
+            head_dim=cfg.get("head_dim"),
+            max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=cfg.get("rope_scaling"),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get(
+                "attention_bias",
+                archs[0].startswith("Qwen2"),  # qwen2 family defaults to qkv bias
+            ),
+            qk_norm=archs[0].startswith("Qwen3"),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            moe_intermediate_size=cfg.get("moe_intermediate_size"),
+            bos_token_id=cfg.get("bos_token_id"),
+            eos_token_ids=eos_list,
+            torch_dtype=cfg.get("torch_dtype", "bfloat16"),
+            raw=cfg,
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "ModelConfig":
+        cfg_path = os.path.join(model_path, "config.json")
+        with open(cfg_path) as f:
+            return cls.from_hf_config(json.load(f))
+
+    # -- tiny test configs ---------------------------------------------
+    @classmethod
+    def tiny_llama(cls, **overrides) -> "ModelConfig":
+        kw = dict(
+            architecture="LlamaForCausalLM",
+            vocab_size=512,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=1024,
+            rope_theta=10000.0,
+            rms_norm_eps=1e-6,
+        )
+        kw.update(overrides)
+        return cls(**kw)

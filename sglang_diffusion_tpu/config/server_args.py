@@ -1,0 +1,146 @@
+"""Server configuration.
+
+TPU-native analog of the reference's ServerArgs dataclass
+(reference: srt/server_args.py — a ~6k-line, 300+ flag dataclass; we keep the
+same flag *names* where behavior matches so users can migrate, but only carry
+flags that are meaningful on TPU).
+
+Flags are auto-exposed on argparse via `ServerArgs.add_cli_args` /
+`ServerArgs.from_cli_args`, mirroring the reference's pattern.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class ServerArgs:
+    # ---- model ----
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None  # defaults to model_path
+    trust_remote_code: bool = False
+    context_length: Optional[int] = None  # override model's max context
+    dtype: str = "bfloat16"  # model compute dtype
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3
+    quantization: Optional[str] = None  # None | fp8 | int8 | awq | gptq
+    random_seed: int = 0
+
+    # ---- parallelism (mesh axes) ----
+    tp_size: int = 1  # tensor parallel (mesh axis "tp")
+    dp_size: int = 1  # data parallel (mesh axis "dp")
+    ep_size: int = 1  # expert parallel for MoE (reuses "tp" axis slice)
+    # diffusion-only sequence parallel degrees (Ulysses x ring), see
+    # reference multimodal_gen/runtime/server_args.py:219-231
+    ulysses_degree: int = 1
+    ring_degree: int = 1
+    enable_cfg_parallel: bool = False
+
+    # ---- memory / KV cache ----
+    page_size: int = 64  # tokens per KV page (TPU-friendly: multiple of 8)
+    mem_fraction_static: float = 0.85  # fraction of HBM for weights+KV
+    max_total_tokens: Optional[int] = None  # KV pool size override (tokens)
+    max_running_requests: int = 256
+    max_prefill_tokens: int = 8192  # per-batch prefill token budget
+    chunked_prefill_size: int = 4096  # -1 disables chunking
+    disable_radix_cache: bool = False
+
+    # ---- scheduling ----
+    schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
+    schedule_conservativeness: float = 1.0
+    stream_interval: int = 1
+    enable_overlap_schedule: bool = True
+    # decode batch-size buckets for the compiled decode step (analog of CUDA
+    # graph batch sizes, reference srt/model_executor/cuda_graph_runner.py:434)
+    decode_bs_buckets: List[int] = field(default_factory=lambda: [8, 16, 32, 64, 128, 256])
+    # prefill token-count buckets for the compiled prefill step
+    prefill_token_buckets: List[int] = field(
+        default_factory=lambda: [512, 1024, 2048, 4096, 8192]
+    )
+
+    # ---- kernels ----
+    attention_backend: str = "auto"  # auto | pallas | xla
+    disable_jit: bool = False
+
+    # ---- server ----
+    host: str = "127.0.0.1"
+    port: int = 30000
+    served_model_name: Optional[str] = None
+    api_key: Optional[str] = None
+
+    # ---- observability ----
+    log_level: str = "info"
+    enable_metrics: bool = False
+    show_time_cost: bool = False
+
+    # ---- sampling defaults ----
+    max_new_tokens_default: int = 128
+
+    # ---- speculative decoding ----
+    speculative_algorithm: Optional[str] = None  # None | ngram | eagle
+    speculative_num_draft_tokens: int = 4
+
+    # ---- LoRA ----
+    lora_paths: List[str] = field(default_factory=list)
+    max_loras_per_batch: int = 4
+
+    # ---- disaggregation ----
+    disaggregation_mode: str = "null"  # null | prefill | decode
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.page_size % 8 != 0:
+            raise ValueError(f"page_size must be a multiple of 8 (got {self.page_size})")
+        if self.chunked_prefill_size > 0 and self.chunked_prefill_size % self.page_size != 0:
+            # round up to page multiple so chunk boundaries align with pages
+            self.chunked_prefill_size = (
+                (self.chunked_prefill_size + self.page_size - 1) // self.page_size
+            ) * self.page_size
+        if self.schedule_policy not in ("lpm", "fcfs", "lof", "random"):
+            raise ValueError(f"unknown schedule_policy {self.schedule_policy}")
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "fp8_e4m3"):
+            raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype}")
+        self.decode_bs_buckets = sorted(set(self.decode_bs_buckets))
+        self.prefill_token_buckets = sorted(set(self.prefill_token_buckets))
+
+    # -- CLI integration ------------------------------------------------
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name.replace("_", "-")
+            default = f.default if f.default is not dataclasses.MISSING else None
+            if f.default_factory is not dataclasses.MISSING:  # type: ignore
+                default = f.default_factory()  # type: ignore
+            if f.type in ("bool", bool):
+                parser.add_argument(name, action="store_true", default=default)
+            elif f.type in ("List[str]", List[str]):
+                parser.add_argument(name, nargs="*", default=default)
+            elif f.type in ("List[int]", List[int]):
+                parser.add_argument(name, nargs="*", type=int, default=default)
+            else:
+                typ = {"int": int, "float": float, "str": str,
+                       "Optional[int]": int, "Optional[str]": str,
+                       "Optional[float]": float}.get(str(f.type), str)
+                parser.add_argument(name, type=typ, default=default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(args).items() if k in names})
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def get_num_devices() -> int:
+    import jax
+
+    return jax.device_count()

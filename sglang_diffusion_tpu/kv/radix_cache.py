@@ -1,0 +1,236 @@
+"""RadixAttention prefix cache: a page-aligned radix tree over token ids.
+
+Fresh TPU-build implementation of the behavior of the reference's RadixCache
+(srt/mem_cache/radix_cache.py:117,285,371,443,578):
+
+- match_prefix: longest page-aligned prefix match, splitting nodes on partial
+  edge matches; returns the cached page list and the terminal node.
+- insert: dedups an already-present prefix (returns its token length so the
+  caller can free the duplicate pages) and stores the new suffix.
+- lock_ref: nodes on the path of an in-flight request are locked against
+  eviction (inc_lock_ref/dec_lock_ref).
+- evict: LRU eviction of unlocked leaves, returning pages to the allocator.
+
+The tree is host-side pure Python (the reference also keeps it host-side;
+its C++ variant cpp_radix_tree/ is a later-round port here). Pages are
+logical indices into the device KV array, so nothing here touches JAX.
+"""
+
+from __future__ import annotations
+
+import heapq
+import time
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Tuple
+
+
+class TreeNode:
+    __slots__ = (
+        "parent",
+        "children",
+        "tokens",
+        "pages",
+        "lock_ref",
+        "last_access",
+        "_id",
+    )
+    _counter = 0
+
+    def __init__(self, parent: Optional["TreeNode"]):
+        self.parent = parent
+        self.children: Dict[Tuple[int, ...], TreeNode] = {}
+        self.tokens: List[int] = []
+        self.pages: List[int] = []
+        self.lock_ref = 0
+        self.last_access = time.monotonic()
+        TreeNode._counter += 1
+        self._id = TreeNode._counter
+
+    def __lt__(self, other):  # for heapq
+        return self.last_access < other.last_access
+
+
+class RadixCache:
+    def __init__(self, page_size: int, free_pages_fn: Callable[[List[int]], None]):
+        self.page_size = page_size
+        self.free_pages_fn = free_pages_fn
+        self.root = TreeNode(None)
+        self.root.lock_ref = 1  # never evict root
+        self._evictable_tokens = 0
+        self._protected_tokens = 0
+
+    # ------------- helpers -------------
+    def _edge_key(self, tokens: List[int]) -> Tuple[int, ...]:
+        return tuple(tokens[: self.page_size])
+
+    def _page_count(self, ntokens: int) -> int:
+        return ntokens // self.page_size
+
+    @property
+    def evictable_tokens(self) -> int:
+        return self._evictable_tokens
+
+    @property
+    def protected_tokens(self) -> int:
+        return self._protected_tokens
+
+    def total_cached_tokens(self) -> int:
+        return self._evictable_tokens + self._protected_tokens
+
+    # ------------- core ops -------------
+    def match_prefix(self, tokens: List[int]) -> Tuple[List[int], TreeNode]:
+        """Longest page-aligned cached prefix. Returns (pages, node)."""
+        aligned = len(tokens) // self.page_size * self.page_size
+        tokens = list(tokens[:aligned])
+        node = self.root
+        pages: List[int] = []
+        pos = 0
+        while pos < len(tokens):
+            key = self._edge_key(tokens[pos:])
+            child = node.children.get(key)
+            if child is None:
+                break
+            # count matching pages along this edge
+            n_match = 0
+            et = child.tokens
+            while (
+                (n_match + 1) * self.page_size <= len(et)
+                and pos + (n_match + 1) * self.page_size <= len(tokens)
+                and et[n_match * self.page_size : (n_match + 1) * self.page_size]
+                == tokens[pos + n_match * self.page_size : pos + (n_match + 1) * self.page_size]
+            ):
+                n_match += 1
+            if n_match == 0:
+                break
+            if n_match * self.page_size < len(et):
+                child = self._split_node(node, child, n_match)
+            child.last_access = time.monotonic()
+            pages.extend(child.pages)
+            pos += len(child.tokens)
+            node = child
+        return pages, node
+
+    def _split_node(self, parent: TreeNode, child: TreeNode, n_pages: int) -> TreeNode:
+        """Split `child` after n_pages; returns the new upper node."""
+        cut = n_pages * self.page_size
+        upper = TreeNode(parent)
+        upper.tokens = child.tokens[:cut]
+        upper.pages = child.pages[:n_pages]
+        upper.lock_ref = child.lock_ref
+        upper.last_access = child.last_access
+        parent.children[self._edge_key(upper.tokens)] = upper
+        child.tokens = child.tokens[cut:]
+        child.pages = child.pages[n_pages:]
+        child.parent = upper
+        upper.children[self._edge_key(child.tokens)] = child
+        return upper
+
+    def insert(self, tokens: List[int], pages: List[int]) -> int:
+        """Insert a finished sequence. Returns the number of tokens whose
+        pages were already cached (duplicates the caller should free)."""
+        aligned = len(tokens) // self.page_size * self.page_size
+        tokens = list(tokens[:aligned])
+        assert len(pages) >= self._page_count(aligned), "not enough pages for tokens"
+        pages = list(pages[: self._page_count(aligned)])
+        node = self.root
+        pos = 0
+        while pos < len(tokens):
+            key = self._edge_key(tokens[pos:])
+            child = node.children.get(key)
+            if child is None:
+                new = TreeNode(node)
+                new.tokens = tokens[pos:]
+                new.pages = pages[self._page_count(pos) :]
+                node.children[key] = new
+                self._evictable_tokens += len(new.tokens)
+                return pos
+            n_match = 0
+            et = child.tokens
+            while (
+                (n_match + 1) * self.page_size <= len(et)
+                and pos + (n_match + 1) * self.page_size <= len(tokens)
+                and et[n_match * self.page_size : (n_match + 1) * self.page_size]
+                == tokens[pos + n_match * self.page_size : pos + (n_match + 1) * self.page_size]
+            ):
+                n_match += 1
+            if n_match * self.page_size < len(et):
+                if n_match == 0:
+                    # key collision but first page differs fully — can't happen
+                    # since key == first page tokens; treat as no child
+                    new = TreeNode(node)
+                    new.tokens = tokens[pos:]
+                    new.pages = pages[self._page_count(pos) :]
+                    node.children[self._edge_key(tokens[pos:])] = new
+                    self._evictable_tokens += len(new.tokens)
+                    return pos
+                child = self._split_node(node, child, n_match)
+            child.last_access = time.monotonic()
+            pos += len(child.tokens)
+            node = child
+        return pos
+
+    # ------------- locking -------------
+    def inc_lock_ref(self, node: TreeNode) -> None:
+        while node is not None and node is not self.root:
+            if node.lock_ref == 0:
+                self._evictable_tokens -= len(node.tokens)
+                self._protected_tokens += len(node.tokens)
+            node.lock_ref += 1
+            node = node.parent
+
+    def dec_lock_ref(self, node: TreeNode) -> None:
+        while node is not None and node is not self.root:
+            node.lock_ref -= 1
+            assert node.lock_ref >= 0
+            if node.lock_ref == 0:
+                self._protected_tokens -= len(node.tokens)
+                self._evictable_tokens += len(node.tokens)
+            node = node.parent
+
+    # ------------- eviction -------------
+    def evict(self, num_pages: int) -> int:
+        """Evict up to num_pages pages from unlocked LRU leaves. Returns the
+        number actually evicted (pages are returned via free_pages_fn)."""
+        leaves = [
+            n
+            for n in self._iter_nodes()
+            if not n.children and n.lock_ref == 0 and n is not self.root
+        ]
+        heapq.heapify(leaves)
+        evicted = 0
+        while leaves and evicted < num_pages:
+            leaf = heapq.heappop(leaves)
+            self.free_pages_fn(leaf.pages)
+            evicted += len(leaf.pages)
+            self._evictable_tokens -= len(leaf.tokens)
+            parent = leaf.parent
+            del parent.children[self._edge_key(leaf.tokens)]
+            if (
+                parent is not self.root
+                and not parent.children
+                and parent.lock_ref == 0
+            ):
+                heapq.heappush(leaves, parent)
+        return evicted
+
+    def _iter_nodes(self):
+        stack = [self.root]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(n.children.values())
+
+    # ------------- debug -------------
+    def pretty(self) -> str:
+        lines = []
+
+        def rec(node, depth):
+            for child in node.children.values():
+                lines.append(
+                    "  " * depth
+                    + f"[{len(child.tokens)} tok, {len(child.pages)} pg, lock={child.lock_ref}]"
+                )
+                rec(child, depth + 1)
+
+        rec(self.root, 0)
+        return "\n".join(lines)

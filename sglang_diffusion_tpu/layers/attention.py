@@ -1,0 +1,72 @@
+"""Attention backend registry + metadata.
+
+TPU-native analog of the reference's attention-backend registry
+(srt/layers/attention/attention_registry.py:12-17) and RadixAttention layer
+(srt/layers/radix_attention.py:47). Here a "backend" is just a paged-attention
+function with a fixed signature; the model receives it as a static closure so
+each backend compiles into the same jitted step.
+
+Backends:
+  "xla"    - pure-XLA gather+softmax reference (CPU tests / fallback)
+  "pallas" - Pallas TPU kernels (ragged paged decode + flash prefill)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sglang_diffusion_tpu.ops import attention_xla
+
+
+class AttentionMetadata(NamedTuple):
+    """Device-side batch metadata (analog of the reference's ForwardBatch,
+    srt/model_executor/forward_batch_info.py:231 — but functional/pytree)."""
+
+    page_table: jax.Array  # [B, pages_per_seq] int32
+    kv_lens: jax.Array  # [B] total kv len incl. tokens written this step
+    q_start_pos: jax.Array  # [B] absolute position of the first query token
+    slot_ids: jax.Array  # [B, T] flat cache slots for new tokens (-1 pad)
+    logit_idx: jax.Array  # [B] index in T of the token to produce logits for
+
+
+AttentionFn = Callable[..., jax.Array]
+
+_BACKENDS = {}
+
+
+def register_attention_backend(name: str):
+    def deco(fn):
+        _BACKENDS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_attention_backend(name: str) -> AttentionFn:
+    if name == "auto":
+        name = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if name not in _BACKENDS:
+        raise KeyError(f"unknown attention backend {name}; have {list(_BACKENDS)}")
+    return _BACKENDS[name]
+
+
+@register_attention_backend("xla")
+def _xla_backend(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
+    return attention_xla.paged_attention(
+        q, kv_layer, meta.page_table, meta.kv_lens, meta.q_start_pos, sm_scale
+    )
+
+
+def _pallas_backend_impl(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
+    # Imported lazily to keep CPU-only environments working.
+    from sglang_diffusion_tpu.ops import attention_pallas
+
+    return attention_pallas.paged_attention(
+        q, kv_layer, meta.page_table, meta.kv_lens, meta.q_start_pos, sm_scale
+    )
+
+
+register_attention_backend("pallas")(_pallas_backend_impl)

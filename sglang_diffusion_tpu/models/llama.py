@@ -1,0 +1,223 @@
+"""Dense decoder-only transformer family: Llama / Qwen2 / Qwen2.5 / Qwen3 /
+Mistral / Gemma-style dense models.
+
+TPU-native re-design of the reference model zoo entries
+(srt/models/llama.py, qwen2.py, qwen3.py — torch nn.Modules with per-rank
+sharded Linear layers). Here the model is a pure function over a params
+pytree; tensor parallelism comes from PartitionSpecs on the params (heads /
+ffn / vocab sharded over the "tp" mesh axis) and GSPMD inserts the
+collectives. Layers are stacked and iterated with lax.scan so compile time
+is O(1) in depth.
+
+KV cache layout: [L, num_pages, page_size, 2*Hkv, D] (see ops/__init__.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_diffusion_tpu.config.model_config import ModelConfig
+from sglang_diffusion_tpu.layers.attention import AttentionMetadata
+from sglang_diffusion_tpu.models.registry import register_model
+from sglang_diffusion_tpu.ops.attention_xla import write_kv_pages
+from sglang_diffusion_tpu.ops.norms import rms_norm
+from sglang_diffusion_tpu.ops.rope import apply_rope, compute_inv_freq
+
+
+def _dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    out = jnp.dot(x, w)
+    if b is not None:
+        out = out + b
+    return out
+
+
+@register_model(
+    "LlamaForCausalLM",
+    "Qwen2ForCausalLM",
+    "Qwen3ForCausalLM",
+    "MistralForCausalLM",
+)
+class LlamaFamily:
+    """Functional dense-transformer implementation."""
+
+    # ---------------- params ----------------
+    @staticmethod
+    def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
+        L = cfg.num_hidden_layers
+        E = cfg.hidden_size
+        F = cfg.intermediate_size
+        Hq = cfg.num_attention_heads
+        Hkv = cfg.num_key_value_heads
+        D = cfg.actual_head_dim
+        V = cfg.vocab_size
+        keys = jax.random.split(rng, 12)
+
+        def init(key, shape, scale=None):
+            scale = scale if scale is not None else 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+        layers = {
+            "input_norm": jnp.ones((L, E), dtype),
+            "post_norm": jnp.ones((L, E), dtype),
+            "wq": init(keys[0], (L, E, Hq * D)),
+            "wk": init(keys[1], (L, E, Hkv * D)),
+            "wv": init(keys[2], (L, E, Hkv * D)),
+            "wo": init(keys[3], (L, Hq * D, E)),
+            "w_gate": init(keys[4], (L, E, F)),
+            "w_up": init(keys[5], (L, E, F)),
+            "w_down": init(keys[6], (L, F, E)),
+        }
+        if cfg.attention_bias:
+            layers["bq"] = jnp.zeros((L, Hq * D), dtype)
+            layers["bk"] = jnp.zeros((L, Hkv * D), dtype)
+            layers["bv"] = jnp.zeros((L, Hkv * D), dtype)
+        if cfg.qk_norm:
+            layers["q_norm"] = jnp.ones((L, D), dtype)
+            layers["k_norm"] = jnp.ones((L, D), dtype)
+        params = {
+            "embed": init(keys[7], (V, E), scale=0.02),
+            "layers": layers,
+            "final_norm": jnp.ones((E,), dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init(keys[8], (E, V))
+        return params
+
+    @staticmethod
+    def partition_specs(cfg: ModelConfig) -> Dict[str, Any]:
+        """PartitionSpecs over mesh axes ("dp","tp"): heads/ffn/vocab on tp.
+        Analog of the reference's Column/RowParallelLinear split
+        (srt/layers/linear.py)."""
+        layers = {
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "w_gate": P(None, None, "tp"),
+            "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        }
+        if cfg.attention_bias:
+            layers["bq"] = P(None, "tp")
+            layers["bk"] = P(None, "tp")
+            layers["bv"] = P(None, "tp")
+        if cfg.qk_norm:
+            layers["q_norm"] = P(None, None)
+            layers["k_norm"] = P(None, None)
+        specs = {
+            "embed": P("tp", None),  # vocab-sharded
+            "layers": layers,
+            "final_norm": P(None),
+        }
+        if not cfg.tie_word_embeddings:
+            specs["lm_head"] = P(None, "tp")
+        return specs
+
+    # ---------------- forward ----------------
+    @staticmethod
+    def make_forward(cfg: ModelConfig, attn_fn: Callable):
+        """Build the jittable forward step.
+
+        forward(params, input_ids [B,T], positions [B,T],
+                kv_cache [L,Pg,S,2Hkv,D], meta: AttentionMetadata)
+            -> (last_logits [B, V] float32, new_kv_cache)
+        """
+        Hq = cfg.num_attention_heads
+        Hkv = cfg.num_key_value_heads
+        D = cfg.actual_head_dim
+        eps = cfg.rms_norm_eps
+        sm_scale = 1.0 / float(np.sqrt(D))
+        inv_freq = jnp.asarray(
+            compute_inv_freq(D, cfg.rope_theta, cfg.rope_scaling)
+        )
+        has_bias = cfg.attention_bias
+        has_qk_norm = cfg.qk_norm
+
+        def layer_body(hidden, xs, positions, meta):
+            lp, kv_layer = xs
+            b, t, e = hidden.shape
+
+            h = rms_norm(hidden, lp["input_norm"], eps)
+            q = _dense(h, lp["wq"], lp.get("bq") if has_bias else None)
+            k = _dense(h, lp["wk"], lp.get("bk") if has_bias else None)
+            v = _dense(h, lp["wv"], lp.get("bv") if has_bias else None)
+            q = q.reshape(b, t, Hq, D)
+            k = k.reshape(b, t, Hkv, D)
+            v = v.reshape(b, t, Hkv, D)
+            if has_qk_norm:
+                q = rms_norm(q, lp["q_norm"], eps)
+                k = rms_norm(k, lp["k_norm"], eps)
+            q, k = apply_rope(q, k, positions, inv_freq)
+            kv_layer = write_kv_pages(kv_layer, k, v, meta.slot_ids)
+            attn_out = attn_fn(q, kv_layer, meta, sm_scale)
+            hidden = hidden + _dense(attn_out.reshape(b, t, Hq * D), lp["wo"])
+
+            h = rms_norm(hidden, lp["post_norm"], eps)
+            gate = _dense(h, lp["w_gate"])
+            up = _dense(h, lp["w_up"])
+            hidden = hidden + _dense(jax.nn.silu(gate) * up, lp["w_down"])
+            return hidden, kv_layer
+
+        def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata):
+            hidden = jnp.take(params["embed"], input_ids, axis=0)
+
+            def body(h, xs):
+                return layer_body(h, xs, positions, meta)
+
+            hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
+            hidden = rms_norm(hidden, params["final_norm"], eps)
+            # logits only for the selected token of each sequence
+            b = hidden.shape[0]
+            last_h = hidden[jnp.arange(b), meta.logit_idx]  # [B, E]
+            head = (
+                params["embed"].T
+                if cfg.tie_word_embeddings
+                else params["lm_head"]
+            )
+            logits = jnp.dot(last_h, head, preferred_element_type=jnp.float32)
+            return logits, new_kv
+
+        return forward
+
+    # ---------------- HF checkpoint mapping ----------------
+    @staticmethod
+    def hf_weight_map(cfg: ModelConfig):
+        """Map our param tree leaves to HF tensor names.
+
+        Returns {param_path: (hf_name_template, transform)} where stacked layer
+        params use "{i}" for the layer index and transform is applied per
+        layer tensor ("t" = transpose 2D weight, None = as-is)."""
+        m = {
+            ("embed",): ("model.embed_tokens.weight", None),
+            ("final_norm",): ("model.norm.weight", None),
+            ("layers", "input_norm"): ("model.layers.{i}.input_layernorm.weight", None),
+            ("layers", "post_norm"): (
+                "model.layers.{i}.post_attention_layernorm.weight",
+                None,
+            ),
+            ("layers", "wq"): ("model.layers.{i}.self_attn.q_proj.weight", "t"),
+            ("layers", "wk"): ("model.layers.{i}.self_attn.k_proj.weight", "t"),
+            ("layers", "wv"): ("model.layers.{i}.self_attn.v_proj.weight", "t"),
+            ("layers", "wo"): ("model.layers.{i}.self_attn.o_proj.weight", "t"),
+            ("layers", "w_gate"): ("model.layers.{i}.mlp.gate_proj.weight", "t"),
+            ("layers", "w_up"): ("model.layers.{i}.mlp.up_proj.weight", "t"),
+            ("layers", "w_down"): ("model.layers.{i}.mlp.down_proj.weight", "t"),
+        }
+        if cfg.attention_bias:
+            m[("layers", "bq")] = ("model.layers.{i}.self_attn.q_proj.bias", None)
+            m[("layers", "bk")] = ("model.layers.{i}.self_attn.k_proj.bias", None)
+            m[("layers", "bv")] = ("model.layers.{i}.self_attn.v_proj.bias", None)
+        if cfg.qk_norm:
+            m[("layers", "q_norm")] = ("model.layers.{i}.self_attn.q_norm.weight", None)
+            m[("layers", "k_norm")] = ("model.layers.{i}.self_attn.k_norm.weight", None)
+        if not cfg.tie_word_embeddings:
+            m[("lm_head",)] = ("lm_head.weight", "t")
+        return m

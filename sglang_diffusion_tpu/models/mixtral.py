@@ -1,0 +1,187 @@
+"""Mixtral-style MoE decoder (reference analog: srt/models/mixtral.py +
+srt/layers/moe/).
+
+Round-1 MoE strategy: compute all experts and combine with routing weights
+("dense MoE") — correct and XLA-friendly at small batch; the grouped-GEMM
+expert-parallel path (reference srt/layers/moe/ep_moe/) lands in a later
+round as a Pallas sort-and-group kernel over the "tp"/"ep" mesh axes.
+
+Router numerics follow Mixtral: softmax over top-k router logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from sglang_diffusion_tpu.config.model_config import ModelConfig
+from sglang_diffusion_tpu.layers.attention import AttentionMetadata
+from sglang_diffusion_tpu.models.registry import register_model
+from sglang_diffusion_tpu.ops.attention_xla import write_kv_pages
+from sglang_diffusion_tpu.ops.norms import rms_norm
+from sglang_diffusion_tpu.ops.rope import apply_rope, compute_inv_freq
+
+
+def moe_mlp(
+    h: jax.Array,  # [B, T, E]
+    w_router: jax.Array,  # [E, X]
+    w_gate: jax.Array,  # [X, E, F]
+    w_up: jax.Array,  # [X, E, F]
+    w_down: jax.Array,  # [X, F, E]
+    top_k: int,
+) -> jax.Array:
+    x_experts = w_gate.shape[0]
+    router_logits = jnp.dot(h, w_router).astype(jnp.float32)  # [B,T,X]
+    topv, topi = jax.lax.top_k(router_logits, top_k)
+    weights = jax.nn.softmax(topv, axis=-1)  # [B,T,k]
+    onehot = jax.nn.one_hot(topi, x_experts, dtype=jnp.float32)  # [B,T,k,X]
+    dense_w = jnp.einsum("btk,btkx->btx", weights, onehot)  # [B,T,X]
+    # all-expert compute
+    gate = jnp.einsum("bte,xef->xbtf", h, w_gate)
+    up = jnp.einsum("bte,xef->xbtf", h, w_up)
+    y = jnp.einsum("xbtf,xfe->xbte", jax.nn.silu(gate) * up, w_down)
+    out = jnp.einsum("xbte,btx->bte", y.astype(jnp.float32), dense_w)
+    return out.astype(h.dtype)
+
+
+@register_model("MixtralForCausalLM", "Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM")
+class MixtralFamily:
+    @staticmethod
+    def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
+        L = cfg.num_hidden_layers
+        E = cfg.hidden_size
+        F = cfg.moe_intermediate_size or cfg.intermediate_size
+        X = cfg.num_experts
+        Hq = cfg.num_attention_heads
+        Hkv = cfg.num_key_value_heads
+        D = cfg.actual_head_dim
+        V = cfg.vocab_size
+        keys = jax.random.split(rng, 12)
+
+        def init(key, shape):
+            scale = 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+        layers = {
+            "input_norm": jnp.ones((L, E), dtype),
+            "post_norm": jnp.ones((L, E), dtype),
+            "wq": init(keys[0], (L, E, Hq * D)),
+            "wk": init(keys[1], (L, E, Hkv * D)),
+            "wv": init(keys[2], (L, E, Hkv * D)),
+            "wo": init(keys[3], (L, Hq * D, E)),
+            "w_router": init(keys[4], (L, E, X)),
+            "w_gate": init(keys[5], (L, X, E, F)),
+            "w_up": init(keys[6], (L, X, E, F)),
+            "w_down": init(keys[7], (L, X, F, E)),
+        }
+        params = {
+            "embed": init(keys[8], (V, E)),
+            "layers": layers,
+            "final_norm": jnp.ones((E,), dtype),
+            "lm_head": init(keys[9], (E, V)),
+        }
+        return params
+
+    @staticmethod
+    def partition_specs(cfg: ModelConfig) -> Dict[str, Any]:
+        layers = {
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "w_router": P(None, None, None),
+            # experts sharded over tp on the expert axis (EP-style)
+            "w_gate": P(None, "tp", None, None),
+            "w_up": P(None, "tp", None, None),
+            "w_down": P(None, "tp", None, None),
+        }
+        return {
+            "embed": P("tp", None),
+            "layers": layers,
+            "final_norm": P(None),
+            "lm_head": P(None, "tp"),
+        }
+
+    @staticmethod
+    def make_forward(cfg: ModelConfig, attn_fn: Callable):
+        Hq = cfg.num_attention_heads
+        Hkv = cfg.num_key_value_heads
+        D = cfg.actual_head_dim
+        eps = cfg.rms_norm_eps
+        sm_scale = 1.0 / float(np.sqrt(D))
+        top_k = cfg.num_experts_per_tok
+        inv_freq = jnp.asarray(compute_inv_freq(D, cfg.rope_theta, cfg.rope_scaling))
+
+        def layer_body(hidden, xs, positions, meta):
+            lp, kv_layer = xs
+            b, t, e = hidden.shape
+            h = rms_norm(hidden, lp["input_norm"], eps)
+            q = jnp.dot(h, lp["wq"]).reshape(b, t, Hq, D)
+            k = jnp.dot(h, lp["wk"]).reshape(b, t, Hkv, D)
+            v = jnp.dot(h, lp["wv"]).reshape(b, t, Hkv, D)
+            q, k = apply_rope(q, k, positions, inv_freq)
+            kv_layer = write_kv_pages(kv_layer, k, v, meta.slot_ids)
+            attn_out = attn_fn(q, kv_layer, meta, sm_scale)
+            hidden = hidden + jnp.dot(attn_out.reshape(b, t, Hq * D), lp["wo"])
+
+            h = rms_norm(hidden, lp["post_norm"], eps)
+            hidden = hidden + moe_mlp(
+                h, lp["w_router"], lp["w_gate"], lp["w_up"], lp["w_down"], top_k
+            )
+            return hidden, kv_layer
+
+        def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata):
+            hidden = jnp.take(params["embed"], input_ids, axis=0)
+
+            def body(h, xs):
+                return layer_body(h, xs, positions, meta)
+
+            hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
+            hidden = rms_norm(hidden, params["final_norm"], eps)
+            b = hidden.shape[0]
+            last_h = hidden[jnp.arange(b), meta.logit_idx]
+            logits = jnp.dot(last_h, params["lm_head"], preferred_element_type=jnp.float32)
+            return logits, new_kv
+
+        return forward
+
+    @staticmethod
+    def hf_weight_map(cfg: ModelConfig):
+        m = {
+            ("embed",): ("model.embed_tokens.weight", None),
+            ("final_norm",): ("model.norm.weight", None),
+            ("lm_head",): ("lm_head.weight", "t"),
+            ("layers", "input_norm"): ("model.layers.{i}.input_layernorm.weight", None),
+            ("layers", "post_norm"): (
+                "model.layers.{i}.post_attention_layernorm.weight",
+                None,
+            ),
+            ("layers", "wq"): ("model.layers.{i}.self_attn.q_proj.weight", "t"),
+            ("layers", "wk"): ("model.layers.{i}.self_attn.k_proj.weight", "t"),
+            ("layers", "wv"): ("model.layers.{i}.self_attn.v_proj.weight", "t"),
+            ("layers", "wo"): ("model.layers.{i}.self_attn.o_proj.weight", "t"),
+            ("layers", "w_router"): (
+                "model.layers.{i}.block_sparse_moe.gate.weight",
+                "t",
+            ),
+            # expert tensors: name template with {i}=layer, {x}=expert
+            ("layers", "w_gate"): (
+                "model.layers.{i}.block_sparse_moe.experts.{x}.w1.weight",
+                "t",
+            ),
+            ("layers", "w_up"): (
+                "model.layers.{i}.block_sparse_moe.experts.{x}.w3.weight",
+                "t",
+            ),
+            ("layers", "w_down"): (
+                "model.layers.{i}.block_sparse_moe.experts.{x}.w2.weight",
+                "t",
+            ),
+        }
+        return m

@@ -1,0 +1,38 @@
+"""Model registry (reference analog: srt/models/registry.py:18,128).
+
+Models register themselves by HF architecture string. A "model" here is a
+namespace object with the functional API:
+
+    init_params(rng, cfg, dtype)        -> params pytree
+    partition_specs(cfg)                -> PartitionSpec pytree matching params
+    forward(params, cfg, attn_fn, input_ids, positions, kv_cache, meta)
+                                        -> (logits, new_kv_cache)
+    hf_weight_map(cfg)                  -> mapping for the checkpoint loader
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+_REGISTRY: Dict[str, object] = {}
+
+
+def register_model(*arch_names: str):
+    def deco(cls):
+        for name in arch_names:
+            _REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def get_model_cls(architecture: str):
+    # import model modules lazily so registration happens on first use
+    import sglang_diffusion_tpu.models.llama  # noqa: F401
+    import sglang_diffusion_tpu.models.mixtral  # noqa: F401
+
+    if architecture not in _REGISTRY:
+        raise KeyError(
+            f"architecture {architecture} not registered; have {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[architecture]

@@ -1,0 +1,119 @@
+"""Pure-XLA paged attention reference implementation.
+
+This is the correctness baseline and the CPU/test backend (the analog of the
+reference's `torch_native` attention backend, srt/layers/attention/
+torch_native_backend.py). The Pallas TPU kernels in `attention_pallas.py`
+must match these numerics.
+
+All functions are shape-static and jit-friendly; padding is handled by masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def write_kv_pages(
+    kv_layer: jax.Array,  # [num_pages, page_size, 2*Hkv, D]
+    k: jax.Array,  # [B, T, Hkv, D]
+    v: jax.Array,  # [B, T, Hkv, D]
+    slot_ids: jax.Array,  # [B, T] int32 flat slots (page*page_size+off); -1 = skip
+) -> jax.Array:
+    """Scatter new K/V tokens into the paged cache (write-then-attend)."""
+    num_pages, page_size, two_hkv, d = kv_layer.shape
+    hkv = two_hkv // 2
+    flat = kv_layer.reshape(num_pages * page_size, two_hkv, d)
+    kv = jnp.stack([k, v], axis=3).reshape(*k.shape[:2], two_hkv, d)  # interleave K/V
+    kv = kv.reshape(-1, two_hkv, d).astype(flat.dtype)
+    slots = slot_ids.reshape(-1)
+    # redirect padding slots (<0) out of range; mode="drop" discards them
+    slots = jnp.where(slots >= 0, slots, num_pages * page_size)
+    flat = flat.at[slots].set(kv, mode="drop")
+    return flat.reshape(num_pages, page_size, two_hkv, d)
+
+
+def gather_kv(
+    kv_layer: jax.Array,  # [num_pages, page_size, 2*Hkv, D]
+    page_table: jax.Array,  # [B, pages_per_seq]
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather each sequence's pages -> K,V [B, Lkv, Hkv, D]."""
+    num_pages, page_size, two_hkv, d = kv_layer.shape
+    pages = jnp.take(kv_layer, jnp.maximum(page_table, 0), axis=0)
+    b, pps = page_table.shape
+    kv = pages.reshape(b, pps * page_size, two_hkv, d)
+    k = kv[:, :, 0::2, :]
+    v = kv[:, :, 1::2, :]
+    return k, v
+
+
+def _attn_core(
+    q: jax.Array,  # [B, Tq, Hq, D]
+    k: jax.Array,  # [B, Lkv, Hkv, D]
+    v: jax.Array,  # [B, Lkv, Hkv, D]
+    mask: jax.Array,  # [B, Tq, Lkv] bool, True = attend
+    sm_scale: float,
+) -> jax.Array:
+    b, tq, hq, d = q.shape
+    hkv = k.shape[2]
+    group = hq // hkv
+    qg = q.reshape(b, tq, hkv, group, d).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    # scores: [B, Hkv, group, Tq, Lkv]
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * sm_scale
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # guard fully-masked rows (padding queries): softmax of all -inf -> uniform;
+    # zero them out instead.
+    any_valid = jnp.any(mask, axis=-1)[:, None, None, :, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    return out.reshape(b, tq, hq, d).astype(q.dtype)
+
+
+def paged_attention(
+    q: jax.Array,  # [B, Tq, Hq, D] (Tq=1 for decode)
+    kv_layer: jax.Array,  # [num_pages, page_size, 2*Hkv, D]
+    page_table: jax.Array,  # [B, pages_per_seq]
+    kv_lens: jax.Array,  # [B] total valid kv length (incl. tokens just written)
+    q_start_pos: jax.Array,  # [B] absolute position of q token 0 (=cache_len)
+    sm_scale: float,
+) -> jax.Array:
+    """Causal paged attention: query t attends kv positions <= q_start_pos+t.
+
+    Works for decode (Tq=1, q_start_pos=kv_lens-1) and chunked prefill
+    (Tq=chunk, q_start_pos=prefix_len).  Padding queries are those with
+    q_start_pos + t >= kv_lens; their output is zeroed.
+    """
+    b, tq = q.shape[0], q.shape[1]
+    k, v = gather_kv(kv_layer, page_table)
+    lkv = k.shape[1]
+    kv_pos = jnp.arange(lkv)[None, None, :]  # [1,1,Lkv]
+    q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]
+    mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
+    mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])  # padding queries
+    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask, sm_scale)
+
+
+def full_attention(
+    q: jax.Array,  # [B, T, Hq, D]
+    k: jax.Array,  # [B, T, Hkv, D]
+    v: jax.Array,
+    seq_lens: jax.Array,  # [B]
+    sm_scale: float,
+) -> jax.Array:
+    """Plain causal attention over in-batch K/V (no cache) — used by the
+    diffusion text encoders and for testing."""
+    t = q.shape[1]
+    pos = jnp.arange(t)
+    mask = (pos[None, :, None] >= pos[None, None, :]) & (
+        pos[None, None, :] < seq_lens[:, None, None]
+    )
+    mask = mask & (pos[None, :, None] < seq_lens[:, None, None])
+    return _attn_core(q, k, v, mask, sm_scale)

@@ -1,0 +1,89 @@
+"""Device mesh and sharding context.
+
+TPU-native replacement for the reference's process-group machinery
+(reference: srt/distributed/parallel_state.py:193 GroupCoordinator,
+:1614 init_distributed_environment, :1683 initialize_model_parallel).
+
+Where the reference creates NCCL process groups (world/TP/PP/DP/EP/attn-DP…)
+and routes collectives through pynccl / custom CUDA-IPC allreduce, the TPU
+build is single-controller SPMD: we build one `jax.sharding.Mesh` with named
+axes and annotate arrays with `NamedSharding`; XLA inserts the collectives
+over ICI. There are no process groups, no custom allreduce, no shm broadcast.
+
+Axis names:
+  "dp"  - data parallel (batch dim of the running batch)
+  "tp"  - tensor parallel (attention heads / MLP ffn dim / vocab)
+For MoE, experts are sharded over "tp" (expert-parallel reuses the same axis
+slice, matching the reference's decoupled moe groups conceptually).
+For diffusion, additional axes "sp" (sequence / Ulysses×ring) and "cfg"
+are created by the diffusion runtime (see diffusion/parallel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+@dataclasses.dataclass
+class MeshContext:
+    mesh: Mesh
+    dp_size: int
+    tp_size: int
+
+    # Common shardings -------------------------------------------------
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def data_sharding(self) -> NamedSharding:
+        """Batch dim sharded over dp."""
+        return NamedSharding(self.mesh, P(DP_AXIS))
+
+    @property
+    def kv_sharding(self) -> NamedSharding:
+        """KV cache [layers, pages, page_size, heads, dim]: heads over tp."""
+        return NamedSharding(self.mesh, P(None, None, None, TP_AXIS, None))
+
+
+def create_mesh(
+    tp_size: int = 1,
+    dp_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> MeshContext:
+    if devices is None:
+        devices = jax.devices()
+    n = tp_size * dp_size
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for dp={dp_size} x tp={tp_size}, have {len(devices)}"
+        )
+    arr = np.array(devices[:n]).reshape(dp_size, tp_size)
+    mesh = Mesh(arr, (DP_AXIS, TP_AXIS))
+    return MeshContext(mesh=mesh, dp_size=dp_size, tp_size=tp_size)
+
+
+_MESH_CONTEXT: Optional[MeshContext] = None
+
+
+def set_mesh_context(ctx: MeshContext) -> None:
+    global _MESH_CONTEXT
+    _MESH_CONTEXT = ctx
+
+
+def get_mesh_context() -> MeshContext:
+    global _MESH_CONTEXT
+    if _MESH_CONTEXT is None:
+        _MESH_CONTEXT = create_mesh(tp_size=1, dp_size=1)
+    return _MESH_CONTEXT

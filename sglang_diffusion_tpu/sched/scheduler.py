@@ -1,0 +1,414 @@
+"""Continuous-batching scheduler (single-controller).
+
+Reference analog: Scheduler in srt/managers/scheduler.py:251 with its
+event loops (:1154/:1181), get_new_batch_prefill (:2015),
+update_running_batch (:2247) and the retraction feedback loop
+(SURVEY.md Appendix A). Differences by design:
+
+- Single controller: there is one scheduler in the engine process driving
+  SPMD jit steps — no per-device scheduler processes, no ZMQ/shm fan-out
+  (reference needed one scheduler per GPU rank + shm broadcast).
+- Batches are host-side numpy plans; the ModelRunner pads them to bucketed
+  static shapes for the compiled step (replacing CUDA-graph capture).
+
+Behavioral invariants kept from the reference:
+- prefill admission with PrefillAdder budgets + chunked prefill
+- LPM cache-aware policy with FCFS fallback
+- decode-OOM retraction (longest output first), new_token_ratio feedback:
+  jumps on retraction, decays toward the floor on success
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sglang_diffusion_tpu.config.server_args import ServerArgs
+from sglang_diffusion_tpu.kv.allocator import PageAllocator
+from sglang_diffusion_tpu.kv.radix_cache import RadixCache
+from sglang_diffusion_tpu.sched.policy import PrefillAdder, sort_waiting_queue
+from sglang_diffusion_tpu.sched.req import FinishReason, Req, ReqStatus
+from sglang_diffusion_tpu.utils.common import cdiv, get_logger
+
+logger = get_logger("scheduler")
+
+
+@dataclass
+class BatchPlan:
+    """Host-side plan for one forward step (numpy, unpadded)."""
+
+    kind: str  # "prefill" | "decode"
+    reqs: List[Req]
+    token_ids: np.ndarray  # prefill: [B, Lq]; decode: [B, 1]
+    positions: np.ndarray  # same shape
+    page_table: np.ndarray  # [B, max_pages]
+    kv_lens: np.ndarray  # [B]
+    q_start: np.ndarray  # [B]
+    slots: np.ndarray  # [B, Lq]
+    logit_idx: np.ndarray  # [B]
+    sample_mask: np.ndarray  # [B] bool — whether the sampled token is kept
+
+
+class Scheduler:
+    def __init__(
+        self,
+        args: ServerArgs,
+        allocator: PageAllocator,
+        radix: Optional[RadixCache],
+        max_pages_per_seq: int,
+    ):
+        self.args = args
+        self.allocator = allocator
+        self.radix = radix
+        self.page_size = args.page_size
+        self.max_pages_per_seq = max_pages_per_seq
+
+        self.waiting: Deque[Req] = deque()
+        self.running: List[Req] = []
+        self.chunked_req: Optional[Req] = None
+
+        # retraction feedback (reference scheduler.py new_token_ratio decay)
+        self.min_new_token_ratio = 0.2 * args.schedule_conservativeness
+        self.max_new_token_ratio = 0.9
+        self.new_token_ratio = 0.5 * args.schedule_conservativeness
+        self.new_token_ratio_decay = 0.95
+
+        # stats
+        self.num_retracted = 0
+        self.num_finished = 0
+        self.cached_tokens_served = 0
+        self.total_prompt_tokens = 0
+
+    # ------------- intake -------------
+    def add_request(self, req: Req) -> None:
+        self.waiting.append(req)
+
+    def abort_request(self, rid: str) -> bool:
+        for r in self.waiting:
+            if r.rid == rid:
+                r.status = ReqStatus.ABORTED
+                r.finish_reason = FinishReason.ABORT
+                self.waiting.remove(r)
+                return True
+        for r in self.running:
+            if r.rid == rid:
+                r.status = ReqStatus.ABORTED
+                r.finish_reason = FinishReason.ABORT
+                # pages are released on the next process_decode_result pass
+                return True
+        return False
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running or self.chunked_req)
+
+    # ------------- batch selection -------------
+    def get_next_batch(self) -> Optional[BatchPlan]:
+        plan = self._get_prefill_batch()
+        if plan is not None:
+            return plan
+        return self._get_decode_batch()
+
+    # ------- prefill -------
+    def _get_prefill_batch(self) -> Optional[BatchPlan]:
+        if not self.waiting and self.chunked_req is None:
+            return None
+        adder = PrefillAdder(
+            free_kv_tokens=self.allocator.free_tokens
+            + (self.radix.evictable_tokens if self.radix else 0),
+            running_reqs=self.running,
+            new_token_ratio=self.new_token_ratio,
+            max_prefill_tokens=self.args.max_prefill_tokens,
+            chunked_prefill_size=(
+                self.args.chunked_prefill_size
+                if self.args.chunked_prefill_size > 0
+                else -1
+            ),
+            max_batch_reqs=self.args.max_running_requests,
+            page_size=self.page_size,
+        )
+
+        # resume the in-flight chunked request first (reference :2104-2106)
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            self.chunked_req = None
+            res = adder.try_add(req, req.num_computed)
+            if res == "full":
+                # cannot continue now; keep it chunked for next round
+                self.chunked_req = req
+                return None
+
+        if adder.chunked_req is None and self.waiting:
+            queue = sort_waiting_queue(
+                self.args.schedule_policy, list(self.waiting), self.radix
+            )
+            for req in queue:
+                if adder.budget.rem_reqs <= 0 or adder.budget.rem_input_tokens <= 0:
+                    break
+                cached = self._match_and_lock_prefix(req)
+                res = adder.try_add(req, req.num_computed)
+                if res == "full":
+                    self._unlock_prefix(req)
+                    break
+                self.waiting.remove(req)
+                if res == "chunked":
+                    break
+
+        if not adder.admitted:
+            return None
+        return self._build_prefill_plan(adder)
+
+    def _match_and_lock_prefix(self, req: Req) -> int:
+        """Radix prefix match at admission; returns cached token count."""
+        if req.num_computed > 0 or self.radix is None:
+            return req.num_computed  # resumed chunked/retracted req
+        fill = req.all_ids()
+        pages, node = self.radix.match_prefix(fill)
+        if pages:
+            self.radix.inc_lock_ref(node)
+            req.prefix_node = node
+            req.pages = list(pages)
+            req.cached_prefix_len = len(pages) * self.page_size
+            req.num_computed = req.cached_prefix_len
+            self.cached_tokens_served += req.cached_prefix_len
+        return req.num_computed
+
+    def _unlock_prefix(self, req: Req) -> None:
+        if req.prefix_node is not None:
+            self.radix.dec_lock_ref(req.prefix_node)
+            req.prefix_node = None
+            req.pages = []
+            req.cached_prefix_len = 0
+            req.num_computed = 0
+
+    def _ensure_pages(self, req: Req, new_total_tokens: int) -> bool:
+        """Grow req.pages to cover new_total_tokens; may evict radix."""
+        need = cdiv(new_total_tokens, self.page_size) - len(req.pages)
+        if need <= 0:
+            return True
+        if self.allocator.free_pages < need and self.radix is not None:
+            self.radix.evict(need - self.allocator.free_pages)
+        got = self.allocator.try_alloc(need)
+        if got is None:
+            return False
+        req.pages.extend(got)
+        return True
+
+    def _build_prefill_plan(self, adder: PrefillAdder) -> Optional[BatchPlan]:
+        admitted: List[Tuple[Req, int]] = []
+        for req, take in adder.admitted:
+            if not self._ensure_pages(req, req.num_computed + take):
+                # out of pages: put back to waiting
+                if adder.chunked_req is req:
+                    adder.chunked_req = None
+                if req.num_computed == req.cached_prefix_len:
+                    self._unlock_prefix(req)
+                    self.waiting.appendleft(req)
+                else:
+                    self.chunked_req = req  # mid-chunk, must resume later
+                continue
+            admitted.append((req, take))
+        if not admitted:
+            return None
+
+        b = len(admitted)
+        lq = max(take for _, take in admitted)
+        token_ids = np.zeros((b, lq), np.int32)
+        positions = np.zeros((b, lq), np.int32)
+        slots = np.full((b, lq), -1, np.int32)
+        page_table = np.zeros((b, self.max_pages_per_seq), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        q_start = np.zeros((b,), np.int32)
+        logit_idx = np.zeros((b,), np.int32)
+        sample_mask = np.zeros((b,), bool)
+
+        for i, (req, take) in enumerate(admitted):
+            fill = req.all_ids()
+            start = req.num_computed
+            chunk = fill[start : start + take]
+            token_ids[i, :take] = chunk
+            positions[i, :take] = np.arange(start, start + take)
+            pv = np.asarray(req.pages, np.int32)
+            page_table[i, : len(pv)] = pv
+            kv_lens[i] = start + take
+            q_start[i] = start
+            abs_pos = np.arange(start, start + take)
+            slots[i, :take] = pv[abs_pos // self.page_size] * self.page_size + (
+                abs_pos % self.page_size
+            )
+            logit_idx[i] = take - 1
+            sample_mask[i] = start + take >= len(fill)
+            self.total_prompt_tokens += take
+            req.status = ReqStatus.RUNNING
+
+        return BatchPlan(
+            kind="prefill",
+            reqs=[r for r, _ in admitted],
+            token_ids=token_ids,
+            positions=positions,
+            page_table=page_table,
+            kv_lens=kv_lens,
+            q_start=q_start,
+            slots=slots,
+            logit_idx=logit_idx,
+            sample_mask=sample_mask,
+        )
+
+    # ------- decode -------
+    def _get_decode_batch(self) -> Optional[BatchPlan]:
+        if not self.running:
+            return None
+        self._retract_if_needed()
+        reqs = self.running
+        if not reqs:
+            return None
+        b = len(reqs)
+        token_ids = np.zeros((b, 1), np.int32)
+        positions = np.zeros((b, 1), np.int32)
+        slots = np.full((b, 1), -1, np.int32)
+        page_table = np.zeros((b, self.max_pages_per_seq), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        q_start = np.zeros((b,), np.int32)
+
+        for i, req in enumerate(reqs):
+            pos = req.num_computed  # == total_len - 1
+            token_ids[i, 0] = req.output_ids[-1]
+            positions[i, 0] = pos
+            pv = np.asarray(req.pages, np.int32)
+            page_table[i, : len(pv)] = pv
+            kv_lens[i] = pos + 1
+            q_start[i] = pos
+            slots[i, 0] = pv[pos // self.page_size] * self.page_size + pos % self.page_size
+
+        return BatchPlan(
+            kind="decode",
+            reqs=list(reqs),
+            token_ids=token_ids,
+            positions=positions,
+            page_table=page_table,
+            kv_lens=kv_lens,
+            q_start=q_start,
+            slots=slots,
+            logit_idx=np.zeros((b,), np.int32),
+            sample_mask=np.ones((b,), bool),
+        )
+
+    def _retract_if_needed(self) -> None:
+        """Ensure every running req has a page slot for its next token;
+        retract (longest output first) until memory fits, keeping >= 1 req
+        (reference scheduler.py:2247-2310)."""
+        while len(self.running) > 1:
+            need = 0
+            for req in self.running:
+                need += max(
+                    0, cdiv(req.num_computed + 1, self.page_size) - len(req.pages)
+                )
+            free = self.allocator.free_pages + (
+                self.radix.evictable_tokens // self.page_size if self.radix else 0
+            )
+            if need <= free:
+                break
+            victim = max(
+                self.running,
+                key=lambda r: (len(r.output_ids), -len(r.input_ids)),
+            )
+            self._retract_req(victim)
+        # grow page lists now (decode slots must exist before forward)
+        for req in list(self.running):
+            if not self._ensure_pages(req, req.num_computed + 1):
+                if len(self.running) > 1:
+                    self._retract_req(req)
+                else:
+                    raise MemoryError("single running request exceeds KV capacity")
+
+    def _retract_req(self, req: Req) -> None:
+        logger.info("retracting req %s (out=%d)", req.rid, len(req.output_ids))
+        self.running.remove(req)
+        self._release_pages(req, insert_to_cache=False)
+        req.num_computed = 0
+        req.cached_prefix_len = 0
+        req.is_retracted = True
+        req.status = ReqStatus.WAITING
+        self.waiting.appendleft(req)
+        self.num_retracted += 1
+        self.new_token_ratio = min(
+            self.new_token_ratio + 0.2, self.max_new_token_ratio
+        )
+
+    def _release_pages(self, req: Req, insert_to_cache: bool) -> None:
+        """Give back req's pages; optionally publish KV into the radix tree.
+        Ownership: the first cached_prefix_len/page pages belong to the tree
+        (shared); insert() may dedup more (reference radix_cache.py:459)."""
+        shared_pages = req.cached_prefix_len // self.page_size
+        if self.radix is not None and insert_to_cache:
+            toks = req.all_ids()
+            computed = toks[: req.num_computed]
+            dup_tokens = self.radix.insert(computed, req.pages)
+            dup_pages = dup_tokens // self.page_size
+            aligned_pages = req.num_computed // self.page_size
+            # free duplicates discovered by insert (beyond our shared prefix)
+            if dup_pages > shared_pages:
+                self.allocator.free(req.pages[shared_pages:dup_pages])
+            # free the partial tail page (never enters the tree)
+            if len(req.pages) > aligned_pages:
+                self.allocator.free(req.pages[aligned_pages:])
+        else:
+            if len(req.pages) > shared_pages:
+                self.allocator.free(req.pages[shared_pages:])
+        if req.prefix_node is not None:
+            self.radix.dec_lock_ref(req.prefix_node)
+            req.prefix_node = None
+        req.pages = []
+
+    # ------------- result processing -------------
+    def process_batch_result(
+        self, plan: BatchPlan, next_tokens: np.ndarray, logprobs: Optional[np.ndarray]
+    ) -> List[Req]:
+        """Apply sampled tokens; returns requests that finished this step."""
+        finished: List[Req] = []
+        for i, req in enumerate(plan.reqs):
+            if req.status == ReqStatus.ABORTED:
+                self._release_pages(req, insert_to_cache=False)
+                if req in self.running:
+                    self.running.remove(req)
+                finished.append(req)
+                continue
+            if plan.kind == "prefill":
+                take = int(np.sum(plan.slots[i] >= 0))
+                req.num_computed += take
+                if plan.sample_mask[i]:
+                    self._append_token(req, int(next_tokens[i]), logprobs, i)
+                    if req not in self.running and not req.finished:
+                        self.running.append(req)
+                # else: chunked request continues next round
+            else:
+                req.num_computed += 1
+                self._append_token(req, int(next_tokens[i]), logprobs, i)
+            if req.finished:
+                if req in self.running:
+                    self.running.remove(req)
+                self._release_pages(req, insert_to_cache=self.radix is not None)
+                self.num_finished += 1
+                finished.append(req)
+        if plan.kind == "decode":
+            self.new_token_ratio = max(
+                self.new_token_ratio * self.new_token_ratio_decay,
+                self.min_new_token_ratio,
+            )
+        return finished
+
+    def _append_token(
+        self, req: Req, token: int, logprobs: Optional[np.ndarray], i: int
+    ) -> None:
+        import time as _time
+
+        if req.first_token_at is None:
+            req.first_token_at = _time.monotonic()
+        req.output_ids.append(token)
+        if logprobs is not None:
+            req.output_logprobs.append(float(logprobs[i]))
+        req.check_finished()
+        if req.finished:
+            req.finished_at = _time.monotonic()
