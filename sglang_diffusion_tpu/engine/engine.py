@@ -1,0 +1,271 @@
+"""Engine: the single-controller serving core and Python API.
+
+Reference analog: srt/entrypoints/engine.py:139 (Engine) — but where the
+reference spawns Scheduler/Detokenizer subprocesses linked by ZMQ
+(engine.py:503-697), the TPU build is single-controller: the scheduler,
+model runner and detokenizer all live in this process, and SPMD parallelism
+happens inside the jitted step via the device mesh. This removes all IPC
+from the hot path.
+
+API surface mirrors the reference Engine: generate / stream-generate /
+abort; async wrappers live in server/.
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import time
+import uuid
+from typing import Any, Dict, Iterator, List, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_diffusion_tpu.config.model_config import ModelConfig
+from sglang_diffusion_tpu.config.server_args import ServerArgs
+from sglang_diffusion_tpu.engine.model_runner import ModelRunner
+from sglang_diffusion_tpu.engine.tokenizer import IncrementalDetokenizer, get_tokenizer
+from sglang_diffusion_tpu.kv.allocator import PageAllocator
+from sglang_diffusion_tpu.kv.radix_cache import RadixCache
+from sglang_diffusion_tpu.parallel.mesh import MeshContext, create_mesh
+from sglang_diffusion_tpu.sampling.params import SamplingParams
+from sglang_diffusion_tpu.sched.req import FinishReason, Req, ReqStatus
+from sglang_diffusion_tpu.sched.scheduler import Scheduler
+from sglang_diffusion_tpu.utils.common import get_logger
+
+logger = get_logger("engine")
+
+
+class Engine:
+    def __init__(
+        self,
+        server_args: Optional[ServerArgs] = None,
+        model_config: Optional[ModelConfig] = None,
+        params=None,
+        tokenizer=None,
+        mesh_ctx: Optional[MeshContext] = None,
+        **kwargs,
+    ):
+        self.args = server_args or ServerArgs(**kwargs)
+        self.mesh_ctx = mesh_ctx or create_mesh(
+            tp_size=self.args.tp_size, dp_size=self.args.dp_size
+        )
+        if model_config is None:
+            model_config = ModelConfig.from_pretrained(self.args.model_path)
+        self.model_config = model_config
+        self.tokenizer = tokenizer or get_tokenizer(self.args.tokenizer_path)
+
+        if params is None and self.args.model_path:
+            from sglang_diffusion_tpu.engine.weight_loader import load_hf_params
+
+            params = load_hf_params(
+                self.args.model_path, model_config, dtype=jnp.bfloat16
+            )
+
+        self.runner = ModelRunner(
+            self.args, model_config, self.mesh_ctx, params=params
+        )
+        self.allocator = PageAllocator(self.runner.num_pages, self.args.page_size)
+        self.radix = (
+            None
+            if self.args.disable_radix_cache
+            else RadixCache(self.args.page_size, self.allocator.free)
+        )
+        self.scheduler = Scheduler(
+            self.args, self.allocator, self.radix, self.runner.max_pages_per_seq
+        )
+        self._detoks: Dict[str, IncrementalDetokenizer] = {}
+        self._pending_deltas: Dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    # ---------------- request intake ----------------
+    def _make_req(
+        self,
+        prompt: Optional[str],
+        input_ids: Optional[List[int]],
+        sp: SamplingParams,
+        stream: bool = False,
+    ) -> Req:
+        if input_ids is None:
+            input_ids = self.tokenizer.encode(prompt)
+        eos_ids = []
+        if self.tokenizer.eos_token_id is not None:
+            eos_ids.append(self.tokenizer.eos_token_id)
+        eos_ids.extend(self.model_config.eos_token_ids)
+        req = Req(
+            rid=uuid.uuid4().hex,
+            input_ids=list(input_ids),
+            sampling_params=sp,
+            eos_token_ids=eos_ids,
+            stream=stream,
+        )
+        self._detoks[req.rid] = IncrementalDetokenizer(self.tokenizer, sp.stop)
+        return req
+
+    # ---------------- stepping ----------------
+    def step(self) -> List[Req]:
+        """Run one scheduler iteration (one forward batch). Returns requests
+        finished in this step."""
+        plan = self.scheduler.get_next_batch()
+        if plan is None:
+            return []
+        samp_np = self._samp_arrays(plan)
+        next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
+        finished = self.scheduler.process_batch_result(plan, next_tokens, logprobs)
+        # incremental detokenization + stop-string scan for requests that
+        # produced a token this step (streaming or stop-bearing only)
+        for i, req in enumerate(plan.reqs):
+            if not plan.sample_mask[i]:
+                continue
+            detok = self._detoks.get(req.rid)
+            if detok is None or not (req.stream or req.sampling_params.stop):
+                continue
+            delta, stop_hit, _ = detok.step(req.output_ids)
+            if delta and req.stream:
+                self._pending_deltas[req.rid] = (
+                    self._pending_deltas.get(req.rid, "") + delta
+                )
+            if stop_hit is not None and not req.finished:
+                req.finish_reason = FinishReason.STOP
+                req.status = ReqStatus.FINISHED
+                req.finished_at = time.monotonic()
+                self.scheduler.running.remove(req)
+                self.scheduler._release_pages(
+                    req, insert_to_cache=self.radix is not None
+                )
+                self.scheduler.num_finished += 1
+                finished.append(req)
+        return finished
+
+    def pop_stream_delta(self, rid: str) -> str:
+        return self._pending_deltas.pop(rid, "")
+
+    def _samp_arrays(self, plan) -> Dict[str, np.ndarray]:
+        reqs = plan.reqs
+        n = len(reqs)
+
+        def arr(get, dtype, default):
+            a = np.full((n,), default, dtype)
+            for i, r in enumerate(reqs):
+                a[i] = get(r.sampling_params)
+            return a
+
+        return {
+            "temperature": arr(lambda s: s.temperature, np.float32, 0.0),
+            "top_p": arr(lambda s: s.top_p, np.float32, 1.0),
+            "top_k": arr(lambda s: s.top_k, np.int32, -1),
+            "min_p": arr(lambda s: s.min_p, np.float32, 0.0),
+            "frequency_penalty": arr(lambda s: s.frequency_penalty, np.float32, 0.0),
+            "presence_penalty": arr(lambda s: s.presence_penalty, np.float32, 0.0),
+        }
+
+    # ---------------- sync API ----------------
+    def generate(
+        self,
+        prompt: Union[str, List[str], None] = None,
+        sampling_params: Union[SamplingParams, Dict, None] = None,
+        input_ids: Optional[List[List[int]]] = None,
+    ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
+        single = isinstance(prompt, str) or (
+            input_ids is not None and input_ids and isinstance(input_ids[0], int)
+        )
+        prompts = [prompt] if isinstance(prompt, str) else (prompt or [])
+        if input_ids is not None and input_ids and isinstance(input_ids[0], int):
+            input_ids = [input_ids]
+        sp = self._norm_sp(sampling_params)
+
+        reqs = []
+        if input_ids is not None:
+            for ids in input_ids:
+                reqs.append(self._make_req(None, ids, sp))
+        else:
+            for p in prompts:
+                reqs.append(self._make_req(p, None, sp))
+        with self._lock:
+            for r in reqs:
+                self.scheduler.add_request(r)
+            pending = {r.rid for r in reqs}
+            while pending:
+                done = self.step()
+                for r in done:
+                    pending.discard(r.rid)
+                if not done and not self.scheduler.has_work():
+                    break
+        outs = [self._build_output(r) for r in reqs]
+        return outs[0] if single else outs
+
+    def stream_generate(
+        self,
+        prompt: str,
+        sampling_params: Union[SamplingParams, Dict, None] = None,
+    ) -> Iterator[Dict[str, Any]]:
+        """Yields {"text": delta, ...} chunks; final chunk carries meta."""
+        sp = self._norm_sp(sampling_params)
+        req = self._make_req(prompt, None, sp, stream=True)
+        detok = self._detoks[req.rid]
+        yielded = ""
+        with self._lock:
+            self.scheduler.add_request(req)
+            while not req.finished:
+                self.step()
+                delta = self.pop_stream_delta(req.rid)
+                if delta and not req.finished:
+                    yield {"text": delta, "finished": False}
+                    yielded += delta
+                if not self.scheduler.has_work() and not req.finished:
+                    break
+        self._pending_deltas.pop(req.rid, None)
+        out = self._build_output(req)
+        # emit whatever text remains beyond what was already streamed
+        remaining = out["text"][len(yielded):] if out["text"].startswith(yielded) else ""
+        yield {
+            "text": remaining,
+            "finished": True,
+            "meta_info": out["meta_info"],
+        }
+
+    def _norm_sp(self, sp) -> SamplingParams:
+        if sp is None:
+            return SamplingParams(max_new_tokens=self.args.max_new_tokens_default)
+        if isinstance(sp, dict):
+            return SamplingParams(**sp)
+        return sp
+
+    def _build_output(self, req: Req) -> Dict[str, Any]:
+        detok = self._detoks.pop(req.rid, None)
+        if detok is not None:
+            detok.step(req.output_ids)
+            text = detok.emitted
+        else:
+            text = self.tokenizer.decode(req.output_ids)
+        return {
+            "text": text,
+            "output_ids": list(req.output_ids),
+            "meta_info": {
+                "id": req.rid,
+                "finish_reason": req.finish_reason.value,
+                "prompt_tokens": req.prompt_len,
+                "completion_tokens": len(req.output_ids),
+                "cached_tokens": req.cached_prefix_len,
+                "e2e_latency": (
+                    (req.finished_at - req.created_at) if req.finished_at else None
+                ),
+            },
+        }
+
+    def abort_request(self, rid: str) -> bool:
+        return self.scheduler.abort_request(rid)
+
+    # ---------------- admin ----------------
+    def get_server_info(self) -> Dict[str, Any]:
+        return {
+            "model_path": self.args.model_path,
+            "version": "0.1.0",
+            "num_pages": self.runner.num_pages,
+            "page_size": self.args.page_size,
+            "free_pages": self.allocator.free_pages,
+            "num_finished": self.scheduler.num_finished,
+            "num_retracted": self.scheduler.num_retracted,
+            "cached_tokens_served": self.scheduler.cached_tokens_served,
+        }

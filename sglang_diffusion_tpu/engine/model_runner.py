@@ -1,0 +1,198 @@
+"""ModelRunner: owns params, KV cache, and the compiled forward+sample step.
+
+Reference analog: srt/model_executor/model_runner.py:281 (+ the CUDA-graph
+runner cuda_graph_runner.py:434). TPU-native replacement for CUDA graphs:
+one jitted step function; bucketed padding of the host batch plan gives a
+small closed set of static shapes, and jax caches one executable per shape.
+The KV cache is donated through the step so XLA updates it in place.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_diffusion_tpu.config.model_config import ModelConfig
+from sglang_diffusion_tpu.config.server_args import ServerArgs
+from sglang_diffusion_tpu.layers.attention import AttentionMetadata, get_attention_backend
+from sglang_diffusion_tpu.models.registry import get_model_cls
+from sglang_diffusion_tpu.parallel.mesh import MeshContext
+from sglang_diffusion_tpu.sampling.sampler import SamplingMetadata, sample
+from sglang_diffusion_tpu.sched.scheduler import BatchPlan
+from sglang_diffusion_tpu.utils.common import cdiv, get_logger, select_bucket
+
+logger = get_logger("model_runner")
+
+# decode/prefill batch-size buckets always include 1 and 2
+BS_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+LQ_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def _kv_dtype(args: ServerArgs):
+    if args.kv_cache_dtype in ("auto", "bfloat16"):
+        return jnp.bfloat16
+    if args.kv_cache_dtype == "fp8_e4m3":
+        return jnp.float8_e4m3fn
+    raise ValueError(args.kv_cache_dtype)
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        args: ServerArgs,
+        model_config: ModelConfig,
+        mesh_ctx: MeshContext,
+        params=None,
+        dtype=jnp.bfloat16,
+    ):
+        self.args = args
+        self.cfg = model_config
+        self.mesh_ctx = mesh_ctx
+        self.dtype = dtype
+        self.model_cls = get_model_cls(model_config.architecture)
+
+        context_len = args.context_length or model_config.max_position_embeddings
+        self.context_len = context_len
+        self.max_pages_per_seq = cdiv(context_len, args.page_size)
+
+        # ---- KV pool sizing ----
+        max_total_tokens = args.max_total_tokens or self._auto_kv_tokens()
+        self.num_pages = max(2, max_total_tokens // args.page_size)
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.1fk tokens)",
+            self.num_pages,
+            args.page_size,
+            self.num_pages * args.page_size / 1e3,
+        )
+
+        # ---- params ----
+        if params is None:
+            params = self.model_cls.init_params(
+                jax.random.PRNGKey(args.random_seed), model_config, dtype
+            )
+        specs = self.model_cls.partition_specs(model_config)
+        mesh = mesh_ctx.mesh
+        from jax.sharding import NamedSharding
+
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params,
+            specs,
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
+
+        # ---- KV cache ----
+        kv_shape = (
+            model_config.num_hidden_layers,
+            self.num_pages,
+            2 * model_config.num_key_value_heads,
+            args.page_size,
+            model_config.actual_head_dim,
+        )
+        self.kv_cache = jax.device_put(
+            jnp.zeros(kv_shape, _kv_dtype(args)), mesh_ctx.kv_sharding
+        )
+
+        # ---- compiled step ----
+        attn_fn = get_attention_backend(args.attention_backend)
+        fwd = self.model_cls.make_forward(model_config, attn_fn)
+
+        def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
+                 q_start, slots, logit_idx, samp_meta, key):
+            meta = AttentionMetadata(
+                page_table=page_table,
+                kv_lens=kv_lens,
+                q_start_pos=q_start,
+                slot_ids=slots,
+                logit_idx=logit_idx,
+            )
+            logits, new_kv = fwd(params, token_ids, positions, kv_cache, meta)
+            next_tok, tok_logprob = sample(logits, samp_meta, key)
+            return next_tok, tok_logprob, new_kv
+
+        if args.disable_jit:
+            self._step = step
+        else:
+            self._step = jax.jit(step, donate_argnums=(1,))
+        self._rng_counter = 0
+        self.base_key = jax.random.PRNGKey(args.random_seed)
+
+    def _auto_kv_tokens(self) -> int:
+        """Size the KV pool from free device memory (reference analog:
+        mem_fraction_static in model_runner.py)."""
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = stats.get("bytes_limit", 0)
+            used = stats.get("bytes_in_use", 0)
+            budget = int((limit * self.args.mem_fraction_static) - used)
+        except Exception:
+            budget = 0
+        token_bytes = (
+            self.cfg.num_hidden_layers
+            * 2
+            * self.cfg.num_key_value_heads
+            * self.cfg.actual_head_dim
+            * (1 if self.args.kv_cache_dtype == "fp8_e4m3" else 2)
+        )
+        if budget <= 0:
+            return 65536  # CPU/test default
+        return max(4096, budget // token_bytes)
+
+    # ------------- step execution -------------
+    def run_batch(
+        self, plan: BatchPlan, samp_meta_np: Dict[str, np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pad the plan to bucketed shapes, run the compiled step, and return
+        (next_tokens [B], logprobs [B]) for the real (unpadded) requests."""
+        b, lq = plan.token_ids.shape
+        bb = select_bucket(BS_BUCKETS, b)
+        lb = lq if plan.kind == "decode" else select_bucket(LQ_BUCKETS, lq)
+
+        def pad2(x, fill=0):
+            out = np.full((bb, lb), fill, x.dtype)
+            out[:b, :lq] = x
+            return out
+
+        def pad1(x, fill=0):
+            out = np.full((bb,), fill, x.dtype)
+            out[:b] = x
+            return out
+
+        token_ids = pad2(plan.token_ids)
+        positions = pad2(plan.positions)
+        slots = pad2(plan.slots, fill=-1)
+        page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
+        page_table[:b] = plan.page_table
+        kv_lens = pad1(plan.kv_lens)
+        q_start = pad1(plan.q_start)
+        logit_idx = pad1(plan.logit_idx)
+
+        samp = SamplingMetadata(
+            temperature=jnp.asarray(pad1(samp_meta_np["temperature"])),
+            top_p=jnp.asarray(pad1(samp_meta_np["top_p"], fill=1.0)),
+            top_k=jnp.asarray(pad1(samp_meta_np["top_k"], fill=-1)),
+            min_p=jnp.asarray(pad1(samp_meta_np["min_p"])),
+            frequency_penalty=jnp.asarray(pad1(samp_meta_np["frequency_penalty"])),
+            presence_penalty=jnp.asarray(pad1(samp_meta_np["presence_penalty"])),
+        )
+        self._rng_counter += 1
+        key = jax.random.fold_in(self.base_key, self._rng_counter)
+
+        next_tok, logprob, self.kv_cache = self._step(
+            self.params,
+            self.kv_cache,
+            jnp.asarray(token_ids),
+            jnp.asarray(positions),
+            jnp.asarray(page_table),
+            jnp.asarray(kv_lens),
+            jnp.asarray(q_start),
+            jnp.asarray(slots),
+            jnp.asarray(logit_idx),
+            samp,
+            key,
+        )
+        return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]

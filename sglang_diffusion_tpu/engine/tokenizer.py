@@ -1,0 +1,95 @@
+"""Tokenizer adapters.
+
+Reference analog: the tokenizer side of srt/managers/tokenizer_manager.py
+plus srt/tokenizer/. Two backends:
+
+- HFTokenizer: wraps a local HuggingFace tokenizer directory.
+- ByteTokenizer: dependency-free byte-level tokenizer (vocab = 256 bytes +
+  bos/eos) used by tests and the random-weight benchmark path, mirroring the
+  reference's GPU-free CI strategy.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+
+class ByteTokenizer:
+    BOS = 256
+    EOS = 257
+
+    vocab_size = 258
+    bos_token_id = BOS
+    eos_token_id = EOS
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        ids = list(text.encode("utf-8"))
+        return ([self.BOS] if add_bos else []) + ids
+
+    def decode(self, ids: List[int]) -> str:
+        data = bytes(i for i in ids if 0 <= i < 256)
+        return data.decode("utf-8", errors="replace")
+
+
+class HFTokenizer:
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.tk = AutoTokenizer.from_pretrained(path, use_fast=True)
+        self.vocab_size = len(self.tk)
+        self.bos_token_id = self.tk.bos_token_id
+        self.eos_token_id = self.tk.eos_token_id
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        return self.tk.encode(text, add_special_tokens=add_bos)
+
+    def decode(self, ids: List[int]) -> str:
+        return self.tk.decode(ids, skip_special_tokens=True)
+
+    def apply_chat_template(self, messages, add_generation_prompt=True) -> str:
+        return self.tk.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=add_generation_prompt
+        )
+
+
+def get_tokenizer(path: Optional[str]):
+    if not path or path == "byte":
+        return ByteTokenizer()
+    return HFTokenizer(path)
+
+
+class IncrementalDetokenizer:
+    """Incremental detokenization with stable-prefix emission and stop-string
+    trimming (reference: srt/managers/detokenizer_manager.py:74,144,154)."""
+
+    def __init__(self, tokenizer, stop_strs: List[str]):
+        self.tokenizer = tokenizer
+        self.stop_strs = stop_strs
+        self.emitted = ""  # text already surfaced to the user
+
+    def step(self, output_ids: List[int]) -> tuple:
+        """Returns (new_text_delta, matched_stop_str_or_None, full_text)."""
+        text = self.tokenizer.decode(output_ids)
+        # hold back a trailing replacement char (partial utf-8 / byte token)
+        stable = text
+        while stable.endswith("�"):
+            stable = stable[:-1]
+        # stop-string scan over the full decoded text
+        for s in self.stop_strs:
+            idx = stable.find(s)
+            if idx >= 0:
+                stable = stable[:idx]
+                delta = stable[len(self.emitted):]
+                self.emitted = stable
+                return delta, s, stable
+        # hold back a partial stop-string suffix so we never stream half of one
+        hold = 0
+        for s in self.stop_strs:
+            for k in range(1, len(s)):
+                if stable.endswith(s[:k]):
+                    hold = max(hold, k)
+        safe = stable[: len(stable) - hold] if hold else stable
+        delta = safe[len(self.emitted):]
+        if delta:
+            self.emitted = safe
+        return delta, None, stable

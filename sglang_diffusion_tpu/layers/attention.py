@@ -65,7 +65,13 @@ def _pallas_backend_impl(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
     from sglang_diffusion_tpu.ops import attention_pallas
 
     return attention_pallas.paged_attention(
-        q, kv_layer, meta.page_table, meta.kv_lens, meta.q_start_pos, sm_scale
+        q,
+        kv_layer,
+        meta.page_table,
+        meta.kv_lens,
+        meta.q_start_pos,
+        sm_scale,
+        interpret=jax.default_backend() != "tpu",
     )
 
 

@@ -3,10 +3,12 @@
 Layout conventions (shared by all backends):
 
   KV cache (per model, all layers stacked):
-      kv_cache: [num_layers, num_pages, page_size, 2 * num_kv_heads, head_dim]
+      kv_cache: [num_layers, num_pages, 2 * num_kv_heads, page_size, head_dim]
   K lives at even indices of the combined-head axis, V at odd indices
-  (the "combined kv heads" layout from the Ragged Paged Attention TPU kernel
-  line of work — keeps K and V of one head in one contiguous page tile).
+  (the "combined kv heads" idea from the Ragged Paged Attention TPU kernel
+  line of work). The head axis precedes the in-page token axis so that one
+  head's (K,V) page slice [2, page_size, head_dim] is a single contiguous
+  DMA from HBM into VMEM — the unit the Pallas kernel streams.
 
   Page table: [batch, pages_per_seq] int32 page ids.
   Token slot: page_id * page_size + offset_in_page.

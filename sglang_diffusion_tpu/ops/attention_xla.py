@@ -20,33 +20,37 @@ NEG_INF = -1e30
 
 
 def write_kv_pages(
-    kv_layer: jax.Array,  # [num_pages, page_size, 2*Hkv, D]
+    kv_layer: jax.Array,  # [num_pages, 2*Hkv, page_size, D]
     k: jax.Array,  # [B, T, Hkv, D]
     v: jax.Array,  # [B, T, Hkv, D]
     slot_ids: jax.Array,  # [B, T] int32 flat slots (page*page_size+off); -1 = skip
 ) -> jax.Array:
     """Scatter new K/V tokens into the paged cache (write-then-attend)."""
-    num_pages, page_size, two_hkv, d = kv_layer.shape
-    hkv = two_hkv // 2
-    flat = kv_layer.reshape(num_pages * page_size, two_hkv, d)
-    kv = jnp.stack([k, v], axis=3).reshape(*k.shape[:2], two_hkv, d)  # interleave K/V
-    kv = kv.reshape(-1, two_hkv, d).astype(flat.dtype)
-    slots = slot_ids.reshape(-1)
+    num_pages, two_hkv, page_size, d = kv_layer.shape
+    flat = kv_layer.reshape(num_pages * two_hkv * page_size, d)
+    kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv, d)  # [B*T, 2Hkv, D]
+    kv = kv.astype(flat.dtype)
+    slots = slot_ids.reshape(-1)  # [B*T], flat page*page_size+off
+    pid = slots // page_size
+    off = slots % page_size
+    h2 = jnp.arange(two_hkv)[None, :]
+    rows = (pid[:, None] * two_hkv + h2) * page_size + off[:, None]  # [BT, 2Hkv]
     # redirect padding slots (<0) out of range; mode="drop" discards them
-    slots = jnp.where(slots >= 0, slots, num_pages * page_size)
-    flat = flat.at[slots].set(kv, mode="drop")
-    return flat.reshape(num_pages, page_size, two_hkv, d)
+    rows = jnp.where(slots[:, None] >= 0, rows, flat.shape[0])
+    flat = flat.at[rows.reshape(-1)].set(kv.reshape(-1, d), mode="drop")
+    return flat.reshape(num_pages, two_hkv, page_size, d)
 
 
 def gather_kv(
-    kv_layer: jax.Array,  # [num_pages, page_size, 2*Hkv, D]
+    kv_layer: jax.Array,  # [num_pages, 2*Hkv, page_size, D]
     page_table: jax.Array,  # [B, pages_per_seq]
 ) -> Tuple[jax.Array, jax.Array]:
     """Gather each sequence's pages -> K,V [B, Lkv, Hkv, D]."""
-    num_pages, page_size, two_hkv, d = kv_layer.shape
+    num_pages, two_hkv, page_size, d = kv_layer.shape
     pages = jnp.take(kv_layer, jnp.maximum(page_table, 0), axis=0)
     b, pps = page_table.shape
-    kv = pages.reshape(b, pps * page_size, two_hkv, d)
+    # [B, PPS, 2Hkv, S, D] -> [B, PPS, S, 2Hkv, D] -> [B, Lkv, 2Hkv, D]
+    kv = pages.transpose(0, 1, 3, 2, 4).reshape(b, pps * page_size, two_hkv, d)
     k = kv[:, :, 0::2, :]
     v = kv[:, :, 1::2, :]
     return k, v

@@ -53,8 +53,8 @@ class MeshContext:
 
     @property
     def kv_sharding(self) -> NamedSharding:
-        """KV cache [layers, pages, page_size, heads, dim]: heads over tp."""
-        return NamedSharding(self.mesh, P(None, None, None, TP_AXIS, None))
+        """KV cache [layers, pages, 2*kv_heads, page_size, dim]: heads over tp."""
+        return NamedSharding(self.mesh, P(None, None, TP_AXIS, None, None))
 
 
 def create_mesh(

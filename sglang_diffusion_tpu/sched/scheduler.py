@@ -158,6 +158,9 @@ class Scheduler:
 
         if not adder.admitted:
             return None
+        # a partially-admitted request stays "chunked" and resumes first
+        # next round (reference scheduler.py:2104-2106)
+        self.chunked_req = adder.chunked_req
         return self._build_prefill_plan(adder)
 
     def _match_and_lock_prefix(self, req: Req) -> int:
@@ -201,8 +204,8 @@ class Scheduler:
         for req, take in adder.admitted:
             if not self._ensure_pages(req, req.num_computed + take):
                 # out of pages: put back to waiting
-                if adder.chunked_req is req:
-                    adder.chunked_req = None
+                if self.chunked_req is req:
+                    self.chunked_req = None
                 if req.num_computed == req.cached_prefix_len:
                     self._unlock_prefix(req)
                     self.waiting.appendleft(req)

@@ -20,7 +20,7 @@ PAGE = 8
 
 
 def make_cache(num_pages, hkv, d, dtype=jnp.float32):
-    return jnp.zeros((num_pages, PAGE, 2 * hkv, d), dtype)
+    return jnp.zeros((num_pages, 2 * hkv, PAGE, d), dtype)
 
 
 def test_write_then_gather_roundtrip():
@@ -47,8 +47,8 @@ def test_padding_slots_dropped():
     v = jnp.ones((b, t, hkv, d))
     slots = jnp.array([[0, 1, -1, -1]], jnp.int32)
     cache = write_kv_pages(cache, k, v, slots)
-    assert float(cache[0, 0].sum()) != 0.0
-    assert float(cache[0, 2:].sum()) == 0.0
+    assert float(cache[0, :, 0].sum()) != 0.0  # slot 0 written
+    assert float(cache[0, :, 2:].sum()) == 0.0  # padding slots dropped
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (4, 2), (8, 1)])
