@@ -55,6 +55,10 @@ class ServerArgs:
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
     enable_overlap_schedule: bool = True
+    # max decode steps fused into one compiled call (device-side token
+    # feedback via lax.scan — the TPU analog of the reference's overlap
+    # FutureMap + CUDA-graph replay; amortizes host->device dispatch)
+    decode_horizon: int = 16
     # decode batch-size buckets for the compiled decode step (analog of CUDA
     # graph batch sizes, reference srt/model_executor/cuda_graph_runner.py:434)
     decode_bs_buckets: List[int] = field(default_factory=lambda: [8, 16, 32, 64, 128, 256])

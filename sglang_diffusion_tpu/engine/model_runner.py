@@ -114,10 +114,43 @@ class ModelRunner:
             next_tok, tok_logprob = sample(logits, samp_meta, key)
             return next_tok, tok_logprob, new_kv
 
+        def decode_multi(params, kv_cache, tokens0, positions0, page_table,
+                         slots_km, samp_meta, key):
+            """K fused decode steps with device-side token feedback
+            (lax.scan; the TPU analog of overlap-scheduling + CUDA-graph
+            replay — one host dispatch per K tokens).
+
+            tokens0 [B], positions0 [B], slots_km [K, B]."""
+
+            def body(carry, xs):
+                tokens, kv_cache = carry
+                slots_k, step = xs
+                pos = positions0 + step
+                meta = AttentionMetadata(
+                    page_table=page_table,
+                    kv_lens=pos + 1,
+                    q_start_pos=pos,
+                    slot_ids=slots_k[:, None],
+                    logit_idx=jnp.zeros_like(pos),
+                )
+                logits, kv_cache = fwd(
+                    params, tokens[:, None], pos[:, None], kv_cache, meta
+                )
+                tok, lp = sample(logits, samp_meta, jax.random.fold_in(key, step))
+                return (tok, kv_cache), (tok, lp)
+
+            k = slots_km.shape[0]
+            (_, kv_cache), (toks, lps) = jax.lax.scan(
+                body, (tokens0, kv_cache), (slots_km, jnp.arange(k))
+            )
+            return toks.T, lps.T, kv_cache  # [B, K]
+
         if args.disable_jit:
             self._step = step
+            self._decode_multi = decode_multi
         else:
             self._step = jax.jit(step, donate_argnums=(1,))
+            self._decode_multi = jax.jit(decode_multi, donate_argnums=(1,))
         self._rng_counter = 0
         self.base_key = jax.random.PRNGKey(args.random_seed)
 
@@ -147,29 +180,15 @@ class ModelRunner:
         self, plan: BatchPlan, samp_meta_np: Dict[str, np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Pad the plan to bucketed shapes, run the compiled step, and return
-        (next_tokens [B], logprobs [B]) for the real (unpadded) requests."""
-        b, lq = plan.token_ids.shape
+        (next_tokens [B, K], logprobs [B, K]) for the real (unpadded)
+        requests. K = plan.horizon for decode, 1 for prefill."""
+        b = plan.token_ids.shape[0]
         bb = select_bucket(BS_BUCKETS, b)
-        lb = lq if plan.kind == "decode" else select_bucket(LQ_BUCKETS, lq)
-
-        def pad2(x, fill=0):
-            out = np.full((bb, lb), fill, x.dtype)
-            out[:b, :lq] = x
-            return out
 
         def pad1(x, fill=0):
             out = np.full((bb,), fill, x.dtype)
             out[:b] = x
             return out
-
-        token_ids = pad2(plan.token_ids)
-        positions = pad2(plan.positions)
-        slots = pad2(plan.slots, fill=-1)
-        page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
-        page_table[:b] = plan.page_table
-        kv_lens = pad1(plan.kv_lens)
-        q_start = pad1(plan.q_start)
-        logit_idx = pad1(plan.logit_idx)
 
         samp = SamplingMetadata(
             temperature=jnp.asarray(pad1(samp_meta_np["temperature"])),
@@ -182,17 +201,43 @@ class ModelRunner:
         self._rng_counter += 1
         key = jax.random.fold_in(self.base_key, self._rng_counter)
 
+        page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
+        page_table[:b] = plan.page_table
+
+        if plan.kind == "decode":
+            slots_km = np.full((plan.horizon, bb), -1, np.int32)
+            slots_km[:, :b] = plan.slots.T
+            next_tok, logprob, self.kv_cache = self._decode_multi(
+                self.params,
+                self.kv_cache,
+                jnp.asarray(pad1(plan.token_ids[:, 0])),
+                jnp.asarray(pad1(plan.positions[:, 0])),
+                jnp.asarray(page_table),
+                jnp.asarray(slots_km),
+                samp,
+                key,
+            )
+            return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]
+
+        lq = plan.token_ids.shape[1]
+        lb = select_bucket(LQ_BUCKETS, lq)
+
+        def pad2(x, fill=0):
+            out = np.full((bb, lb), fill, x.dtype)
+            out[:b, :lq] = x
+            return out
+
         next_tok, logprob, self.kv_cache = self._step(
             self.params,
             self.kv_cache,
-            jnp.asarray(token_ids),
-            jnp.asarray(positions),
+            jnp.asarray(pad2(plan.token_ids)),
+            jnp.asarray(pad2(plan.positions)),
             jnp.asarray(page_table),
-            jnp.asarray(kv_lens),
-            jnp.asarray(q_start),
-            jnp.asarray(slots),
-            jnp.asarray(logit_idx),
+            jnp.asarray(pad1(plan.kv_lens)),
+            jnp.asarray(pad1(plan.q_start)),
+            jnp.asarray(pad2(plan.slots, fill=-1)),
+            jnp.asarray(pad1(plan.logit_idx)),
             samp,
             key,
         )
-        return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]
+        return np.asarray(next_tok)[:b, None], np.asarray(logprob)[:b, None]

@@ -64,6 +64,10 @@ def _pallas_backend_impl(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
     # Imported lazily to keep CPU-only environments working.
     from sglang_diffusion_tpu.ops import attention_pallas
 
+    if q.shape[-1] % 128 != 0:
+        # Mosaic requires 128-lane-aligned head_dim for the page DMA; small
+        # head dims (tiny test models) fall back to the XLA path.
+        return _xla_backend(q, kv_layer, meta, sm_scale)
     return attention_pallas.paged_attention(
         q,
         kv_layer,

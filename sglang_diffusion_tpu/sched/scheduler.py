@@ -47,9 +47,13 @@ class BatchPlan:
     page_table: np.ndarray  # [B, max_pages]
     kv_lens: np.ndarray  # [B]
     q_start: np.ndarray  # [B]
-    slots: np.ndarray  # [B, Lq]
+    slots: np.ndarray  # prefill: [B, Lq]; decode: [B, horizon]
     logit_idx: np.ndarray  # [B]
     sample_mask: np.ndarray  # [B] bool — whether the sampled token is kept
+    # decode only: number of fused decode steps in this plan (device-side
+    # token feedback; KV may be written for overshoot tokens past a stop —
+    # harmless, the pages belong to the request)
+    horizon: int = 1
 
 
 class Scheduler:
@@ -260,17 +264,31 @@ class Scheduler:
         )
 
     # ------- decode -------
+    def _decode_horizon(self) -> int:
+        """Fused decode steps for the next call: long when the engine is in
+        pure-decode mode, short when prefill work is waiting (TTFT)."""
+        if not self.running:
+            return 1
+        h = max(1, self.args.decode_horizon)
+        if self.waiting or self.chunked_req is not None:
+            h = 1
+        h = min(h, min(r.remaining_new_tokens() for r in self.running))
+        # round down to a power of two so the compiled-shape set stays small
+        h = max(1, h)
+        return 1 << (h.bit_length() - 1)
+
     def _get_decode_batch(self) -> Optional[BatchPlan]:
         if not self.running:
             return None
-        self._retract_if_needed()
+        horizon = self._decode_horizon()
+        self._retract_if_needed(horizon)
         reqs = self.running
         if not reqs:
             return None
         b = len(reqs)
         token_ids = np.zeros((b, 1), np.int32)
         positions = np.zeros((b, 1), np.int32)
-        slots = np.full((b, 1), -1, np.int32)
+        slots = np.full((b, horizon), -1, np.int32)
         page_table = np.zeros((b, self.max_pages_per_seq), np.int32)
         kv_lens = np.zeros((b,), np.int32)
         q_start = np.zeros((b,), np.int32)
@@ -283,7 +301,10 @@ class Scheduler:
             page_table[i, : len(pv)] = pv
             kv_lens[i] = pos + 1
             q_start[i] = pos
-            slots[i, 0] = pv[pos // self.page_size] * self.page_size + pos % self.page_size
+            steps = np.arange(pos, pos + horizon)
+            slots[i] = pv[steps // self.page_size] * self.page_size + (
+                steps % self.page_size
+            )
 
         return BatchPlan(
             kind="decode",
@@ -296,17 +317,20 @@ class Scheduler:
             slots=slots,
             logit_idx=np.zeros((b,), np.int32),
             sample_mask=np.ones((b,), bool),
+            horizon=horizon,
         )
 
-    def _retract_if_needed(self) -> None:
-        """Ensure every running req has a page slot for its next token;
-        retract (longest output first) until memory fits, keeping >= 1 req
-        (reference scheduler.py:2247-2310)."""
+    def _retract_if_needed(self, horizon: int = 1) -> None:
+        """Ensure every running req has page slots for its next `horizon`
+        tokens; retract (longest output first) until memory fits, keeping
+        >= 1 req (reference scheduler.py:2247-2310)."""
         while len(self.running) > 1:
             need = 0
             for req in self.running:
                 need += max(
-                    0, cdiv(req.num_computed + 1, self.page_size) - len(req.pages)
+                    0,
+                    cdiv(req.num_computed + horizon, self.page_size)
+                    - len(req.pages),
                 )
             free = self.allocator.free_pages + (
                 self.radix.evictable_tokens // self.page_size if self.radix else 0
@@ -320,7 +344,7 @@ class Scheduler:
             self._retract_req(victim)
         # grow page lists now (decode slots must exist before forward)
         for req in list(self.running):
-            if not self._ensure_pages(req, req.num_computed + 1):
+            if not self._ensure_pages(req, req.num_computed + horizon):
                 if len(self.running) > 1:
                     self._retract_req(req)
                 else:
@@ -369,7 +393,10 @@ class Scheduler:
     def process_batch_result(
         self, plan: BatchPlan, next_tokens: np.ndarray, logprobs: Optional[np.ndarray]
     ) -> List[Req]:
-        """Apply sampled tokens; returns requests that finished this step."""
+        """Apply sampled tokens; returns requests that finished this step.
+
+        next_tokens: [B, K] (K = plan.horizon; 1 for prefill).
+        """
         finished: List[Req] = []
         for i, req in enumerate(plan.reqs):
             if req.status == ReqStatus.ABORTED:
@@ -382,13 +409,22 @@ class Scheduler:
                 take = int(np.sum(plan.slots[i] >= 0))
                 req.num_computed += take
                 if plan.sample_mask[i]:
-                    self._append_token(req, int(next_tokens[i]), logprobs, i)
+                    self._append_token(
+                        req, int(next_tokens[i, 0]),
+                        float(logprobs[i, 0]) if logprobs is not None else None,
+                    )
                     if req not in self.running and not req.finished:
                         self.running.append(req)
                 # else: chunked request continues next round
             else:
-                req.num_computed += 1
-                self._append_token(req, int(next_tokens[i]), logprobs, i)
+                for k in range(plan.horizon):
+                    if req.finished:
+                        break  # overshoot tokens past stop/eos are dropped
+                    req.num_computed += 1
+                    self._append_token(
+                        req, int(next_tokens[i, k]),
+                        float(logprobs[i, k]) if logprobs is not None else None,
+                    )
             if req.finished:
                 if req in self.running:
                     self.running.remove(req)
@@ -402,16 +438,14 @@ class Scheduler:
             )
         return finished
 
-    def _append_token(
-        self, req: Req, token: int, logprobs: Optional[np.ndarray], i: int
-    ) -> None:
+    def _append_token(self, req: Req, token: int, logprob: Optional[float]) -> None:
         import time as _time
 
         if req.first_token_at is None:
             req.first_token_at = _time.monotonic()
         req.output_ids.append(token)
-        if logprobs is not None:
-            req.output_logprobs.append(float(logprobs[i]))
+        if logprob is not None:
+            req.output_logprobs.append(logprob)
         req.check_finished()
         if req.finished:
             req.finished_at = _time.monotonic()

@@ -1,0 +1,370 @@
+"""HTTP API: native /generate + OpenAI-compatible routes.
+
+Reference analog: srt/entrypoints/http_server.py (FastAPI, 80+ routes) and
+the OpenAI serving impls under srt/entrypoints/openai/. Round-1 surface:
+
+  GET  /health, /health_generate, /get_model_info, /get_server_info,
+       /v1/models, /metrics
+  POST /generate                (native API; stream via SSE)
+  POST /v1/completions          (OpenAI completions, stream supported)
+  POST /v1/chat/completions     (OpenAI chat, chat template, stream)
+  POST /abort_request
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional
+
+from sglang_diffusion_tpu.config.server_args import ServerArgs
+from sglang_diffusion_tpu.engine.engine import Engine
+from sglang_diffusion_tpu.sampling.params import SamplingParams
+from sglang_diffusion_tpu.server.engine_loop import EngineLoop
+from sglang_diffusion_tpu.server.httpd import (
+    HTTPServer,
+    Request,
+    Response,
+    SSE_DONE,
+    sse,
+)
+from sglang_diffusion_tpu.utils.common import get_logger
+
+logger = get_logger("api_server")
+
+
+def _sp_from_openai(body: Dict[str, Any], default_max: int) -> SamplingParams:
+    return SamplingParams(
+        max_new_tokens=body.get("max_tokens", body.get("max_completion_tokens", default_max)),
+        temperature=body.get("temperature", 1.0),
+        top_p=body.get("top_p", 1.0),
+        top_k=body.get("top_k", -1),
+        min_p=body.get("min_p", 0.0),
+        frequency_penalty=body.get("frequency_penalty", 0.0),
+        presence_penalty=body.get("presence_penalty", 0.0),
+        stop=body.get("stop"),
+        ignore_eos=body.get("ignore_eos", False),
+    )
+
+
+class ApiServer:
+    def __init__(self, engine: Engine, args: ServerArgs):
+        self.engine = engine
+        self.args = args
+        self.eloop = EngineLoop(engine)
+        self.http = HTTPServer(args.host, args.port)
+        self.start_time = time.time()
+        self._register_routes()
+
+    # ------------- lifecycle -------------
+    async def run(self) -> None:
+        self.eloop.start(asyncio.get_running_loop())
+        await self.http.serve_forever()
+
+    async def start(self) -> None:
+        self.eloop.start(asyncio.get_running_loop())
+        await self.http.start()
+
+    async def stop(self) -> None:
+        self.eloop.shutdown()
+        await self.http.stop()
+
+    # ------------- helpers -------------
+    async def _run_one(self, req) -> Dict[str, Any]:
+        q = self.eloop.submit(req)
+        while True:
+            ev = await q.get()
+            if ev["type"] == "done":
+                return ev["output"]
+            if ev["type"] == "error":
+                raise RuntimeError(ev["error"])
+
+    def _messages_to_prompt(self, messages: List[Dict[str, str]]) -> str:
+        tk = self.engine.tokenizer
+        if hasattr(tk, "apply_chat_template"):
+            try:
+                return tk.apply_chat_template(messages, add_generation_prompt=True)
+            except Exception:
+                pass
+        # fallback plain template (byte tokenizer / no chat template)
+        parts = [f"{m.get('role', 'user')}: {m.get('content', '')}" for m in messages]
+        return "\n".join(parts) + "\nassistant:"
+
+    # ------------- routes -------------
+    def _register_routes(self) -> None:
+        http = self.http
+        model_id = self.args.served_model_name or "default"
+
+        @http.route("GET", "/health")
+        async def health(_req: Request) -> Response:
+            return Response({"status": "ok"})
+
+        @http.route("GET", "/health_generate")
+        async def health_generate(_req: Request) -> Response:
+            # actually decodes a token (reference http_server.py:484-532)
+            r = self.engine._make_req(
+                None, [1], SamplingParams(max_new_tokens=1, temperature=0.0)
+            )
+            out = await self._run_one(r)
+            ok = len(out["output_ids"]) == 1
+            return Response({"status": "ok" if ok else "fail"})
+
+        @http.route("GET", "/get_model_info")
+        async def model_info(_req: Request) -> Response:
+            return Response(
+                {
+                    "model_path": self.args.model_path,
+                    "tokenizer_path": self.args.tokenizer_path,
+                    "is_generation": True,
+                }
+            )
+
+        @http.route("GET", "/get_server_info")
+        async def server_info(_req: Request) -> Response:
+            info = self.engine.get_server_info()
+            info["uptime"] = time.time() - self.start_time
+            return Response(info)
+
+        @http.route("GET", "/v1/models")
+        async def models(_req: Request) -> Response:
+            return Response(
+                {
+                    "object": "list",
+                    "data": [
+                        {
+                            "id": model_id,
+                            "object": "model",
+                            "created": int(self.start_time),
+                            "owned_by": "sglang_diffusion_tpu",
+                        }
+                    ],
+                }
+            )
+
+        @http.route("GET", "/metrics")
+        async def metrics(_req: Request) -> Response:
+            s = self.engine.scheduler
+            lines = [
+                "# TYPE sgld_num_finished_total counter",
+                f"sgld_num_finished_total {s.num_finished}",
+                "# TYPE sgld_num_retracted_total counter",
+                f"sgld_num_retracted_total {s.num_retracted}",
+                "# TYPE sgld_waiting_queue gauge",
+                f"sgld_waiting_queue {len(s.waiting)}",
+                "# TYPE sgld_running_reqs gauge",
+                f"sgld_running_reqs {len(s.running)}",
+                "# TYPE sgld_free_kv_pages gauge",
+                f"sgld_free_kv_pages {self.engine.allocator.free_pages}",
+                "# TYPE sgld_cached_tokens_served_total counter",
+                f"sgld_cached_tokens_served_total {s.cached_tokens_served}",
+            ]
+            return Response("\n".join(lines) + "\n", content_type="text/plain")
+
+        @http.route("POST", "/abort_request")
+        async def abort(req: Request) -> Response:
+            body = req.json()
+            ok = self.eloop.abort(body.get("rid", ""))
+            return Response({"success": ok})
+
+        @http.route("POST", "/generate")
+        async def generate(req: Request) -> Response:
+            body = req.json()
+            sp_dict = body.get("sampling_params", {})
+            sp = SamplingParams(
+                **{
+                    k: v
+                    for k, v in sp_dict.items()
+                    if k in SamplingParams.__dataclass_fields__
+                }
+            )
+            prompt = body.get("text", body.get("prompt"))
+            input_ids = body.get("input_ids")
+            stream = body.get("stream", False)
+            r = self.engine._make_req(prompt, input_ids, sp, stream=stream)
+            if not stream:
+                out = await self._run_one(r)
+                return Response(out)
+
+            async def gen() -> AsyncIterator[bytes]:
+                q = self.eloop.submit(r)
+                acc_text = ""
+                while True:
+                    ev = await q.get()
+                    if ev["type"] == "delta":
+                        acc_text += ev["text"]
+                        yield sse({"text": acc_text, "meta_info": {"id": r.rid}})
+                    elif ev["type"] == "done":
+                        yield sse(ev["output"])
+                        break
+                    else:
+                        yield sse({"error": ev.get("error")})
+                        break
+                yield SSE_DONE
+
+            return Response(stream=gen(), content_type="text/event-stream")
+
+        @http.route("POST", "/v1/completions")
+        async def completions(req: Request) -> Response:
+            body = req.json()
+            sp = _sp_from_openai(body, self.args.max_new_tokens_default)
+            prompt = body.get("prompt", "")
+            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                r = self.engine._make_req(None, prompt, sp, stream=body.get("stream", False))
+            else:
+                if isinstance(prompt, list):
+                    prompt = prompt[0]
+                r = self.engine._make_req(prompt, None, sp, stream=body.get("stream", False))
+            cid = f"cmpl-{uuid.uuid4().hex}"
+            created = int(time.time())
+            if not body.get("stream", False):
+                out = await self._run_one(r)
+                return Response(
+                    {
+                        "id": cid,
+                        "object": "text_completion",
+                        "created": created,
+                        "model": model_id,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "text": out["text"],
+                                "logprobs": None,
+                                "finish_reason": out["meta_info"]["finish_reason"],
+                            }
+                        ],
+                        "usage": {
+                            "prompt_tokens": out["meta_info"]["prompt_tokens"],
+                            "completion_tokens": out["meta_info"]["completion_tokens"],
+                            "total_tokens": out["meta_info"]["prompt_tokens"]
+                            + out["meta_info"]["completion_tokens"],
+                        },
+                    }
+                )
+
+            async def gen() -> AsyncIterator[bytes]:
+                q = self.eloop.submit(r)
+                while True:
+                    ev = await q.get()
+                    if ev["type"] == "delta":
+                        yield sse(
+                            {
+                                "id": cid,
+                                "object": "text_completion",
+                                "created": created,
+                                "model": model_id,
+                                "choices": [
+                                    {"index": 0, "text": ev["text"], "finish_reason": None}
+                                ],
+                            }
+                        )
+                    elif ev["type"] == "done":
+                        out = ev["output"]
+                        yield sse(
+                            {
+                                "id": cid,
+                                "object": "text_completion",
+                                "created": created,
+                                "model": model_id,
+                                "choices": [
+                                    {
+                                        "index": 0,
+                                        "text": "",
+                                        "finish_reason": out["meta_info"]["finish_reason"],
+                                    }
+                                ],
+                            }
+                        )
+                        break
+                    else:
+                        break
+                yield SSE_DONE
+
+            return Response(stream=gen(), content_type="text/event-stream")
+
+        @http.route("POST", "/v1/chat/completions")
+        async def chat(req: Request) -> Response:
+            body = req.json()
+            sp = _sp_from_openai(body, self.args.max_new_tokens_default)
+            prompt = self._messages_to_prompt(body.get("messages", []))
+            stream = body.get("stream", False)
+            r = self.engine._make_req(prompt, None, sp, stream=stream)
+            cid = f"chatcmpl-{uuid.uuid4().hex}"
+            created = int(time.time())
+            if not stream:
+                out = await self._run_one(r)
+                return Response(
+                    {
+                        "id": cid,
+                        "object": "chat.completion",
+                        "created": created,
+                        "model": model_id,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "message": {"role": "assistant", "content": out["text"]},
+                                "finish_reason": out["meta_info"]["finish_reason"],
+                            }
+                        ],
+                        "usage": {
+                            "prompt_tokens": out["meta_info"]["prompt_tokens"],
+                            "completion_tokens": out["meta_info"]["completion_tokens"],
+                            "total_tokens": out["meta_info"]["prompt_tokens"]
+                            + out["meta_info"]["completion_tokens"],
+                        },
+                    }
+                )
+
+            async def gen() -> AsyncIterator[bytes]:
+                q = self.eloop.submit(r)
+                first = True
+                while True:
+                    ev = await q.get()
+                    if ev["type"] == "delta":
+                        delta: Dict[str, Any] = {"content": ev["text"]}
+                        if first:
+                            delta["role"] = "assistant"
+                            first = False
+                        yield sse(
+                            {
+                                "id": cid,
+                                "object": "chat.completion.chunk",
+                                "created": created,
+                                "model": model_id,
+                                "choices": [
+                                    {"index": 0, "delta": delta, "finish_reason": None}
+                                ],
+                            }
+                        )
+                    elif ev["type"] == "done":
+                        out = ev["output"]
+                        yield sse(
+                            {
+                                "id": cid,
+                                "object": "chat.completion.chunk",
+                                "created": created,
+                                "model": model_id,
+                                "choices": [
+                                    {
+                                        "index": 0,
+                                        "delta": {},
+                                        "finish_reason": out["meta_info"]["finish_reason"],
+                                    }
+                                ],
+                            }
+                        )
+                        break
+                    else:
+                        break
+                yield SSE_DONE
+
+            return Response(stream=gen(), content_type="text/event-stream")
+
+
+def launch_server(args: ServerArgs, engine: Optional[Engine] = None) -> None:
+    """Blocking entry (reference analog: launch_server.py:run_server)."""
+    if engine is None:
+        engine = Engine(server_args=args)
+    server = ApiServer(engine, args)
+    asyncio.run(server.run())

@@ -154,6 +154,8 @@ class HTTPServer:
         self._server = await asyncio.start_server(
             self._handle_conn, self.host, self.port
         )
+        # resolve OS-assigned port when started with port=0
+        self.port = self._server.sockets[0].getsockname()[1]
         logger.info("HTTP server listening on %s:%d", self.host, self.port)
 
     async def serve_forever(self):
