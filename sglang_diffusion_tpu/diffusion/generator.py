@@ -1,0 +1,88 @@
+"""DiffGenerator: the offline diffusion SDK.
+
+Reference analog: multimodal_gen/runtime/entrypoints/diffusion_generator.py:58
+(DiffGenerator.from_pretrained / generate). Single-controller: no server
+spawn needed for offline use — the pipeline runs in-process; the HTTP
+Images API wraps this same object (server-side analog of the reference's
+local-server indirection).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from sglang_diffusion_tpu.diffusion.models.dit import DiTConfig
+from sglang_diffusion_tpu.diffusion.models.text_encoder import TextEncoderConfig
+from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig
+from sglang_diffusion_tpu.diffusion.pipeline import (
+    DiffusionPipeline,
+    GenerationParams,
+)
+from sglang_diffusion_tpu.utils.common import get_logger
+
+logger = get_logger("diff_generator")
+
+
+class DiffGenerator:
+    def __init__(self, pipeline: DiffusionPipeline):
+        self.pipeline = pipeline
+
+    @classmethod
+    def from_config(
+        cls,
+        dit_cfg: Optional[DiTConfig] = None,
+        vae_cfg: Optional[VAEConfig] = None,
+        te_cfg: Optional[TextEncoderConfig] = None,
+        **kw,
+    ) -> "DiffGenerator":
+        return cls(DiffusionPipeline(dit_cfg, vae_cfg, te_cfg, **kw))
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, **kw) -> "DiffGenerator":
+        # checkpoint import lands with the model-family pipelines;
+        # round 1 exposes the API with config-driven random init
+        raise NotImplementedError(
+            "from_pretrained requires model-family checkpoint mapping "
+            "(round 2); use from_config for now"
+        )
+
+    def generate(
+        self,
+        prompt,
+        negative_prompt: str = "",
+        height: int = 256,
+        width: int = 256,
+        num_inference_steps: int = 20,
+        guidance_scale: float = 1.0,
+        seed: int = 0,
+        num_images: int = 1,
+    ) -> Dict[str, Any]:
+        gp = GenerationParams(
+            prompt=prompt,
+            negative_prompt=negative_prompt,
+            height=height,
+            width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            seed=seed,
+            num_images=num_images,
+        )
+        t0 = time.perf_counter()
+        batch = self.pipeline.forward(gp)
+        elapsed = time.perf_counter() - t0
+        denoise_t = batch.stage_timings.get("denoising", 0.0)
+        return {
+            "images": batch.images,  # [B, H, W, 3] uint8
+            "meta_info": {
+                "e2e_s": elapsed,
+                "stage_timings": dict(batch.stage_timings),
+                "avg_denoise_step_ms": 1000.0
+                * denoise_t
+                / max(1, gp.num_inference_steps),
+                "params": asdict(gp),
+            },
+        }

@@ -1,0 +1,274 @@
+"""Composed diffusion pipeline: staged execution.
+
+Reference analog: multimodal_gen/runtime/pipelines_core/
+(ComposedPipelineBase.forward:596 runs stages in order; stage classes under
+stages/ — InputValidation -> TextEncoding -> TimestepPreparation ->
+LatentPreparation -> Denoising -> Decoding). The TPU redesign keeps the
+stage structure (it is the extension surface for model families) but the
+Denoising stage compiles the entire step loop into one lax.scan with CFG
+batch doubling — no per-step host dispatch (the reference loops in Python,
+stages/denoising.py:966).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_diffusion_tpu.diffusion.models.dit import (
+    DiTConfig,
+    MMDiT,
+    patchify,
+    unpatchify,
+)
+from sglang_diffusion_tpu.diffusion.models.text_encoder import (
+    TextEncoder,
+    TextEncoderConfig,
+)
+from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig, VAEDecoder
+from sglang_diffusion_tpu.diffusion.scheduling import FlowMatchEulerScheduler
+from sglang_diffusion_tpu.utils.common import get_logger
+
+logger = get_logger("diffusion")
+
+
+@dataclass
+class GenerationParams:
+    """Reference analog: configs/sample/sampling_params.py:83."""
+
+    prompt: Any = ""  # str | List[str]
+    negative_prompt: str = ""
+    height: int = 256
+    width: int = 256
+    num_inference_steps: int = 20
+    guidance_scale: float = 1.0  # 1.0 = no CFG
+    seed: int = 0
+    num_images: int = 1
+
+    def __post_init__(self):
+        if self.height % 16 or self.width % 16:
+            raise ValueError("height/width must be multiples of 16")
+        if self.num_inference_steps < 1:
+            raise ValueError("num_inference_steps must be >= 1")
+
+
+@dataclass
+class DiffusionBatch:
+    """Mutable state threaded through the stages."""
+
+    params: GenerationParams
+    prompts: List[str] = field(default_factory=list)
+    prompt_ids: Optional[np.ndarray] = None
+    neg_ids: Optional[np.ndarray] = None
+    text_emb: Optional[jax.Array] = None
+    neg_emb: Optional[jax.Array] = None
+    sigmas: Optional[np.ndarray] = None
+    latents: Optional[jax.Array] = None
+    grid_hw: Optional[Tuple[int, int]] = None
+    images: Optional[np.ndarray] = None
+    stage_timings: Dict[str, float] = field(default_factory=dict)
+
+
+class Stage:
+    name = "stage"
+
+    def __call__(self, batch: DiffusionBatch, pipe: "DiffusionPipeline") -> None:
+        raise NotImplementedError
+
+
+class InputValidationStage(Stage):
+    name = "input_validation"
+
+    def __call__(self, batch, pipe):
+        p = batch.params
+        prompts = p.prompt if isinstance(p.prompt, list) else [p.prompt]
+        prompts = [pr for pr in prompts for _ in range(p.num_images)]
+        batch.prompts = prompts
+        if p.height * p.width > 4096 * 4096:
+            raise ValueError("resolution too large")
+
+
+class TextEncodingStage(Stage):
+    name = "text_encoding"
+
+    def __call__(self, batch, pipe):
+        max_len = pipe.te_cfg.max_len
+        ids = np.zeros((len(batch.prompts), max_len), np.int32)
+        for i, pr in enumerate(batch.prompts):
+            toks = pipe.tokenize(pr)[:max_len]
+            ids[i, : len(toks)] = toks
+        batch.prompt_ids = ids
+        emb, _ = pipe.text_encode(jnp.asarray(ids))
+        batch.text_emb = emb
+        if batch.params.guidance_scale > 1.0:
+            nids = np.zeros_like(ids)
+            ntoks = pipe.tokenize(batch.params.negative_prompt)[:max_len]
+            nids[:, : len(ntoks)] = ntoks
+            batch.neg_ids = nids
+            nemb, _ = pipe.text_encode(jnp.asarray(nids))
+            batch.neg_emb = nemb
+
+
+class TimestepPreparationStage(Stage):
+    name = "timestep_preparation"
+
+    def __call__(self, batch, pipe):
+        p = batch.params
+        seq_len = (p.height // 8 // pipe.dit_cfg.patch_size) * (
+            p.width // 8 // pipe.dit_cfg.patch_size
+        )
+        batch.sigmas = pipe.scheduler.set_timesteps(
+            p.num_inference_steps, seq_len=seq_len
+        )
+
+
+class LatentPreparationStage(Stage):
+    name = "latent_preparation"
+
+    def __call__(self, batch, pipe):
+        p = batch.params
+        b = len(batch.prompts)
+        lat_h, lat_w = p.height // 8, p.width // 8
+        key = jax.random.PRNGKey(p.seed)
+        batch.latents = jax.random.normal(
+            key, (b, lat_h, lat_w, pipe.vae_cfg.latent_channels), jnp.float32
+        )
+
+
+class DenoisingStage(Stage):
+    name = "denoising"
+
+    def __call__(self, batch, pipe):
+        p = batch.params
+        latents = pipe.run_denoise(
+            batch.latents,
+            batch.text_emb,
+            batch.neg_emb,
+            jnp.asarray(batch.sigmas),
+            p.guidance_scale,
+        )
+        batch.latents = latents
+
+
+class DecodingStage(Stage):
+    name = "decoding"
+
+    def __call__(self, batch, pipe):
+        imgs = pipe.vae_decode(batch.latents)
+        imgs = np.asarray(imgs)
+        batch.images = ((imgs + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+
+
+class DiffusionPipeline:
+    """Round-1 generic text-to-image pipeline (model families subclass and
+    swap components, mirroring pipelines/wan_pipeline.py etc.)."""
+
+    def __init__(
+        self,
+        dit_cfg: DiTConfig = None,
+        vae_cfg: VAEConfig = None,
+        te_cfg: TextEncoderConfig = None,
+        params: Optional[Dict[str, Any]] = None,
+        tokenizer=None,
+        rng_seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        self.dit_cfg = dit_cfg or DiTConfig()
+        self.vae_cfg = vae_cfg or VAEConfig(latent_channels=self.dit_cfg.in_channels)
+        self.te_cfg = te_cfg or TextEncoderConfig(hidden_size=self.dit_cfg.text_dim)
+        self.scheduler = FlowMatchEulerScheduler(use_dynamic_shifting=True)
+        self.tokenizer = tokenizer
+        key = jax.random.PRNGKey(rng_seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        if params is None:
+            params = {
+                "dit": MMDiT.init_params(k1, self.dit_cfg, dtype),
+                "vae": VAEDecoder.init_params(k2, self.vae_cfg, dtype),
+                "text_encoder": TextEncoder.init_params(k3, self.te_cfg, dtype),
+            }
+        self.params = params
+        self.dit_forward = MMDiT.make_forward(self.dit_cfg)
+        self.stages: List[Stage] = [
+            InputValidationStage(),
+            TextEncodingStage(),
+            TimestepPreparationStage(),
+            LatentPreparationStage(),
+            DenoisingStage(),
+            DecodingStage(),
+        ]
+        self._denoise_jit = None
+        self._decode_jit = None
+        self._encode_jit = None
+
+    # ------------- component calls -------------
+    def tokenize(self, text: str) -> List[int]:
+        if self.tokenizer is not None:
+            return self.tokenizer.encode(text)
+        return [b % self.te_cfg.vocab_size for b in text.encode("utf-8")]
+
+    def text_encode(self, ids: jax.Array):
+        if self._encode_jit is None:
+            self._encode_jit = jax.jit(
+                lambda p, i: TextEncoder.apply(p, i, self.te_cfg)
+            )
+        return self._encode_jit(self.params["text_encoder"], ids)
+
+    def vae_decode(self, latents: jax.Array):
+        if self._decode_jit is None:
+            self._decode_jit = jax.jit(
+                lambda p, z: VAEDecoder.apply(p, z, self.vae_cfg)
+            )
+        return self._decode_jit(self.params["vae"], latents)
+
+    def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale):
+        """Whole denoise loop in one jit: lax.scan over steps, CFG inside."""
+        p = self.dit_cfg.patch_size
+        use_cfg = bool(guidance_scale > 1.0)
+
+        def loop(dit_params, latents, text_emb, neg_emb, sigmas, gs):
+            tokens, grid_hw = patchify(latents, p)
+
+            def step(x, i):
+                sigma = sigmas[i]
+                sigma_next = sigmas[i + 1]
+                t = jnp.full((x.shape[0],), sigma * 1000.0)
+                if use_cfg:
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    emb2 = jnp.concatenate([text_emb, neg_emb], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    v2 = self.dit_forward(dit_params, x2, emb2, t2, grid_hw)
+                    v_cond, v_uncond = jnp.split(v2, 2, axis=0)
+                    v = v_uncond + gs * (v_cond - v_uncond)
+                else:
+                    v = self.dit_forward(dit_params, x, text_emb, t, grid_hw)
+                x = FlowMatchEulerScheduler.step(v, x, sigma, sigma_next)
+                return x, None
+
+            tokens, _ = jax.lax.scan(
+                step, tokens, jnp.arange(sigmas.shape[0] - 1)
+            )
+            return unpatchify(tokens, grid_hw, p, self.dit_cfg.in_channels)
+
+        if self._denoise_jit is None:
+            self._denoise_jit = {}
+        if use_cfg not in self._denoise_jit:
+            self._denoise_jit[use_cfg] = jax.jit(loop)
+        gs = jnp.float32(guidance_scale)
+        neg = neg_emb if neg_emb is not None else text_emb
+        return self._denoise_jit[use_cfg](
+            self.params["dit"], latents, text_emb, neg, sigmas, gs
+        )
+
+    # ------------- entry -------------
+    def forward(self, gen_params: GenerationParams) -> DiffusionBatch:
+        batch = DiffusionBatch(params=gen_params)
+        for stage in self.stages:
+            t0 = time.perf_counter()
+            stage(batch, self)
+            batch.stage_timings[stage.name] = time.perf_counter() - t0
+        return batch
