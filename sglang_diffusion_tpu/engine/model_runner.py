@@ -75,6 +75,15 @@ class ModelRunner:
                 jax.random.PRNGKey(args.random_seed), model_config, dtype
             )
         specs = self.model_cls.partition_specs(model_config)
+        if args.quantization in ("int8", "w8a8_int8", "fp8"):
+            from sglang_diffusion_tpu.quant.quantize import (
+                quant_partition_specs,
+                quantize_params,
+            )
+
+            params = quantize_params(params, args.quantization)
+            specs = quant_partition_specs(specs)
+            logger.info("quantized weights: %s", args.quantization)
         mesh = mesh_ctx.mesh
         from jax.sharding import NamedSharding
 

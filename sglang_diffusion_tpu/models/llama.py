@@ -30,11 +30,7 @@ from sglang_diffusion_tpu.ops.norms import rms_norm
 from sglang_diffusion_tpu.ops.rope import apply_rope, compute_inv_freq
 
 
-def _dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    out = jnp.dot(x, w)
-    if b is not None:
-        out = out + b
-    return out
+from sglang_diffusion_tpu.quant.quantize import dense_maybe_quantized as _dense
 
 
 @register_model(
@@ -177,12 +173,12 @@ class LlamaFamily:
             # logits only for the selected token of each sequence
             b = hidden.shape[0]
             last_h = hidden[jnp.arange(b), meta.logit_idx]  # [B, E]
-            head = (
-                params["embed"].T
-                if cfg.tie_word_embeddings
-                else params["lm_head"]
-            )
-            logits = jnp.dot(last_h, head, preferred_element_type=jnp.float32)
+            if cfg.tie_word_embeddings:
+                logits = jnp.dot(
+                    last_h, params["embed"].T, preferred_element_type=jnp.float32
+                )
+            else:
+                logits = _dense(last_h, params["lm_head"]).astype(jnp.float32)
             return logits, new_kv
 
         return forward
