@@ -67,11 +67,16 @@ class Engine:
             self.args, model_config, self.mesh_ctx, params=params
         )
         self.allocator = PageAllocator(self.runner.num_pages, self.args.page_size)
-        self.radix = (
-            None
-            if self.args.disable_radix_cache
-            else RadixCache(self.args.page_size, self.allocator.free)
-        )
+        if self.args.disable_radix_cache:
+            self.radix = None
+        else:
+            # prefer the native C++ tree (reference: cpp_radix_tree)
+            try:
+                from sglang_diffusion_tpu.kv.radix_cache_cpp import RadixCacheCpp
+
+                self.radix = RadixCacheCpp(self.args.page_size, self.allocator.free)
+            except Exception:
+                self.radix = RadixCache(self.args.page_size, self.allocator.free)
         self.scheduler = Scheduler(
             self.args, self.allocator, self.radix, self.runner.max_pages_per_seq
         )

@@ -111,7 +111,7 @@ class ModelRunner:
         fwd = self.model_cls.make_forward(model_config, attn_fn)
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
-                 q_start, slots, logit_idx, samp_meta, key):
+                 q_start, slots, logit_idx, samp_meta, key, all_greedy=False):
             meta = AttentionMetadata(
                 page_table=page_table,
                 kv_lens=kv_lens,
@@ -120,11 +120,11 @@ class ModelRunner:
                 logit_idx=logit_idx,
             )
             logits, new_kv = fwd(params, token_ids, positions, kv_cache, meta)
-            next_tok, tok_logprob = sample(logits, samp_meta, key)
+            next_tok, tok_logprob = sample(logits, samp_meta, key, all_greedy)
             return next_tok, tok_logprob, new_kv
 
         def decode_multi(params, kv_cache, tokens0, positions0, page_table,
-                         slots_km, samp_meta, key):
+                         slots_km, samp_meta, key, all_greedy=False):
             """K fused decode steps with device-side token feedback
             (lax.scan; the TPU analog of overlap-scheduling + CUDA-graph
             replay — one host dispatch per K tokens).
@@ -145,7 +145,9 @@ class ModelRunner:
                 logits, kv_cache = fwd(
                     params, tokens[:, None], pos[:, None], kv_cache, meta
                 )
-                tok, lp = sample(logits, samp_meta, jax.random.fold_in(key, step))
+                tok, lp = sample(
+                    logits, samp_meta, jax.random.fold_in(key, step), all_greedy
+                )
                 return (tok, kv_cache), (tok, lp)
 
             k = slots_km.shape[0]
@@ -158,8 +160,12 @@ class ModelRunner:
             self._step = step
             self._decode_multi = decode_multi
         else:
-            self._step = jax.jit(step, donate_argnums=(1,))
-            self._decode_multi = jax.jit(decode_multi, donate_argnums=(1,))
+            self._step = jax.jit(
+                step, donate_argnums=(1,), static_argnames=("all_greedy",)
+            )
+            self._decode_multi = jax.jit(
+                decode_multi, donate_argnums=(1,), static_argnames=("all_greedy",)
+            )
         self._rng_counter = 0
         self.base_key = jax.random.PRNGKey(args.random_seed)
 
@@ -209,6 +215,7 @@ class ModelRunner:
         )
         self._rng_counter += 1
         key = jax.random.fold_in(self.base_key, self._rng_counter)
+        all_greedy = bool(np.all(samp_meta_np["temperature"] == 0.0))
 
         page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
         page_table[:b] = plan.page_table
@@ -225,6 +232,7 @@ class ModelRunner:
                 jnp.asarray(slots_km),
                 samp,
                 key,
+                all_greedy=all_greedy,
             )
             return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]
 
@@ -248,5 +256,6 @@ class ModelRunner:
             jnp.asarray(pad1(plan.logit_idx)),
             samp,
             key,
+            all_greedy=all_greedy,
         )
         return np.asarray(next_tok)[:b, None], np.asarray(logprob)[:b, None]

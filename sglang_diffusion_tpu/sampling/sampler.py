@@ -40,49 +40,55 @@ def apply_penalties(
     return logits
 
 
+# candidate-set size for non-greedy sampling: top-k/top-p/min-p are applied
+# within the top MAX_CANDIDATES logits (full-vocab sorts are pathologically
+# slow on TPU; vocab mass outside the top-256 is irrelevant for any sane
+# temperature — same trick as the reference's flashinfer sampling path)
+MAX_CANDIDATES = 256
+
+
 def sample(
     logits: jax.Array,  # [B, V] f32
     meta: SamplingMetadata,
     key: jax.Array,
+    all_greedy: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (next_token [B] i32, logprob_of_token [B] f32)."""
+    """Returns (next_token [B] i32, logprob_of_token [B] f32).
+
+    `all_greedy` is a static (trace-time) flag: when the whole batch is
+    greedy the compiled step contains only an argmax — no sort, no RNG
+    (reference analog: Sampler's is_all_greedy fast path, sampler.py:41)."""
     b, v = logits.shape
-    greedy_tok = jnp.argmax(logits, axis=-1)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if all_greedy:
+        tok_logprob = jnp.take_along_axis(logprobs, greedy_tok[:, None], axis=-1)[:, 0]
+        return greedy_tok, tok_logprob
 
     temp = jnp.maximum(meta.temperature, 1e-6)[:, None]
     scaled = logits / temp
 
-    # one sort serves top-k and top-p
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]  # desc
-    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
-    cumprobs = jnp.cumsum(probs_sorted, axis=-1)
+    c = min(MAX_CANDIDATES, v)
+    top_vals, top_idx = jax.lax.top_k(scaled, c)  # [B, c] descending
 
-    # top-k threshold: value of the k-th largest logit
-    k = jnp.where(meta.top_k <= 0, v, meta.top_k)
-    k = jnp.clip(k, 1, v)
-    kth_val = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)
-    mask_topk = scaled >= kth_val
+    probs = jax.nn.softmax(top_vals, axis=-1)
+    cumprobs = jnp.cumsum(probs, axis=-1)
 
-    # top-p: keep the smallest set of top tokens with cumprob >= top_p.
-    # token at sorted rank r survives if cumprob before it < top_p
-    ranks = jnp.argsort(jnp.argsort(-scaled, axis=-1), axis=-1)  # rank of each token
-    cum_before = jnp.take_along_axis(
-        jnp.concatenate([jnp.zeros((b, 1)), cumprobs[:, :-1]], axis=-1), ranks, axis=-1
-    )
+    ranks = jnp.arange(c)[None, :]
+    k = jnp.where(meta.top_k <= 0, c, jnp.minimum(meta.top_k, c))
+    mask_topk = ranks < k[:, None]
+    # top-p: keep the smallest prefix with cumprob >= top_p
+    cum_before = jnp.concatenate([jnp.zeros((b, 1)), cumprobs[:, :-1]], axis=-1)
     mask_topp = cum_before < meta.top_p[:, None]
+    # min-p: prob >= min_p * max_prob (max_prob = first candidate)
+    mask_minp = probs >= meta.min_p[:, None] * probs[:, 0:1]
 
-    # min-p: prob >= min_p * max_prob
-    probs = jax.nn.softmax(scaled, axis=-1)
-    max_prob = jnp.max(probs, axis=-1, keepdims=True)
-    mask_minp = probs >= meta.min_p[:, None] * max_prob
-
-    masked = jnp.where(mask_topk & mask_topp & mask_minp, scaled, -jnp.inf)
-    sampled_tok = jax.random.categorical(key, masked, axis=-1)
+    masked = jnp.where(mask_topk & mask_topp & mask_minp, top_vals, -jnp.inf)
+    choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0, c)
+    sampled_tok = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
 
     is_greedy = meta.temperature == 0.0
     next_tok = jnp.where(is_greedy, greedy_tok, sampled_tok).astype(jnp.int32)
-
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
     tok_logprob = jnp.take_along_axis(logprobs, next_tok[:, None], axis=-1)[:, 0]
     return next_tok, tok_logprob
 

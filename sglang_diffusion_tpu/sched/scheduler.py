@@ -172,7 +172,10 @@ class Scheduler:
         if req.num_computed > 0 or self.radix is None:
             return req.num_computed  # resumed chunked/retracted req
         fill = req.all_ids()
-        pages, node = self.radix.match_prefix(fill)
+        # never reuse the whole prompt: the last token must be recomputed so
+        # prefill produces logits for the first new token (reference:
+        # schedule_batch.py init_next_round_input caps prefix at len-1)
+        pages, node = self.radix.match_prefix(fill[: len(fill) - 1])
         if pages:
             self.radix.inc_lock_ref(node)
             req.prefix_node = node
