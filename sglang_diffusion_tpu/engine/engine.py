@@ -244,19 +244,27 @@ class Engine:
             text = detok.emitted
         else:
             text = self.tokenizer.decode(req.output_ids)
+        meta = {
+            "id": req.rid,
+            "finish_reason": req.finish_reason.value,
+            "prompt_tokens": req.prompt_len,
+            "completion_tokens": len(req.output_ids),
+            "cached_tokens": req.cached_prefix_len,
+            "e2e_latency": (
+                (req.finished_at - req.created_at) if req.finished_at else None
+            ),
+            "ttft": (
+                (req.first_token_at - req.created_at) if req.first_token_at else None
+            ),
+        }
+        if req.sampling_params.return_logprob:
+            meta["output_token_logprobs"] = [
+                [lp, tok] for lp, tok in zip(req.output_logprobs, req.output_ids)
+            ]
         return {
             "text": text,
             "output_ids": list(req.output_ids),
-            "meta_info": {
-                "id": req.rid,
-                "finish_reason": req.finish_reason.value,
-                "prompt_tokens": req.prompt_len,
-                "completion_tokens": len(req.output_ids),
-                "cached_tokens": req.cached_prefix_len,
-                "e2e_latency": (
-                    (req.finished_at - req.created_at) if req.finished_at else None
-                ),
-            },
+            "meta_info": meta,
         }
 
     def abort_request(self, rid: str) -> bool:

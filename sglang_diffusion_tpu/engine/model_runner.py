@@ -111,7 +111,8 @@ class ModelRunner:
         fwd = self.model_cls.make_forward(model_config, attn_fn)
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
-                 q_start, slots, logit_idx, samp_meta, key, all_greedy=False):
+                 q_start, slots, logit_idx, samp_meta, key, all_greedy=False,
+                 output_counts=None):
             meta = AttentionMetadata(
                 page_table=page_table,
                 kv_lens=kv_lens,
@@ -120,11 +121,14 @@ class ModelRunner:
                 logit_idx=logit_idx,
             )
             logits, new_kv = fwd(params, token_ids, positions, kv_cache, meta)
-            next_tok, tok_logprob = sample(logits, samp_meta, key, all_greedy)
+            next_tok, tok_logprob = sample(
+                logits, samp_meta, key, all_greedy, output_counts
+            )
             return next_tok, tok_logprob, new_kv
 
         def decode_multi(params, kv_cache, tokens0, positions0, page_table,
-                         slots_km, samp_meta, key, all_greedy=False):
+                         slots_km, samp_meta, key, all_greedy=False,
+                         output_counts=None):
             """K fused decode steps with device-side token feedback
             (lax.scan; the TPU analog of overlap-scheduling + CUDA-graph
             replay — one host dispatch per K tokens).
@@ -146,7 +150,11 @@ class ModelRunner:
                     params, tokens[:, None], pos[:, None], kv_cache, meta
                 )
                 tok, lp = sample(
-                    logits, samp_meta, jax.random.fold_in(key, step), all_greedy
+                    logits,
+                    samp_meta,
+                    jax.random.fold_in(key, step),
+                    all_greedy,
+                    output_counts,
                 )
                 return (tok, kv_cache), (tok, lp)
 
@@ -217,6 +225,18 @@ class ModelRunner:
         key = jax.random.fold_in(self.base_key, self._rng_counter)
         all_greedy = bool(np.all(samp_meta_np["temperature"] == 0.0))
 
+        has_pen = bool(
+            np.any(samp_meta_np["frequency_penalty"] != 0.0)
+            or np.any(samp_meta_np["presence_penalty"] != 0.0)
+        )
+        output_counts = None
+        if has_pen:
+            counts = np.zeros((bb, self.cfg.vocab_size), np.int32)
+            for i, r in enumerate(plan.reqs):
+                for t in r.output_ids:
+                    counts[i, t] += 1
+            output_counts = jnp.asarray(counts)
+
         page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
         page_table[:b] = plan.page_table
 
@@ -233,6 +253,7 @@ class ModelRunner:
                 samp,
                 key,
                 all_greedy=all_greedy,
+                output_counts=output_counts,
             )
             return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]
 
@@ -257,5 +278,6 @@ class ModelRunner:
             samp,
             key,
             all_greedy=all_greedy,
+            output_counts=output_counts,
         )
         return np.asarray(next_tok)[:b, None], np.asarray(logprob)[:b, None]

@@ -52,6 +52,7 @@ def sample(
     meta: SamplingMetadata,
     key: jax.Array,
     all_greedy: bool = False,
+    output_counts: Optional[jax.Array] = None,  # [B, V] i32 for penalties
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (next_token [B] i32, logprob_of_token [B] f32).
 
@@ -59,6 +60,10 @@ def sample(
     greedy the compiled step contains only an argmax — no sort, no RNG
     (reference analog: Sampler's is_all_greedy fast path, sampler.py:41)."""
     b, v = logits.shape
+    if output_counts is not None:
+        logits = apply_penalties(
+            logits, output_counts, meta.frequency_penalty, meta.presence_penalty
+        )
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if all_greedy:

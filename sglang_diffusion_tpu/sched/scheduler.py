@@ -275,6 +275,14 @@ class Scheduler:
         h = max(1, self.args.decode_horizon)
         if self.waiting or self.chunked_req is not None:
             h = 1
+        # penalties depend on counts of tokens sampled so far; keep them
+        # exact by stepping one token at a time when active
+        if any(
+            r.sampling_params.frequency_penalty != 0.0
+            or r.sampling_params.presence_penalty != 0.0
+            for r in self.running
+        ):
+            h = 1
         h = min(h, min(r.remaining_new_tokens() for r in self.running))
         # round down to a power of two so the compiled-shape set stays small
         h = max(1, h)

@@ -50,13 +50,17 @@ def _sp_from_openai(body: Dict[str, Any], default_max: int) -> SamplingParams:
 
 
 class ApiServer:
-    def __init__(self, engine: Engine, args: ServerArgs):
+    def __init__(self, engine: Engine, args: ServerArgs, diff_generator=None):
         self.engine = engine
         self.args = args
         self.eloop = EngineLoop(engine)
         self.http = HTTPServer(args.host, args.port)
         self.start_time = time.time()
         self._register_routes()
+        if diff_generator is not None:
+            from sglang_diffusion_tpu.server.image_api import register_image_routes
+
+            register_image_routes(self.http, diff_generator)
 
     # ------------- lifecycle -------------
     async def run(self) -> None:
@@ -210,16 +214,21 @@ class ApiServer:
             body = req.json()
             sp = _sp_from_openai(body, self.args.max_new_tokens_default)
             prompt = body.get("prompt", "")
-            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
-                r = self.engine._make_req(None, prompt, sp, stream=body.get("stream", False))
-            else:
-                if isinstance(prompt, list):
-                    prompt = prompt[0]
-                r = self.engine._make_req(prompt, None, sp, stream=body.get("stream", False))
+            n = int(body.get("n", 1))
+            stream = body.get("stream", False)
+
+            def make_req():
+                if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                    return self.engine._make_req(None, prompt, sp, stream=stream)
+                p = prompt[0] if isinstance(prompt, list) else prompt
+                return self.engine._make_req(p, None, sp, stream=stream)
+
             cid = f"cmpl-{uuid.uuid4().hex}"
             created = int(time.time())
-            if not body.get("stream", False):
-                out = await self._run_one(r)
+            if not stream:
+                outs = await asyncio.gather(
+                    *(self._run_one(make_req()) for _ in range(n))
+                )
                 return Response(
                     {
                         "id": cid,
@@ -228,20 +237,24 @@ class ApiServer:
                         "model": model_id,
                         "choices": [
                             {
-                                "index": 0,
+                                "index": i,
                                 "text": out["text"],
                                 "logprobs": None,
                                 "finish_reason": out["meta_info"]["finish_reason"],
                             }
+                            for i, out in enumerate(outs)
                         ],
                         "usage": {
-                            "prompt_tokens": out["meta_info"]["prompt_tokens"],
-                            "completion_tokens": out["meta_info"]["completion_tokens"],
-                            "total_tokens": out["meta_info"]["prompt_tokens"]
-                            + out["meta_info"]["completion_tokens"],
+                            "prompt_tokens": outs[0]["meta_info"]["prompt_tokens"],
+                            "completion_tokens": sum(
+                                o["meta_info"]["completion_tokens"] for o in outs
+                            ),
+                            "total_tokens": outs[0]["meta_info"]["prompt_tokens"]
+                            + sum(o["meta_info"]["completion_tokens"] for o in outs),
                         },
                     }
                 )
+            r = make_req()
 
             async def gen() -> AsyncIterator[bytes]:
                 q = self.eloop.submit(r)

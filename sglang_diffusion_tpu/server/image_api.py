@@ -1,0 +1,69 @@
+"""OpenAI Images API for the diffusion runtime.
+
+Reference analog: multimodal_gen/runtime/entrypoints/openai/image_api.py
+(POST /v1/images/generations, /v1/images/edits) and http_server.py:214-223.
+Round 1: generations with b64_json response format; edits/videos follow
+with the model-family pipelines.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+from sglang_diffusion_tpu.diffusion.generator import DiffGenerator
+from sglang_diffusion_tpu.server.httpd import HTTPServer, Request, Response
+from sglang_diffusion_tpu.utils.common import get_logger
+
+logger = get_logger("image_api")
+
+
+def png_b64(img: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def register_image_routes(http: HTTPServer, generator: DiffGenerator) -> None:
+    @http.route("POST", "/v1/images/generations")
+    async def generations(req: Request) -> Response:
+        body = req.json()
+        prompt = body.get("prompt", "")
+        n = int(body.get("n", 1))
+        size = body.get("size", "256x256")
+        try:
+            w, h = (int(x) for x in size.lower().split("x"))
+        except ValueError:
+            return Response({"error": f"bad size {size!r}"}, 400)
+        steps = int(body.get("num_inference_steps", 20))
+        guidance = float(body.get("guidance_scale", 1.0))
+        seed = int(body.get("seed", int(time.time()) & 0xFFFF))
+
+        import asyncio
+
+        out = await asyncio.get_running_loop().run_in_executor(
+            None,
+            lambda: generator.generate(
+                prompt,
+                height=h,
+                width=w,
+                num_inference_steps=steps,
+                guidance_scale=guidance,
+                seed=seed,
+                num_images=n,
+            ),
+        )
+        data = [{"b64_json": png_b64(img)} for img in out["images"]]
+        return Response(
+            {
+                "created": int(time.time()),
+                "data": data,
+                "meta_info": out["meta_info"],
+            }
+        )
