@@ -107,7 +107,9 @@ class ModelRunner:
         )
 
         # ---- compiled step ----
-        attn_fn = get_attention_backend(args.attention_backend)
+        from sglang_diffusion_tpu.layers.attention import make_sharded_attention
+
+        attn_fn = make_sharded_attention(args.attention_backend, mesh_ctx.mesh)
         fwd = self.model_cls.make_forward(model_config, attn_fn)
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,

@@ -80,3 +80,56 @@ def _pallas_backend_impl(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
 
 
 register_attention_backend("pallas")(_pallas_backend_impl)
+
+
+def make_sharded_attention(name: str, mesh) -> AttentionFn:
+    """Wrap a backend for SPMD execution on a multi-device mesh.
+
+    Attention is head-local, so TP needs no collectives: q is sharded on the
+    head axis, the KV cache on its combined-head axis, the batch over dp —
+    each (dp, tp) shard runs the kernel on its local rows/heads. The XLA
+    backend partitions automatically under GSPMD; the Pallas kernel is
+    opaque to GSPMD and must be placed with shard_map (reference contrast:
+    per-rank NCCL process groups, srt/distributed/parallel_state.py)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    base = get_attention_backend(name)
+    resolved_pallas = (
+        name == "pallas" or (name == "auto" and jax.default_backend() == "tpu")
+    )
+    if mesh is None or mesh.size == 1 or not resolved_pallas:
+        return base
+
+    from jax import shard_map
+
+    q_spec = P("dp", None, "tp", None)
+    kv_spec = P(None, "tp", None, None)
+    b_spec = P("dp")
+
+    def fn(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(q_spec, kv_spec, P("dp", None), b_spec, b_spec),
+            out_specs=q_spec,
+            check_rep=False,
+        )
+        def inner(q_l, kv_l, pt, klens, qstart):
+            # slot_ids/logit_idx are not used by attention kernels; fill
+            # with placeholders (shard_map operands must be explicit)
+            local_meta = AttentionMetadata(
+                page_table=pt,
+                kv_lens=klens,
+                q_start_pos=qstart,
+                slot_ids=pt,
+                logit_idx=klens,
+            )
+            return base(q_l, kv_l, local_meta, sm_scale)
+
+        return inner(
+            q, kv_layer, meta.page_table, meta.kv_lens, meta.q_start_pos
+        )
+
+    return fn

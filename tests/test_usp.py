@@ -1,0 +1,47 @@
+"""Ulysses + ring sequence-parallel attention vs local full attention
+(reference analog: multimodal_gen usp tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sglang_diffusion_tpu.diffusion.models.dit import joint_attention
+from sglang_diffusion_tpu.diffusion.usp import ring_attention, ulysses_attention
+
+needs_devices = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs >= 4 devices"
+)
+
+
+def make_qkv(b=2, t=32, h=4, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(
+        jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32) for _ in range(3)
+    )
+
+
+@needs_devices
+@pytest.mark.parametrize("fn", [ulysses_attention, ring_attention])
+def test_sp_matches_local(fn):
+    q, k, v = make_qkv()
+    ref = joint_attention(q, k, v, 0.25)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    sh = NamedSharding(mesh, P(None, "sp", None, None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    out = fn(qs, ks, vs, 0.25, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@needs_devices
+def test_ring_handles_sp_gt_heads():
+    # ring attention works when sp degree > num heads (ulysses cannot)
+    q, k, v = make_qkv(h=2)
+    ref = joint_attention(q, k, v, 0.25)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    sh = NamedSharding(mesh, P(None, "sp", None, None))
+    out = ring_attention(
+        *(jax.device_put(x, sh) for x in (q, k, v)), 0.25, mesh
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
