@@ -39,7 +39,7 @@ def ulysses_attention(q, k, v, sm_scale, mesh, axis: str = SP_AXIS):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def inner(q_l, k_l, v_l):
         # [B, T/sp, H, D] -> [B, T, H/sp, D]
@@ -79,7 +79,7 @@ def ring_attention(q, k, v, sm_scale, mesh, axis: str = SP_AXIS):
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     def inner(q_l, k_l, v_l):
         b, t, h, d = q_l.shape

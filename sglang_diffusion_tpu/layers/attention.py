@@ -114,7 +114,7 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
             mesh=mesh,
             in_specs=(q_spec, kv_spec, P("dp", None), b_spec, b_spec),
             out_specs=q_spec,
-            check_rep=False,
+            check_vma=False,
         )
         def inner(q_l, kv_l, pt, klens, qstart):
             # slot_ids/logit_idx are not used by attention kernels; fill
