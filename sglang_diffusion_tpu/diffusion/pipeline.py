@@ -37,6 +37,21 @@ from sglang_diffusion_tpu.utils.common import get_logger
 logger = get_logger("diffusion")
 
 
+def _select_dit_attention(cfg: DiTConfig):
+    """Backend selection (reference analog: layers/attention/selector.py):
+    Pallas flash attention on TPU when head_dim is lane-aligned, einsum
+    otherwise."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0:
+        from sglang_diffusion_tpu.ops.flash_pallas import flash_attention
+
+        return lambda q, k, v, s: flash_attention(q, k, v, s, causal=False)
+    from sglang_diffusion_tpu.diffusion.models.dit import joint_attention as _ja
+
+    return _ja
+
+
 @dataclass
 class GenerationParams:
     """Reference analog: configs/sample/sampling_params.py:83."""
@@ -192,7 +207,9 @@ class DiffusionPipeline:
                 "text_encoder": TextEncoder.init_params(k3, self.te_cfg, dtype),
             }
         self.params = params
-        self.dit_forward = MMDiT.make_forward(self.dit_cfg)
+        self.dit_forward = MMDiT.make_forward(
+            self.dit_cfg, attn_fn=_select_dit_attention(self.dit_cfg)
+        )
         self.stages: List[Stage] = [
             InputValidationStage(),
             TextEncodingStage(),
