@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--attention-backend", default="auto")
     ap.add_argument("--max-total-tokens", type=int, default=32768)
+    ap.add_argument("--decode-horizon", type=int, default=32)
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
     args = ap.parse_args()
 
@@ -74,6 +75,7 @@ def main():
         attention_backend=args.attention_backend,
         context_length=args.input_len + args.output_len + args.page_size,
         max_running_requests=max(256, args.num_prompts),
+        decode_horizon=args.decode_horizon,
     )
     t0 = time.time()
     eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())

@@ -166,9 +166,31 @@ class ModelRunner:
             )
             return toks.T, lps.T, kv_cache  # [B, K]
 
+        # speculative verify step: logits at every position, greedy
+        # acceptance happens host-side (reference: TARGET_VERIFY mode)
+        fwd_all = self.model_cls.make_forward(
+            model_config, attn_fn, logits_mode="all"
+        ) if hasattr(self.model_cls, "make_forward") else None
+
+        def verify_step(params, kv_cache, token_ids, positions, page_table,
+                        kv_lens, q_start, slots):
+            meta = AttentionMetadata(
+                page_table=page_table,
+                kv_lens=kv_lens,
+                q_start_pos=q_start,
+                slot_ids=slots,
+                logit_idx=jnp.zeros_like(kv_lens),
+            )
+            logits, new_kv = fwd_all(params, token_ids, positions, kv_cache, meta)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
+            lps = jax.nn.log_softmax(logits, axis=-1)
+            glp = jnp.take_along_axis(lps, greedy[..., None], axis=-1)[..., 0]
+            return greedy, glp, new_kv
+
         if args.disable_jit:
             self._step = step
             self._decode_multi = decode_multi
+            self._verify = verify_step
         else:
             self._step = jax.jit(
                 step, donate_argnums=(1,), static_argnames=("all_greedy",)
@@ -176,6 +198,7 @@ class ModelRunner:
             self._decode_multi = jax.jit(
                 decode_multi, donate_argnums=(1,), static_argnames=("all_greedy",)
             )
+            self._verify = jax.jit(verify_step, donate_argnums=(1,))
         self._rng_counter = 0
         self.base_key = jax.random.PRNGKey(args.random_seed)
 
@@ -241,6 +264,26 @@ class ModelRunner:
 
         page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
         page_table[:b] = plan.page_table
+
+        if plan.kind == "verify":
+            t = plan.token_ids.shape[1]
+
+            def pad2t(x, fill=0):
+                out = np.full((bb, t), fill, x.dtype)
+                out[:b] = x
+                return out
+
+            greedy, glp, self.kv_cache = self._verify(
+                self.params,
+                self.kv_cache,
+                jnp.asarray(pad2t(plan.token_ids)),
+                jnp.asarray(pad2t(plan.positions)),
+                jnp.asarray(page_table),
+                jnp.asarray(pad1(plan.kv_lens)),
+                jnp.asarray(pad1(plan.q_start)),
+                jnp.asarray(pad2t(plan.slots, fill=-1)),
+            )
+            return np.asarray(greedy)[:b], np.asarray(glp)[:b]
 
         if plan.kind == "decode":
             slots_km = np.full((plan.horizon, bb), -1, np.int32)

@@ -119,12 +119,16 @@ class LlamaFamily:
 
     # ---------------- forward ----------------
     @staticmethod
-    def make_forward(cfg: ModelConfig, attn_fn: Callable):
+    def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last"):
         """Build the jittable forward step.
 
         forward(params, input_ids [B,T], positions [B,T],
-                kv_cache [L,Pg,S,2Hkv,D], meta: AttentionMetadata)
-            -> (last_logits [B, V] float32, new_kv_cache)
+                kv_cache [L,Pg,2Hkv,S,D], meta: AttentionMetadata)
+            -> (logits, new_kv_cache)
+
+        logits_mode "last": logits [B, V] at meta.logit_idx (decode/prefill);
+        "all": logits [B, T, V] at every position (speculative verify,
+        reference ForwardMode.TARGET_VERIFY, forward_batch_info.py:74).
         """
         Hq = cfg.num_attention_heads
         Hkv = cfg.num_key_value_heads
@@ -170,15 +174,18 @@ class LlamaFamily:
 
             hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
             hidden = rms_norm(hidden, params["final_norm"], eps)
-            # logits only for the selected token of each sequence
             b = hidden.shape[0]
-            last_h = hidden[jnp.arange(b), meta.logit_idx]  # [B, E]
+            if logits_mode == "all":
+                h_out = hidden  # [B, T, E]
+            else:
+                # logits only for the selected token of each sequence
+                h_out = hidden[jnp.arange(b), meta.logit_idx]  # [B, E]
             if cfg.tie_word_embeddings:
                 logits = jnp.dot(
-                    last_h, params["embed"].T, preferred_element_type=jnp.float32
+                    h_out, params["embed"].T, preferred_element_type=jnp.float32
                 )
             else:
-                logits = _dense(last_h, params["lm_head"]).astype(jnp.float32)
+                logits = _dense(h_out, params["lm_head"]).astype(jnp.float32)
             return logits, new_kv
 
         return forward

@@ -54,6 +54,8 @@ class BatchPlan:
     # token feedback; KV may be written for overshoot tokens past a stop —
     # harmless, the pages belong to the request)
     horizon: int = 1
+    # verify only: per-request draft lengths (ngram speculative decoding)
+    draft_lens: Optional[np.ndarray] = None
 
 
 class Scheduler:
@@ -85,6 +87,17 @@ class Scheduler:
         self.num_finished = 0
         self.cached_tokens_served = 0
         self.total_prompt_tokens = 0
+        self.spec_draft_tokens = 0
+        self.spec_accepted_tokens = 0
+
+        # speculative decoding (reference: srt/speculative/)
+        self.drafter = None
+        if args.speculative_algorithm == "ngram":
+            from sglang_diffusion_tpu.spec.ngram import NgramDrafter
+
+            self.drafter = NgramDrafter(
+                num_draft_tokens=args.speculative_num_draft_tokens
+            )
 
     # ------------- intake -------------
     def add_request(self, req: Req) -> None:
@@ -291,6 +304,12 @@ class Scheduler:
     def _get_decode_batch(self) -> Optional[BatchPlan]:
         if not self.running:
             return None
+        if self.drafter is not None and all(
+            r.sampling_params.temperature == 0.0 for r in self.running
+        ):
+            plan = self._get_verify_batch()
+            if plan is not None:
+                return plan
         horizon = self._decode_horizon()
         self._retract_if_needed(horizon)
         reqs = self.running
@@ -329,6 +348,61 @@ class Scheduler:
             logit_idx=np.zeros((b,), np.int32),
             sample_mask=np.ones((b,), bool),
             horizon=horizon,
+        )
+
+    def _get_verify_batch(self) -> Optional[BatchPlan]:
+        """Speculative verify batch: [last_token, draft...] per request; the
+        device returns greedy predictions at every position and acceptance
+        happens in process_batch_result (reference: eagle/ngram verify,
+        srt/speculative/; greedy-only in round 1)."""
+        self._retract_if_needed(self.drafter.k + 1)
+        reqs = list(self.running)
+        if not reqs:
+            return None
+        drafts = []
+        for r in reqs:
+            cap = max(0, r.remaining_new_tokens() - 1)
+            d = self.drafter.propose(r)[: min(self.drafter.k, cap)]
+            drafts.append(d)
+        t = 1 + max((len(d) for d in drafts), default=0)
+        if t == 1:
+            return None  # nothing drafted; plain decode is cheaper
+        b = len(reqs)
+        token_ids = np.zeros((b, t), np.int32)
+        positions = np.zeros((b, t), np.int32)
+        slots = np.full((b, t), -1, np.int32)
+        page_table = np.zeros((b, self.max_pages_per_seq), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        q_start = np.zeros((b,), np.int32)
+        draft_lens = np.zeros((b,), np.int32)
+        for i, (req, d) in enumerate(zip(reqs, drafts)):
+            pos = req.num_computed
+            m = len(d)
+            token_ids[i, 0] = req.output_ids[-1]
+            token_ids[i, 1 : 1 + m] = d
+            positions[i, : 1 + m] = np.arange(pos, pos + 1 + m)
+            pv = np.asarray(req.pages, np.int32)
+            page_table[i, : len(pv)] = pv
+            steps = np.arange(pos, pos + 1 + m)
+            slots[i, : 1 + m] = pv[steps // self.page_size] * self.page_size + (
+                steps % self.page_size
+            )
+            kv_lens[i] = pos + 1 + m
+            q_start[i] = pos
+            draft_lens[i] = m
+            self.spec_draft_tokens += m
+        return BatchPlan(
+            kind="verify",
+            reqs=list(reqs),
+            token_ids=token_ids,
+            positions=positions,
+            page_table=page_table,
+            kv_lens=kv_lens,
+            q_start=q_start,
+            slots=slots,
+            logit_idx=np.zeros((b,), np.int32),
+            sample_mask=np.ones((b,), bool),
+            draft_lens=draft_lens,
         )
 
     def _retract_if_needed(self, horizon: int = 1) -> None:
@@ -427,6 +501,29 @@ class Scheduler:
                     if req not in self.running and not req.finished:
                         self.running.append(req)
                 # else: chunked request continues next round
+            elif plan.kind == "verify":
+                # greedy acceptance: draft j survives iff it equals the
+                # model's prediction at the previous position
+                m = int(plan.draft_lens[i])
+                req.num_computed += 1  # KV of the input token
+                acc = 0
+                while acc < m and not req.finished:
+                    draft_tok = int(plan.token_ids[i, 1 + acc])
+                    if draft_tok != int(next_tokens[i, acc]):
+                        break
+                    self._append_token(
+                        req, draft_tok,
+                        float(logprobs[i, acc]) if logprobs is not None else None,
+                    )
+                    req.num_computed += 1
+                    acc += 1
+                    self.spec_accepted_tokens += 1
+                if not req.finished:
+                    # correction / bonus token from the first mismatch
+                    self._append_token(
+                        req, int(next_tokens[i, acc]),
+                        float(logprobs[i, acc]) if logprobs is not None else None,
+                    )
             else:
                 for k in range(plan.horizon):
                     if req.finished:
