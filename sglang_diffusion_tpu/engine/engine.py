@@ -270,6 +270,30 @@ class Engine:
     def abort_request(self, rid: str) -> bool:
         return self.scheduler.abort_request(rid)
 
+    # ---------------- weight updates (RL hooks) ----------------
+    def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:
+        """Reload weights from a checkpoint directory without restarting
+        (reference: model_runner.py:1132 update_weights_from_disk; used by
+        RL frameworks between rollouts)."""
+        from sglang_diffusion_tpu.engine.weight_loader import load_hf_params
+
+        try:
+            params = load_hf_params(model_path, self.model_config)
+            self.runner.replace_params(params)
+            return {"success": True, "message": f"loaded from {model_path}"}
+        except Exception as e:  # noqa: BLE001
+            return {"success": False, "message": str(e)}
+
+    def update_weights_from_tensor(self, named_arrays: Dict[str, Any]) -> Dict[str, Any]:
+        """In-memory weight update: a {param_path: array} mapping where the
+        path is "/".join of the param tree keys (reference:
+        update_weights_from_tensor, model_runner.py:1444)."""
+        try:
+            self.runner.update_param_leaves(named_arrays)
+            return {"success": True, "message": f"updated {len(named_arrays)} leaves"}
+        except Exception as e:  # noqa: BLE001
+            return {"success": False, "message": str(e)}
+
     # ---------------- admin ----------------
     def get_server_info(self) -> Dict[str, Any]:
         return {

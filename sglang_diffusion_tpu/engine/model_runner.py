@@ -223,6 +223,42 @@ class ModelRunner:
             return 65536  # CPU/test default
         return max(4096, budget // token_bytes)
 
+    # ------------- weight updates -------------
+    def replace_params(self, params) -> None:
+        """Swap in a full new param tree (sharded like the old one)."""
+        from jax.sharding import NamedSharding
+
+        specs = self.model_cls.partition_specs(self.cfg)
+        if self.args.quantization in ("int8", "w8a8_int8", "fp8"):
+            from sglang_diffusion_tpu.quant.quantize import (
+                quant_partition_specs,
+                quantize_params,
+            )
+
+            params = quantize_params(params, self.args.quantization)
+            specs = quant_partition_specs(specs)
+        mesh = self.mesh_ctx.mesh
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params,
+            specs,
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
+
+    def update_param_leaves(self, named_arrays) -> None:
+        """Update individual leaves by "a/b/c" path, preserving sharding."""
+        for path, value in named_arrays.items():
+            keys = path.split("/")
+            node = self.params
+            for k in keys[:-1]:
+                node = node[k]
+            old = node[keys[-1]]
+            if hasattr(old, "sharding"):
+                value = jax.device_put(
+                    jnp.asarray(value, old.dtype), old.sharding
+                )
+            node[keys[-1]] = value
+
     # ------------- step execution -------------
     def run_batch(
         self, plan: BatchPlan, samp_meta_np: Dict[str, np.ndarray]

@@ -41,29 +41,28 @@ def _open_shards(model_path: str):
         if not files:
             raise FileNotFoundError(f"no safetensors found in {model_path}")
         for fp in files:
-            with safe_open(fp, framework="numpy") as f:
+            with safe_open(fp, framework="pt") as f:
                 for name in f.keys():
                     name_to_file[name] = fp
 
     handles: Dict[str, Any] = {}
 
     def get(name: str) -> np.ndarray:
+        # torch framework handles bf16/fp16 natively (numpy cannot)
+        import torch
+
         fp = name_to_file[name]
         if fp not in handles:
-            handles[fp] = safe_open(fp, framework="numpy")
+            handles[fp] = safe_open(fp, framework="pt")
         t = handles[fp].get_tensor(name)
-        return t
+        if t.dtype in (torch.bfloat16, torch.float16):
+            t = t.float()
+        return t.numpy()
 
     def has(name: str) -> bool:
         return name in name_to_file
 
     return get, has
-
-
-def _to_f32(a: np.ndarray) -> np.ndarray:
-    if a.dtype == np.dtype("uint16"):  # bfloat16 read as raw
-        return a.view(np.uint16).astype(np.uint32).__lshift__(16).view(np.float32)
-    return a.astype(np.float32)
 
 
 def load_hf_params(
@@ -77,8 +76,6 @@ def load_hf_params(
 
     def fetch(name: str, tf) -> np.ndarray:
         w = get(name)
-        if w.dtype == np.dtype("uint16"):
-            w = _to_f32(w)
         if tf == "t":
             w = np.ascontiguousarray(w.T)
         return w

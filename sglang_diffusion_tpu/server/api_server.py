@@ -172,6 +172,23 @@ class ApiServer:
             ok = self.eloop.abort(body.get("rid", ""))
             return Response({"success": ok})
 
+        @http.route("POST", "/update_weights_from_disk")
+        async def update_weights(req: Request) -> Response:
+            body = req.json()
+            out = self.engine.update_weights_from_disk(body.get("model_path", ""))
+            return Response(out, 200 if out["success"] else 400)
+
+        @http.route("POST", "/flush_cache")
+        async def flush_cache(req: Request) -> Response:
+            s = self.engine.scheduler
+            if s.running or s.waiting or s.chunked_req is not None:
+                return Response(
+                    {"success": False, "message": "requests in flight"}, 400
+                )
+            if self.engine.radix is not None:
+                self.engine.radix.evict(10**9)
+            return Response({"success": True})
+
         @http.route("POST", "/generate")
         async def generate(req: Request) -> Response:
             body = req.json()
