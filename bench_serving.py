@@ -1,0 +1,138 @@
+"""Online serving benchmark: TTFT / ITL / E2E latency + throughput.
+
+Reference analog: python/sglang/bench_serving.py:822-1052 (load generator
+with request-rate control and mean/median/p99 metrics). Round 1: in-process
+load against the Engine via the EngineLoop thread (no HTTP overhead), random
+token prompts; rates follow a Poisson process like the reference.
+
+    python bench_serving.py --num-prompts 32 --request-rate 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+
+import numpy as np
+
+
+async def run_load(engine, prompts, out_lens, request_rate, tokenizer_vocab):
+    from sglang_diffusion_tpu.sampling.params import SamplingParams
+    from sglang_diffusion_tpu.server.engine_loop import EngineLoop
+
+    eloop = EngineLoop(engine)
+    eloop.start(asyncio.get_running_loop())
+    results = []
+
+    async def one(i, delay):
+        await asyncio.sleep(delay)
+        sp = SamplingParams(
+            temperature=0.0, max_new_tokens=out_lens[i], ignore_eos=True
+        )
+        req = engine._make_req(None, prompts[i], sp, stream=True)
+        t0 = time.perf_counter()
+        q = eloop.submit(req)
+        first = None
+        while True:
+            ev = await q.get()
+            if ev["type"] == "delta" and first is None:
+                first = time.perf_counter()
+            if ev["type"] == "done":
+                t1 = time.perf_counter()
+                out = ev["output"]
+                if first is None:
+                    first = t1
+                n = out["meta_info"]["completion_tokens"]
+                results.append(
+                    {
+                        "ttft": first - t0,
+                        "e2e": t1 - t0,
+                        "itl": (t1 - first) / max(1, n - 1),
+                        "tokens": n,
+                    }
+                )
+                return
+
+    rng = np.random.default_rng(0)
+    delays = (
+        np.cumsum(rng.exponential(1.0 / request_rate, len(prompts)))
+        if request_rate > 0
+        else np.zeros(len(prompts))
+    )
+    t0 = time.perf_counter()
+    await asyncio.gather(*(one(i, float(delays[i])) for i in range(len(prompts))))
+    wall = time.perf_counter() - t0
+    eloop.shutdown()
+    return results, wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-prompts", type=int, default=32)
+    ap.add_argument("--input-len", type=int, default=128)
+    ap.add_argument("--output-len", type=int, default=64)
+    ap.add_argument("--request-rate", type=float, default=0.0)  # 0 = all at once
+    ap.add_argument("--attention-backend", default="auto")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    from bench import llama32_1b_config
+    from sglang_diffusion_tpu.config.model_config import ModelConfig
+    from sglang_diffusion_tpu.config.server_args import ServerArgs
+    from sglang_diffusion_tpu.engine.engine import Engine
+    from sglang_diffusion_tpu.engine.tokenizer import ByteTokenizer
+    from sglang_diffusion_tpu.sampling.params import SamplingParams
+
+    cfg = ModelConfig.tiny_llama() if args.tiny else llama32_1b_config()
+    sargs = ServerArgs(
+        model_path="",
+        tokenizer_path="byte",
+        page_size=64 if not args.tiny else 8,
+        max_total_tokens=32768 if not args.tiny else 4096,
+        attention_backend=args.attention_backend,
+        context_length=args.input_len + args.output_len + 64,
+    )
+    eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())
+    rng = np.random.default_rng(1)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=(args.input_len,)).tolist()
+        for _ in range(args.num_prompts)
+    ]
+    out_lens = [args.output_len] * args.num_prompts
+    # warmup compiles
+    eng.generate(
+        input_ids=prompts[:2],
+        sampling_params=SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
+    )
+    results, wall = asyncio.run(
+        run_load(eng, prompts, out_lens, args.request_rate, cfg.vocab_size)
+    )
+    ttft = sorted(r["ttft"] for r in results)
+    itl = sorted(r["itl"] for r in results)
+    e2e = sorted(r["e2e"] for r in results)
+    tot_tokens = sum(r["tokens"] for r in results)
+
+    def pct(a, p):
+        return a[min(len(a) - 1, int(p * len(a)))]
+
+    print(
+        json.dumps(
+            {
+                "metric": "online_serving",
+                "num_prompts": args.num_prompts,
+                "request_rate": args.request_rate,
+                "output_tok_s": round(tot_tokens / wall, 1),
+                "median_ttft_ms": round(1000 * pct(ttft, 0.5), 1),
+                "p99_ttft_ms": round(1000 * pct(ttft, 0.99), 1),
+                "median_itl_ms": round(1000 * pct(itl, 0.5), 2),
+                "median_e2e_ms": round(1000 * pct(e2e, 0.5), 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
