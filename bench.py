@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--attention-backend", default="auto")
     ap.add_argument("--max-total-tokens", type=int, default=32768)
     ap.add_argument("--decode-horizon", type=int, default=32)
+    ap.add_argument("--quantization", default=None, choices=[None, "int8", "fp8"])
+    ap.add_argument("--kv-cache-dtype", default="auto")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
     args = ap.parse_args()
 
@@ -76,6 +78,8 @@ def main():
         context_length=args.input_len + args.output_len + args.page_size,
         max_running_requests=max(256, args.num_prompts),
         decode_horizon=args.decode_horizon,
+        quantization=args.quantization,
+        kv_cache_dtype=args.kv_cache_dtype,
     )
     t0 = time.time()
     eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())

@@ -1,0 +1,127 @@
+"""Grammar sessions + token-mask computation.
+
+Reference analog: srt/constrained/grammar_manager.py + the backends'
+fill_vocab_mask. Token transitions are memoized per (grammar, state,
+token); masks per (grammar, state) — repetitive structures (JSON) reuse a
+small number of states so steady-state masking is cheap. A C++ batch mask
+kernel is the planned fast path for 100k+ vocabs (reference uses xgrammar's
+native bitmask).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from sglang_diffusion_tpu.constrained.json_grammar import JsonGrammar
+from sglang_diffusion_tpu.constrained.regex_nfa import RegexNFA
+from sglang_diffusion_tpu.utils.common import get_logger
+
+logger = get_logger("constrained")
+
+
+class GrammarSession:
+    __slots__ = ("grammar", "gkey", "state", "manager")
+
+    def __init__(self, manager: "GrammarManager", grammar, gkey: str):
+        self.manager = manager
+        self.grammar = grammar
+        self.gkey = gkey
+        self.state = grammar.start_state()
+
+    def allowed_mask(self) -> np.ndarray:
+        return self.manager._mask(self)
+
+    def advance_token(self, token_id: int) -> None:
+        s = self.manager._advance(self, token_id)
+        if s is not None:
+            self.state = s
+
+    @property
+    def is_accepting(self) -> bool:
+        return self.grammar.is_accepting(self.state)
+
+
+class GrammarManager:
+    def __init__(self, tokenizer, eos_token_id: Optional[int]):
+        self.tokenizer = tokenizer
+        self.eos_token_id = eos_token_id
+        self._token_strs: Optional[List[Optional[str]]] = None
+        self._grammars: Dict[str, Any] = {}
+        self._mask_cache: Dict[Any, np.ndarray] = {}
+        self._trans_cache: Dict[Any, Any] = {}
+
+    # ---------- vocabulary ----------
+    def token_strings(self) -> List[Optional[str]]:
+        if self._token_strs is None:
+            v = self.tokenizer.vocab_size
+            strs: List[Optional[str]] = []
+            for t in range(v):
+                try:
+                    s = self.tokenizer.decode([t])
+                except Exception:
+                    s = None
+                # tokens that decode to nothing or contain replacement chars
+                # cannot be validated char-wise; disallow under grammars
+                if not s or "�" in s:
+                    s = None
+                strs.append(s)
+            self._token_strs = strs
+            if v > 4096:
+                logger.warning(
+                    "grammar masking over %d-token vocab uses the slow Python "
+                    "path; native mask kernel planned",
+                    v,
+                )
+        return self._token_strs
+
+    # ---------- sessions ----------
+    def create_session(self, spec: Dict[str, Any]) -> GrammarSession:
+        if spec.get("regex"):
+            key = "re:" + spec["regex"]
+            if key not in self._grammars:
+                self._grammars[key] = RegexNFA(spec["regex"])
+        elif spec.get("json"):
+            key = "json"
+            if key not in self._grammars:
+                self._grammars[key] = JsonGrammar()
+        else:
+            raise ValueError(f"unknown grammar spec {spec}")
+        return GrammarSession(self, self._grammars[key], key)
+
+    # ---------- internals ----------
+    def _advance(self, sess: GrammarSession, token_id: int):
+        ck = (sess.gkey, sess.state, token_id)
+        if ck in self._trans_cache:
+            return self._trans_cache[ck]
+        s = self.token_strings()[token_id]
+        out = sess.grammar.advance(sess.state, s) if s is not None else None
+        self._trans_cache[ck] = out
+        return out
+
+    def _mask(self, sess: GrammarSession) -> np.ndarray:
+        ck = (sess.gkey, sess.state)
+        cached = self._mask_cache.get(ck)
+        if cached is not None:
+            return cached
+        strs = self.token_strings()
+        mask = np.zeros((len(strs),), bool)
+        for t, s in enumerate(strs):
+            if s is None:
+                continue
+            if self._advance_cached(sess, t) is not None:
+                mask[t] = True
+        if self.eos_token_id is not None and sess.is_accepting:
+            mask[self.eos_token_id] = True
+        self._mask_cache[ck] = mask
+        return mask
+
+    def _advance_cached(self, sess, token_id):
+        ck = (sess.gkey, sess.state, token_id)
+        if ck in self._trans_cache:
+            return self._trans_cache[ck]
+        s = self.token_strings()[token_id]
+        out = sess.grammar.advance(sess.state, s) if s is not None else None
+        self._trans_cache[ck] = out
+        return out

@@ -105,6 +105,15 @@ class Engine:
             eos_token_ids=eos_ids,
             stream=stream,
         )
+        spec = sp.grammar_spec
+        if spec is not None:
+            if not hasattr(self, "_grammar_manager"):
+                from sglang_diffusion_tpu.constrained import GrammarManager
+
+                self._grammar_manager = GrammarManager(
+                    self.tokenizer, self.tokenizer.eos_token_id
+                )
+            req.grammar = self._grammar_manager.create_session(spec)
         self._detoks[req.rid] = IncrementalDetokenizer(self.tokenizer, sp.stop)
         return req
 

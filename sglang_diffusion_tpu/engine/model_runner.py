@@ -114,7 +114,7 @@ class ModelRunner:
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
                  q_start, slots, logit_idx, samp_meta, key, all_greedy=False,
-                 output_counts=None):
+                 output_counts=None, vocab_mask=None):
             meta = AttentionMetadata(
                 page_table=page_table,
                 kv_lens=kv_lens,
@@ -124,13 +124,13 @@ class ModelRunner:
             )
             logits, new_kv = fwd(params, token_ids, positions, kv_cache, meta)
             next_tok, tok_logprob = sample(
-                logits, samp_meta, key, all_greedy, output_counts
+                logits, samp_meta, key, all_greedy, output_counts, vocab_mask
             )
             return next_tok, tok_logprob, new_kv
 
         def decode_multi(params, kv_cache, tokens0, positions0, page_table,
                          slots_km, samp_meta, key, all_greedy=False,
-                         output_counts=None):
+                         output_counts=None, vocab_mask=None):
             """K fused decode steps with device-side token feedback
             (lax.scan; the TPU analog of overlap-scheduling + CUDA-graph
             replay — one host dispatch per K tokens).
@@ -157,6 +157,7 @@ class ModelRunner:
                     jax.random.fold_in(key, step),
                     all_greedy,
                     output_counts,
+                    vocab_mask,
                 )
                 return (tok, kv_cache), (tok, lp)
 
@@ -298,6 +299,16 @@ class ModelRunner:
                     counts[i, t] += 1
             output_counts = jnp.asarray(counts)
 
+        vocab_mask = None
+        if any(getattr(r, "grammar", None) is not None for r in plan.reqs):
+            vm = np.ones((bb, self.cfg.vocab_size), bool)
+            for i, r in enumerate(plan.reqs):
+                if r.grammar is not None:
+                    m = r.grammar.allowed_mask()
+                    vm[i, : len(m)] = m
+                    vm[i, len(m):] = False
+            vocab_mask = jnp.asarray(vm)
+
         page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
         page_table[:b] = plan.page_table
 
@@ -335,6 +346,7 @@ class ModelRunner:
                 key,
                 all_greedy=all_greedy,
                 output_counts=output_counts,
+                vocab_mask=vocab_mask,
             )
             return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]
 
@@ -360,5 +372,6 @@ class ModelRunner:
             key,
             all_greedy=all_greedy,
             output_counts=output_counts,
+            vocab_mask=vocab_mask,
         )
         return np.asarray(next_tok)[:b, None], np.asarray(logprob)[:b, None]

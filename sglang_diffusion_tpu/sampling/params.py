@@ -29,6 +29,17 @@ class SamplingParams:
     # logprobs
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    # constrained decoding (reference: sampling_params.py regex/json_schema)
+    regex: Optional[str] = None
+    json_schema: Optional[str] = None  # any value enables JSON-mode grammar
+
+    @property
+    def grammar_spec(self):
+        if self.regex:
+            return {"regex": self.regex}
+        if self.json_schema is not None:
+            return {"json": True}
+        return None
 
     def __post_init__(self):
         if self.temperature < 0:

@@ -53,6 +53,7 @@ def sample(
     key: jax.Array,
     all_greedy: bool = False,
     output_counts: Optional[jax.Array] = None,  # [B, V] i32 for penalties
+    vocab_mask: Optional[jax.Array] = None,  # [B, V] bool, False = forbidden
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (next_token [B] i32, logprob_of_token [B] f32).
 
@@ -60,6 +61,9 @@ def sample(
     greedy the compiled step contains only an argmax — no sort, no RNG
     (reference analog: Sampler's is_all_greedy fast path, sampler.py:41)."""
     b, v = logits.shape
+    if vocab_mask is not None:
+        # constrained decoding (analog of apply_token_bitmask, sgl-kernel)
+        logits = jnp.where(vocab_mask, logits, -jnp.inf)
     if output_counts is not None:
         logits = apply_penalties(
             logits, output_counts, meta.frequency_penalty, meta.presence_penalty

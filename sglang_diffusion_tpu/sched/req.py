@@ -50,6 +50,9 @@ class Req:
     is_retracted: bool = False
     finish_reason: FinishReason = FinishReason.NONE
 
+    # constrained decoding session (constrained/manager.py GrammarSession)
+    grammar: Optional[object] = None
+
     # streaming / detokenization state
     stream: bool = False
     surr_offset: int = 0  # decoded-text offset already emitted

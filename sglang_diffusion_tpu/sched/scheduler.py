@@ -293,6 +293,7 @@ class Scheduler:
         if any(
             r.sampling_params.frequency_penalty != 0.0
             or r.sampling_params.presence_penalty != 0.0
+            or r.grammar is not None
             for r in self.running
         ):
             h = 1
@@ -305,7 +306,8 @@ class Scheduler:
         if not self.running:
             return None
         if self.drafter is not None and all(
-            r.sampling_params.temperature == 0.0 for r in self.running
+            r.sampling_params.temperature == 0.0 and r.grammar is None
+            for r in self.running
         ):
             plan = self._get_verify_batch()
             if plan is not None:
@@ -554,6 +556,8 @@ class Scheduler:
         req.output_ids.append(token)
         if logprob is not None:
             req.output_logprobs.append(logprob)
+        if req.grammar is not None:
+            req.grammar.advance_token(token)
         req.check_finished()
         if req.finished:
             req.finished_at = _time.monotonic()
