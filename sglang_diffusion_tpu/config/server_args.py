@@ -77,10 +77,15 @@ class ServerArgs:
     served_model_name: Optional[str] = None
     api_key: Optional[str] = None
 
-    # ---- observability ----
+    # ---- observability / robustness ----
     log_level: str = "info"
     enable_metrics: bool = False
     show_time_cost: bool = False
+    # abort requests stuck too long (0 = disabled; reference:
+    # scheduler._abort_on_waiting_timeout / _abort_on_running_timeout)
+    waiting_timeout_s: float = 0.0
+    running_timeout_s: float = 0.0
+    watchdog_timeout_s: float = 300.0  # log if one step exceeds this
 
     # ---- sampling defaults ----
     max_new_tokens_default: int = 128

@@ -121,12 +121,21 @@ class Engine:
     def step(self) -> List[Req]:
         """Run one scheduler iteration (one forward batch). Returns requests
         finished in this step."""
+        timed_out = self.scheduler.check_timeouts()
         plan = self.scheduler.get_next_batch()
         if plan is None:
-            return []
+            return timed_out
         samp_np = self._samp_arrays(plan)
+        t0 = time.monotonic()
         next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
+        step_s = time.monotonic() - t0
+        if step_s > self.args.watchdog_timeout_s:
+            logger.error(
+                "watchdog: %s step took %.1fs (batch=%d)",
+                plan.kind, step_s, len(plan.reqs),
+            )
         finished = self.scheduler.process_batch_result(plan, next_tokens, logprobs)
+        finished.extend(timed_out)
         # incremental detokenization + stop-string scan for requests that
         # produced a token this step (streaming or stop-bearing only)
         for i, req in enumerate(plan.reqs):
@@ -278,6 +287,69 @@ class Engine:
 
     def abort_request(self, rid: str) -> bool:
         return self.scheduler.abort_request(rid)
+
+    # ---------------- scoring ----------------
+    def score_choices(
+        self, prompt: str, choices: List[str]
+    ) -> List[float]:
+        """Sum of forced-token logprobs for each continuation of `prompt`
+        (reference analog: the choices-scoring path used by sgl.select,
+        lang/interpreter.py + /v1/score). Runs outside the scheduler on
+        temporarily allocated pages."""
+        import math
+
+        from sglang_diffusion_tpu.utils.common import cdiv
+
+        p_ids = self.tokenizer.encode(prompt)
+        seqs = [p_ids + self.tokenizer.encode(c, add_bos=False) for c in choices]
+        tmax = max(len(s) for s in seqs)
+        b = len(seqs)
+        pages_per = cdiv(tmax, self.args.page_size)
+        pages = self.allocator.alloc(b * pages_per)
+        try:
+            import numpy as np
+
+            from sglang_diffusion_tpu.sched.scheduler import BatchPlan
+
+            token_ids = np.zeros((b, tmax), np.int32)
+            positions = np.zeros((b, tmax), np.int32)
+            slots = np.full((b, tmax), -1, np.int32)
+            page_table = np.zeros((b, self.runner.max_pages_per_seq), np.int32)
+            kv_lens = np.zeros((b,), np.int32)
+            for i, seq in enumerate(seqs):
+                n = len(seq)
+                token_ids[i, :n] = seq
+                positions[i, :n] = np.arange(n)
+                pv = np.asarray(
+                    pages[i * pages_per : (i + 1) * pages_per], np.int32
+                )
+                page_table[i, :pages_per] = pv
+                offs = np.arange(n)
+                slots[i, :n] = pv[offs // self.args.page_size] * self.args.page_size + (
+                    offs % self.args.page_size
+                )
+                kv_lens[i] = n
+            import jax.numpy as jnp_
+
+            greedy, glp, shift_lp, self.runner.kv_cache = self.runner._verify(
+                self.runner.params,
+                self.runner.kv_cache,
+                jnp_.asarray(token_ids),
+                jnp_.asarray(positions),
+                jnp_.asarray(page_table),
+                jnp_.asarray(kv_lens),
+                jnp_.asarray(np.zeros((b,), np.int32)),
+                jnp_.asarray(slots),
+            )
+            shift = np.asarray(shift_lp)
+            scores = []
+            for i, seq in enumerate(seqs):
+                lo = max(0, len(p_ids) - 1)
+                hi = len(seq) - 1
+                scores.append(float(shift[i, lo:hi].sum()))
+            return scores
+        finally:
+            self.allocator.free(pages)
 
     # ---------------- weight updates (RL hooks) ----------------
     def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:

@@ -186,7 +186,12 @@ class ModelRunner:
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
             lps = jax.nn.log_softmax(logits, axis=-1)
             glp = jnp.take_along_axis(lps, greedy[..., None], axis=-1)[..., 0]
-            return greedy, glp, new_kv
+            # logprob of each provided token given its prefix (teacher
+            # forcing; used by choice scoring / sgl.select)
+            shift_lp = jnp.take_along_axis(
+                lps[:, :-1], token_ids[:, 1:, None], axis=-1
+            )[..., 0]
+            return greedy, glp, shift_lp, new_kv
 
         if args.disable_jit:
             self._step = step
@@ -320,7 +325,7 @@ class ModelRunner:
                 out[:b] = x
                 return out
 
-            greedy, glp, self.kv_cache = self._verify(
+            greedy, glp, _shift_lp, self.kv_cache = self._verify(
                 self.params,
                 self.kv_cache,
                 jnp.asarray(pad2t(plan.token_ids)),

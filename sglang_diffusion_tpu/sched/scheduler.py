@@ -121,6 +121,31 @@ class Scheduler:
     def has_work(self) -> bool:
         return bool(self.waiting or self.running or self.chunked_req)
 
+    def check_timeouts(self) -> List[Req]:
+        """Abort requests exceeding waiting/running timeouts (reference:
+        scheduler.py:1098 _abort_on_running_timeout, :1827 waiting)."""
+        import time as _time
+
+        aborted: List[Req] = []
+        now = _time.monotonic()
+        wt, rt = self.args.waiting_timeout_s, self.args.running_timeout_s
+        if wt > 0:
+            for r in list(self.waiting):
+                if now - r.created_at > wt:
+                    r.status = ReqStatus.ABORTED
+                    r.finish_reason = FinishReason.ABORT
+                    self.waiting.remove(r)
+                    aborted.append(r)
+        if rt > 0:
+            for r in list(self.running):
+                if now - r.created_at > rt:
+                    r.status = ReqStatus.ABORTED
+                    r.finish_reason = FinishReason.ABORT
+                    self.running.remove(r)
+                    self._release_pages(r, insert_to_cache=False)
+                    aborted.append(r)
+        return aborted
+
     # ------------- batch selection -------------
     def get_next_batch(self) -> Optional[BatchPlan]:
         plan = self._get_prefill_batch()

@@ -172,6 +172,30 @@ class ApiServer:
             ok = self.eloop.abort(body.get("rid", ""))
             return Response({"success": ok})
 
+        @http.route("POST", "/start_profile")
+        async def start_profile(req: Request) -> Response:
+            # reference analog: scheduler_profiler_mixin.py:37 (torch.profiler);
+            # here jax.profiler traces XLA/TPU activity for xprof/tensorboard
+            import jax
+
+            body = req.json()
+            out_dir = body.get("output_dir", "/tmp/sgld_profile")
+            try:
+                jax.profiler.start_trace(out_dir)
+                return Response({"success": True, "output_dir": out_dir})
+            except Exception as e:  # noqa: BLE001
+                return Response({"success": False, "message": str(e)}, 400)
+
+        @http.route("POST", "/stop_profile")
+        async def stop_profile(req: Request) -> Response:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+                return Response({"success": True})
+            except Exception as e:  # noqa: BLE001
+                return Response({"success": False, "message": str(e)}, 400)
+
         @http.route("POST", "/update_weights_from_disk")
         async def update_weights(req: Request) -> Response:
             body = req.json()
