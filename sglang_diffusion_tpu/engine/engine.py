@@ -83,6 +83,9 @@ class Engine:
         self._detoks: Dict[str, IncrementalDetokenizer] = {}
         self._pending_deltas: Dict[str, str] = {}
         self._lock = threading.Lock()
+        # multi-turn sessions: session_id -> token history (reference:
+        # srt/managers/session_controller.py; prefix reuse via radix cache)
+        self._sessions: Dict[str, List[int]] = {}
 
     # ---------------- request intake ----------------
     def _make_req(
@@ -287,6 +290,56 @@ class Engine:
 
     def abort_request(self, rid: str) -> bool:
         return self.scheduler.abort_request(rid)
+
+    # ---------------- sessions ----------------
+    def open_session(self, session_id: Optional[str] = None) -> str:
+        sid = session_id or uuid.uuid4().hex
+        self._sessions.setdefault(sid, [])
+        return sid
+
+    def close_session(self, session_id: str) -> bool:
+        return self._sessions.pop(session_id, None) is not None
+
+    def session_generate(
+        self, session_id: str, prompt: str, sampling_params=None
+    ) -> Dict[str, Any]:
+        """Continue a session: history + new prompt tokens; the shared
+        prefix hits the radix cache so only the new turn is prefilled."""
+        if session_id not in self._sessions:
+            raise KeyError(f"unknown session {session_id}")
+        hist = self._sessions[session_id]
+        new_ids = self.tokenizer.encode(prompt, add_bos=not hist)
+        input_ids = hist + new_ids
+        out = self.generate(
+            input_ids=input_ids, sampling_params=sampling_params
+        )
+        self._sessions[session_id] = input_ids + out["output_ids"]
+        return out
+
+    # ---------------- embeddings ----------------
+    def encode(self, prompt: Union[str, List[str]]) -> Union[Dict, List[Dict]]:
+        """Last-token hidden-state embeddings (reference analog:
+        Engine.encode, entrypoints/engine.py; pooling = last token like the
+        reference's gme/e5 style default)."""
+        single = isinstance(prompt, str)
+        prompts = [prompt] if single else prompt
+        outs = []
+        from sglang_diffusion_tpu.utils.common import cdiv
+
+        for p in prompts:
+            ids = self.tokenizer.encode(p)
+            pages = self.allocator.alloc(cdiv(len(ids), self.args.page_size))
+            try:
+                emb = self.runner.run_embedding(ids, pages)
+            finally:
+                self.allocator.free(pages)
+            outs.append(
+                {
+                    "embedding": emb.tolist(),
+                    "meta_info": {"prompt_tokens": len(ids)},
+                }
+            )
+        return outs[0] if single else outs
 
     # ---------------- scoring ----------------
     def score_choices(

@@ -229,6 +229,69 @@ class ModelRunner:
             return 65536  # CPU/test default
         return max(4096, budget // token_bytes)
 
+    # ------------- embeddings -------------
+    def run_embedding(self, ids, pages) -> np.ndarray:
+        """Hidden-state embedding for one sequence over caller-provided
+        scratch pages (no scheduler involvement)."""
+        if not hasattr(self, "_embed_step"):
+            from sglang_diffusion_tpu.layers.attention import make_sharded_attention
+
+            attn_fn = make_sharded_attention(
+                self.args.attention_backend, self.mesh_ctx.mesh
+            )
+            fwd_h = self.model_cls.make_forward(
+                self.cfg, attn_fn, logits_mode="hidden"
+            )
+
+            def embed_step(params, kv_cache, token_ids, positions, page_table,
+                           kv_lens, q_start, slots, logit_idx):
+                meta = AttentionMetadata(
+                    page_table=page_table,
+                    kv_lens=kv_lens,
+                    q_start_pos=q_start,
+                    slot_ids=slots,
+                    logit_idx=logit_idx,
+                )
+                h, new_kv = fwd_h(params, token_ids, positions, kv_cache, meta)
+                return h, new_kv
+
+            self._embed_step = (
+                embed_step
+                if self.args.disable_jit
+                else jax.jit(embed_step, donate_argnums=(1,))
+            )
+        n = len(ids)
+        from sglang_diffusion_tpu.utils.common import round_up
+
+        t = round_up(n, 16)
+        token_ids = np.zeros((1, t), np.int32)
+        token_ids[0, :n] = ids
+        positions = np.zeros((1, t), np.int32)
+        positions[0, :n] = np.arange(n)
+        slots = np.full((1, t), -1, np.int32)
+        page_table = np.zeros((1, self.max_pages_per_seq), np.int32)
+        kv_lens = np.array([n], np.int32)
+        q_start = np.array([0], np.int32)
+        logit_idx = np.array([n - 1], np.int32)
+        pv = np.asarray(pages, np.int32)
+        page_table[0, : len(pv)] = pv
+        offs = np.arange(n)
+        slots[0, :n] = pv[offs // self.args.page_size] * self.args.page_size + (
+            offs % self.args.page_size
+        )
+        h, self.kv_cache = self._embed_step(
+            self.params,
+            self.kv_cache,
+            jnp.asarray(token_ids),
+            jnp.asarray(positions),
+            jnp.asarray(page_table),
+            jnp.asarray(kv_lens),
+            jnp.asarray(q_start),
+            jnp.asarray(slots),
+            jnp.asarray(logit_idx),
+        )
+        return np.asarray(h)[0]
+
     # ------------- weight updates -------------
     def replace_params(self, params) -> None:
         """Swap in a full new param tree (sharded like the old one)."""

@@ -175,6 +175,9 @@ class LlamaFamily:
             hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
             hidden = rms_norm(hidden, params["final_norm"], eps)
             b = hidden.shape[0]
+            if logits_mode == "hidden":
+                # embedding/pooling mode: last-token hidden state
+                return hidden[jnp.arange(b), meta.logit_idx], new_kv
             if logits_mode == "all":
                 h_out = hidden  # [B, T, E]
             else:

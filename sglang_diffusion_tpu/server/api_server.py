@@ -172,6 +172,47 @@ class ApiServer:
             ok = self.eloop.abort(body.get("rid", ""))
             return Response({"success": ok})
 
+        @http.route("POST", "/v1/embeddings")
+        async def embeddings(req: Request) -> Response:
+            body = req.json()
+            inp = body.get("input", "")
+            prompts = inp if isinstance(inp, list) else [inp]
+            loop = asyncio.get_running_loop()
+            outs = await loop.run_in_executor(
+                None, lambda: self.engine.encode(prompts)
+            )
+            return Response(
+                {
+                    "object": "list",
+                    "model": model_id,
+                    "data": [
+                        {
+                            "object": "embedding",
+                            "index": i,
+                            "embedding": o["embedding"],
+                        }
+                        for i, o in enumerate(outs)
+                    ],
+                    "usage": {
+                        "prompt_tokens": sum(
+                            o["meta_info"]["prompt_tokens"] for o in outs
+                        )
+                    },
+                }
+            )
+
+        @http.route("POST", "/open_session")
+        async def open_session(req: Request) -> Response:
+            body = req.json()
+            sid = self.engine.open_session(body.get("session_id"))
+            return Response({"session_id": sid})
+
+        @http.route("POST", "/close_session")
+        async def close_session(req: Request) -> Response:
+            body = req.json()
+            ok = self.engine.close_session(body.get("session_id", ""))
+            return Response({"success": ok})
+
         @http.route("POST", "/start_profile")
         async def start_profile(req: Request) -> Response:
             # reference analog: scheduler_profiler_mixin.py:37 (torch.profiler);
