@@ -60,6 +60,7 @@ class DiffGenerator:
         guidance_scale: float = 1.0,
         seed: int = 0,
         num_images: int = 1,
+        num_frames: int = 0,
     ) -> Dict[str, Any]:
         gp = GenerationParams(
             prompt=prompt,
@@ -70,13 +71,13 @@ class DiffGenerator:
             guidance_scale=guidance_scale,
             seed=seed,
             num_images=num_images,
+            num_frames=num_frames,
         )
         t0 = time.perf_counter()
         batch = self.pipeline.forward(gp)
         elapsed = time.perf_counter() - t0
         denoise_t = batch.stage_timings.get("denoising", 0.0)
-        return {
-            "images": batch.images,  # [B, H, W, 3] uint8
+        out: Dict[str, Any] = {
             "meta_info": {
                 "e2e_s": elapsed,
                 "stage_timings": dict(batch.stage_timings),
@@ -86,3 +87,23 @@ class DiffGenerator:
                 "params": asdict(gp),
             },
         }
+        if num_frames > 0:
+            out["frames"] = batch.images  # [B, F, H, W, 3] uint8
+        else:
+            out["images"] = batch.images  # [B, H, W, 3] uint8
+        return out
+
+    @staticmethod
+    def save_video(frames, path: str, fps: int = 8) -> None:
+        """Save [F, H, W, 3] uint8 frames (gif/webp via PIL; the reference
+        writes mp4/webp, multimodal_gen/runtime/postprocess)."""
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            path,
+            save_all=True,
+            append_images=imgs[1:],
+            duration=int(1000 / fps),
+            loop=0,
+        )

@@ -56,26 +56,36 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0):
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
-def rope_2d(h: int, w: int, t_txt: int, head_dim: int, theta: float):
-    """2D axial RoPE over the image grid; text tokens get identity rotation.
+def rope_nd(grid, t_txt: int, head_dim: int, theta: float):
+    """Axial RoPE over an N-D latent grid (2D images, 3D video: frame x h x
+    w — the Wan/Flux-video convention); text tokens get identity rotation.
 
-    Returns (cos, sin) [T_total, head_dim/2] with the first t_txt rows
-    identity (cos=1, sin=0), then image tokens row-major over (h, w), half
-    the dims rotating with the row index and half with the column index.
+    head_dim/2 rotation dims are split evenly across the grid axes (the
+    first axis takes any remainder). Returns (cos, sin) [T_total, head_dim/2]
+    with the first t_txt rows identity.
     """
-    quarter = head_dim // 4
-    freqs = 1.0 / (theta ** (np.arange(quarter, dtype=np.float64) * 4 / head_dim))
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    ys = ys.reshape(-1)[:, None] * freqs[None, :]  # [T_img, quarter]
-    xs = xs.reshape(-1)[:, None] * freqs[None, :]
-    ang = np.concatenate([ys, xs], axis=1)  # [T_img, head_dim/2]
-    cos = np.concatenate(
-        [np.ones((t_txt, head_dim // 2)), np.cos(ang)], axis=0
-    ).astype(np.float32)
-    sin = np.concatenate(
-        [np.zeros((t_txt, head_dim // 2)), np.sin(ang)], axis=0
-    ).astype(np.float32)
+    half = head_dim // 2
+    nax = len(grid)
+    per = [half // nax] * nax
+    per[0] += half - sum(per)
+    coords = np.meshgrid(*[np.arange(g) for g in grid], indexing="ij")
+    parts = []
+    for ax in range(nax):
+        k = per[ax]
+        freqs = 1.0 / (theta ** (np.arange(k, dtype=np.float64) * 2 / head_dim * nax))
+        parts.append(coords[ax].reshape(-1)[:, None] * freqs[None, :])
+    ang = np.concatenate(parts, axis=1)  # [T_grid, half]
+    cos = np.concatenate([np.ones((t_txt, half)), np.cos(ang)], axis=0).astype(
+        np.float32
+    )
+    sin = np.concatenate([np.zeros((t_txt, half)), np.sin(ang)], axis=0).astype(
+        np.float32
+    )
     return jnp.asarray(cos), jnp.asarray(sin)
+
+
+def rope_2d(h: int, w: int, t_txt: int, head_dim: int, theta: float):
+    return rope_nd((h, w), t_txt, head_dim, theta)
 
 
 def apply_rope_interleaved(x: jax.Array, cos: jax.Array, sin: jax.Array):
@@ -231,7 +241,7 @@ class MMDiT:
             txt = jnp.dot(txt_emb, params["txt_in"]) + params["txt_in_b"]
             x = jnp.concatenate([txt, img], axis=1)
 
-            cos, sin = rope_2d(grid_hw[0], grid_hw[1], t_txt, D, cfg.rope_theta)
+            cos, sin = rope_nd(tuple(grid_hw), t_txt, D, cfg.rope_theta)
 
             def body(x, bp):
                 return block_body(x, bp, cond, cos, sin), None
@@ -262,4 +272,22 @@ def unpatchify(tokens: jax.Array, grid_hw: Tuple[int, int], p: int, c: int):
     gh, gw = grid_hw
     x = tokens.reshape(b, gh, gw, p, p, c)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * p, gw * p, c)
+    return x
+
+
+def patchify_video(latents: jax.Array, p: int):
+    """[B, F, H, W, C] -> ([B, F*(H/p)*(W/p), C*p*p], (F, H/p, W/p)).
+    Patch is spatial-only (1, p, p) like Wan's (1,2,2)."""
+    b, f, h, w, c = latents.shape
+    gh, gw = h // p, w // p
+    x = latents.reshape(b, f, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, f * gh * gw, p * p * c)
+    return x, (f, gh, gw)
+
+
+def unpatchify_video(tokens: jax.Array, grid, p: int, c: int):
+    b = tokens.shape[0]
+    f, gh, gw = grid
+    x = tokens.reshape(b, f, gh, gw, p, p, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, f, gh * p, gw * p, c)
     return x

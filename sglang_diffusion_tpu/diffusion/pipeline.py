@@ -24,7 +24,9 @@ from sglang_diffusion_tpu.diffusion.models.dit import (
     DiTConfig,
     MMDiT,
     patchify,
+    patchify_video,
     unpatchify,
+    unpatchify_video,
 )
 from sglang_diffusion_tpu.diffusion.models.text_encoder import (
     TextEncoder,
@@ -64,6 +66,7 @@ class GenerationParams:
     guidance_scale: float = 1.0  # 1.0 = no CFG
     seed: int = 0
     num_images: int = 1
+    num_frames: int = 0  # 0 = image; >0 = video (frames at 8x temporal)
 
     def __post_init__(self):
         if self.height % 16 or self.width % 16:
@@ -136,7 +139,7 @@ class TimestepPreparationStage(Stage):
         p = batch.params
         seq_len = (p.height // 8 // pipe.dit_cfg.patch_size) * (
             p.width // 8 // pipe.dit_cfg.patch_size
-        )
+        ) * max(1, p.num_frames)
         batch.sigmas = pipe.scheduler.set_timesteps(
             p.num_inference_steps, seq_len=seq_len
         )
@@ -150,9 +153,11 @@ class LatentPreparationStage(Stage):
         b = len(batch.prompts)
         lat_h, lat_w = p.height // 8, p.width // 8
         key = jax.random.PRNGKey(p.seed)
-        batch.latents = jax.random.normal(
-            key, (b, lat_h, lat_w, pipe.vae_cfg.latent_channels), jnp.float32
-        )
+        if p.num_frames > 0:
+            shape = (b, p.num_frames, lat_h, lat_w, pipe.vae_cfg.latent_channels)
+        else:
+            shape = (b, lat_h, lat_w, pipe.vae_cfg.latent_channels)
+        batch.latents = jax.random.normal(key, shape, jnp.float32)
 
 
 class DenoisingStage(Stage):
@@ -174,8 +179,13 @@ class DecodingStage(Stage):
     name = "decoding"
 
     def __call__(self, batch, pipe):
-        imgs = pipe.vae_decode(batch.latents)
-        imgs = np.asarray(imgs)
+        z = batch.latents
+        if z.ndim == 5:  # video: decode frames through the 2D VAE
+            b, f = z.shape[0], z.shape[1]
+            imgs = pipe.vae_decode(z.reshape((b * f,) + z.shape[2:]))
+            imgs = np.asarray(imgs).reshape((b, f) + imgs.shape[1:])
+        else:
+            imgs = np.asarray(pipe.vae_decode(z))
         batch.images = ((imgs + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
 
 
@@ -248,7 +258,11 @@ class DiffusionPipeline:
         use_cfg = bool(guidance_scale > 1.0)
 
         def loop(dit_params, latents, text_emb, neg_emb, sigmas, gs):
-            tokens, grid_hw = patchify(latents, p)
+            video = latents.ndim == 5
+            if video:
+                tokens, grid_hw = patchify_video(latents, p)
+            else:
+                tokens, grid_hw = patchify(latents, p)
 
             def step(x, i):
                 sigma = sigmas[i]
@@ -269,6 +283,8 @@ class DiffusionPipeline:
             tokens, _ = jax.lax.scan(
                 step, tokens, jnp.arange(sigmas.shape[0] - 1)
             )
+            if video:
+                return unpatchify_video(tokens, grid_hw, p, self.dit_cfg.in_channels)
             return unpatchify(tokens, grid_hw, p, self.dit_cfg.in_channels)
 
         if self._denoise_jit is None:
