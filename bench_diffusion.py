@@ -1,0 +1,92 @@
+"""Diffusion pipeline benchmark: e2e + per-stage + per-step timings.
+
+Reference analog: the diffusion CI baseline generator feeding
+perf_baselines.json (expected_e2e_ms / expected_avg_denoise_ms per
+scenario). Random-weight models sized to Flux-class compute shapes.
+
+    python bench_diffusion.py --scenario flux_class_t2i
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+SCENARIOS = {
+    # dims chosen to mirror the compute shape class, not the checkpoints
+    "tiny_smoke": dict(
+        hidden=256, depth=4, heads=4, lat_ch=4, height=256, width=256, steps=4
+    ),
+    "zimage_class_t2i": dict(
+        hidden=1536, depth=19, heads=12, lat_ch=16, height=512, width=512, steps=8
+    ),
+    "flux_class_t2i": dict(
+        hidden=3072, depth=19, heads=24, lat_ch=16, height=512, width=512, steps=8
+    ),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenario", default="zimage_class_t2i", choices=sorted(SCENARIOS))
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--guidance", type=float, default=1.0)
+    args = ap.parse_args()
+    sc = SCENARIOS[args.scenario]
+    steps = args.steps or sc["steps"]
+
+    from sglang_diffusion_tpu.diffusion.generator import DiffGenerator
+    from sglang_diffusion_tpu.diffusion.models.dit import DiTConfig
+    from sglang_diffusion_tpu.diffusion.models.text_encoder import TextEncoderConfig
+    from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig
+
+    import jax.numpy as jnp
+
+    gen = DiffGenerator.from_config(
+        dit_cfg=DiTConfig(
+            hidden_size=sc["hidden"],
+            depth=sc["depth"],
+            num_heads=sc["heads"],
+            in_channels=sc["lat_ch"],
+            text_dim=sc["hidden"] // 2,
+        ),
+        vae_cfg=VAEConfig(latent_channels=sc["lat_ch"], base_channels=32),
+        te_cfg=TextEncoderConfig(hidden_size=sc["hidden"] // 2, num_layers=2),
+        dtype=jnp.bfloat16,
+    )
+    # warmup (compiles the denoise scan + vae)
+    t0 = time.time()
+    gen.generate("warmup", height=sc["height"], width=sc["width"],
+                 num_inference_steps=steps, guidance_scale=args.guidance)
+    print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    out = gen.generate(
+        "a photo of a red square on a blue table",
+        height=sc["height"],
+        width=sc["width"],
+        num_inference_steps=steps,
+        guidance_scale=args.guidance,
+        seed=7,
+    )
+    mi = out["meta_info"]
+    print(
+        json.dumps(
+            {
+                "metric": f"diffusion_{args.scenario}",
+                "e2e_ms": round(1000 * mi["e2e_s"], 1),
+                "avg_denoise_step_ms": round(mi["avg_denoise_step_ms"], 1),
+                "stage_ms": {
+                    k: round(1000 * v, 1) for k, v in mi["stage_timings"].items()
+                },
+                "steps": steps,
+                "resolution": f"{sc['height']}x{sc['width']}",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
