@@ -99,8 +99,10 @@ def _kernel(
 
         start_dma(slot, i).wait()
 
-        k = kv_buf[slot, 0]  # [S, D]
-        v = kv_buf[slot, 1]
+        # upcast (no-op for bf16 cache; fp8_e4m3 KV upcasts here, matching
+        # the reference's FP8 KV-cache dequant-on-load)
+        k = kv_buf[slot, 0].astype(q_ref.dtype)  # [S, D]
+        v = kv_buf[slot, 1].astype(q_ref.dtype)
         s = jax.lax.dot_general(
             q,
             k,
