@@ -31,6 +31,9 @@ class ModelConfig:
     attention_bias: bool = False  # qwen2 uses bias on qkv
     qk_norm: bool = False  # qwen3 uses per-head q/k RMSNorm
     hidden_act: str = "silu"
+    # gemma-family quirks: rmsnorm scales by (1 + w); embeddings scaled by
+    # sqrt(hidden_size)
+    gemma_style: bool = False
     # MoE fields (mixtral/qwen-moe style)
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -77,6 +80,7 @@ class ModelConfig:
             ),
             qk_norm=archs[0].startswith("Qwen3"),
             hidden_act=cfg.get("hidden_act", "silu"),
+            gemma_style=archs[0].startswith("Gemma"),
             num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)),
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             moe_intermediate_size=cfg.get("moe_intermediate_size"),

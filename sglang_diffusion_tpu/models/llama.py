@@ -38,6 +38,7 @@ from sglang_diffusion_tpu.quant.quantize import dense_maybe_quantized as _dense
     "Qwen2ForCausalLM",
     "Qwen3ForCausalLM",
     "MistralForCausalLM",
+    "GemmaForCausalLM",
 )
 class LlamaFamily:
     """Functional dense-transformer implementation."""
@@ -140,12 +141,22 @@ class LlamaFamily:
         )
         has_bias = cfg.attention_bias
         has_qk_norm = cfg.qk_norm
+        gemma = cfg.gemma_style
+        act_fn = (
+            (lambda x: jax.nn.gelu(x, approximate=True))
+            if cfg.hidden_act in ("gelu", "gelu_pytorch_tanh")
+            else jax.nn.silu
+        )
+
+        def norm(x, w):
+            # gemma stores zero-centered norm weights: scale = 1 + w
+            return rms_norm(x, (1.0 + w) if gemma else w, eps)
 
         def layer_body(hidden, xs, positions, meta):
             lp, kv_layer = xs
             b, t, e = hidden.shape
 
-            h = rms_norm(hidden, lp["input_norm"], eps)
+            h = norm(hidden, lp["input_norm"])
             q = _dense(h, lp["wq"], lp.get("bq") if has_bias else None)
             k = _dense(h, lp["wk"], lp.get("bk") if has_bias else None)
             v = _dense(h, lp["wv"], lp.get("bv") if has_bias else None)
@@ -153,27 +164,31 @@ class LlamaFamily:
             k = k.reshape(b, t, Hkv, D)
             v = v.reshape(b, t, Hkv, D)
             if has_qk_norm:
-                q = rms_norm(q, lp["q_norm"], eps)
-                k = rms_norm(k, lp["k_norm"], eps)
+                q = norm(q, lp["q_norm"])
+                k = norm(k, lp["k_norm"])
             q, k = apply_rope(q, k, positions, inv_freq)
             kv_layer = write_kv_pages(kv_layer, k, v, meta.slot_ids)
             attn_out = attn_fn(q, kv_layer, meta, sm_scale)
             hidden = hidden + _dense(attn_out.reshape(b, t, Hq * D), lp["wo"])
 
-            h = rms_norm(hidden, lp["post_norm"], eps)
+            h = norm(hidden, lp["post_norm"])
             gate = _dense(h, lp["w_gate"])
             up = _dense(h, lp["w_up"])
-            hidden = hidden + _dense(jax.nn.silu(gate) * up, lp["w_down"])
+            hidden = hidden + _dense(act_fn(gate) * up, lp["w_down"])
             return hidden, kv_layer
 
         def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata):
             hidden = jnp.take(params["embed"], input_ids, axis=0)
+            if gemma:
+                hidden = hidden * jnp.asarray(
+                    np.sqrt(cfg.hidden_size), hidden.dtype
+                )
 
             def body(h, xs):
                 return layer_body(h, xs, positions, meta)
 
             hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
-            hidden = rms_norm(hidden, params["final_norm"], eps)
+            hidden = norm(hidden, params["final_norm"])
             b = hidden.shape[0]
             if logits_mode == "hidden":
                 # embedding/pooling mode: last-token hidden state

@@ -213,3 +213,26 @@ def test_mixtral_parity():
         hf_cfg.to_dict() | {"architectures": ["MixtralForCausalLM"]}
     )
     check_model(model, cfg)
+
+
+def test_gemma_parity():
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    hf_cfg = GemmaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=64,
+        hidden_act="gelu_pytorch_tanh",
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    torch.manual_seed(6)
+    model = GemmaForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf_cfg.to_dict() | {"architectures": ["GemmaForCausalLM"]}
+    )
+    check_model(model, cfg, atol=4e-3)
