@@ -49,6 +49,10 @@ class ServerArgs:
     max_prefill_tokens: int = 8192  # per-batch prefill token budget
     chunked_prefill_size: int = 4096  # -1 disables chunking
     disable_radix_cache: bool = False
+    # hierarchical KV cache: evicted radix pages spill to host RAM and are
+    # restored on prefix hits (reference: HiCache, managers/cache_controller)
+    enable_hierarchical_cache: bool = False
+    hicache_host_size_mb: int = 4096
 
     # ---- scheduling ----
     schedule_policy: str = "lpm"  # lpm | fcfs | lof | random

@@ -69,6 +69,10 @@ class Engine:
         self.allocator = PageAllocator(self.runner.num_pages, self.args.page_size)
         if self.args.disable_radix_cache:
             self.radix = None
+        elif self.args.enable_hierarchical_cache:
+            # host tier needs the Python tree (holds per-node host blobs)
+            self.radix = RadixCache(self.args.page_size, self.allocator.free)
+            self._wire_hicache()
         else:
             # prefer the native C++ tree (reference: cpp_radix_tree)
             try:
@@ -86,6 +90,50 @@ class Engine:
         # multi-turn sessions: session_id -> token history (reference:
         # srt/managers/session_controller.py; prefix reuse via radix cache)
         self._sessions: Dict[str, List[int]] = {}
+
+    def _wire_hicache(self) -> None:
+        """Attach host-tier offload/restore hooks to the radix tree
+        (reference: HiCacheController GPU<->host KV movement)."""
+        import jax.numpy as jnp_
+
+        cfg = self.model_config
+        dt = self.runner.kv_cache.dtype
+        bytes_per_page = int(
+            cfg.num_hidden_layers
+            * 2
+            * cfg.num_key_value_heads
+            * self.args.page_size
+            * cfg.actual_head_dim
+            * dt.itemsize
+        )
+
+        def offload(pages):
+            data = np.asarray(
+                self.runner.kv_cache[:, np.asarray(pages, np.int32)]
+            )  # [L, n, 2Hkv, S, D]
+            return [np.ascontiguousarray(data[:, i]) for i in range(len(pages))]
+
+        def restore(host_blobs):
+            need = len(host_blobs)
+            if self.allocator.free_pages < need:
+                # reclaim device pages first; safe mid-walk: nodes on the
+                # path being matched are never device-leafish victims
+                self.radix.evict(need - self.allocator.free_pages)
+            pages = self.allocator.try_alloc(need)
+            if pages is None:
+                return None
+            stacked = np.stack(host_blobs, axis=1)  # [L, n, 2Hkv, S, D]
+            self.runner.kv_cache = self.runner.kv_cache.at[
+                :, jnp_.asarray(np.asarray(pages, np.int32))
+            ].set(jnp_.asarray(stacked))
+            return pages
+
+        self.radix.enable_hicache(
+            offload,
+            restore,
+            bytes_per_page,
+            self.args.hicache_host_size_mb * 1024 * 1024,
+        )
 
     # ---------------- request intake ----------------
     def _make_req(

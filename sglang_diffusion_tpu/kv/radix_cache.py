@@ -32,6 +32,7 @@ class TreeNode:
         "pages",
         "lock_ref",
         "last_access",
+        "host_data",
         "_id",
     )
     _counter = 0
@@ -43,8 +44,15 @@ class TreeNode:
         self.pages: List[int] = []
         self.lock_ref = 0
         self.last_access = time.monotonic()
+        # hierarchical cache: KV content held in host RAM when the node's
+        # device pages were reclaimed (None = device-resident)
+        self.host_data = None
         TreeNode._counter += 1
         self._id = TreeNode._counter
+
+    @property
+    def on_host(self) -> bool:
+        return self.host_data is not None
 
     def __lt__(self, other):  # for heapq
         return self.last_access < other.last_access
@@ -58,6 +66,29 @@ class RadixCache:
         self.root.lock_ref = 1  # never evict root
         self._evictable_tokens = 0
         self._protected_tokens = 0
+        # hierarchical (host) tier — disabled until enable_hicache()
+        self._offload_fn = None
+        self._restore_fn = None
+        self._bytes_per_page = 0
+        self._host_limit_bytes = 0
+        self.host_bytes = 0
+        self.host_tokens = 0
+        self.hicache_hits = 0
+
+    def enable_hicache(
+        self,
+        offload_fn: Callable[[List[int]], object],
+        restore_fn: Callable[[object], Optional[List[int]]],
+        bytes_per_page: int,
+        host_limit_bytes: int,
+    ) -> None:
+        """Turn on the host tier (reference analog: HiCacheController,
+        srt/managers/cache_controller.py:247 — write-through on eviction,
+        restore on prefix hit)."""
+        self._offload_fn = offload_fn
+        self._restore_fn = restore_fn
+        self._bytes_per_page = bytes_per_page
+        self._host_limit_bytes = host_limit_bytes
 
     # ------------- helpers -------------
     def _edge_key(self, tokens: List[int]) -> Tuple[int, ...]:
@@ -104,11 +135,31 @@ class RadixCache:
                 break
             if n_match * self.page_size < len(et):
                 child = self._split_node(node, child, n_match)
+            if child.on_host:
+                if not self._restore_to_device(child):
+                    break  # host tier hit but no device pages available
             child.last_access = time.monotonic()
             pages.extend(child.pages)
             pos += len(child.tokens)
             node = child
         return pages, node
+
+    def _restore_to_device(self, node: TreeNode) -> bool:
+        if self._restore_fn is None:
+            return False
+        new_pages = self._restore_fn(node.host_data)
+        if new_pages is None:
+            return False
+        node.pages = list(new_pages)
+        node.host_data = None
+        n = len(node.tokens)
+        self.host_tokens -= n
+        self.host_bytes -= len(node.pages) * self._bytes_per_page
+        self._evictable_tokens += n if node.lock_ref == 0 else 0
+        if node.lock_ref > 0:
+            self._protected_tokens += n
+        self.hicache_hits += n
+        return True
 
     def _split_node(self, parent: TreeNode, child: TreeNode, n_pages: int) -> TreeNode:
         """Split `child` after n_pages; returns the new upper node."""
@@ -118,6 +169,9 @@ class RadixCache:
         upper.pages = child.pages[:n_pages]
         upper.lock_ref = child.lock_ref
         upper.last_access = child.last_access
+        if child.on_host:  # host blobs are per-page lists; split them too
+            upper.host_data = child.host_data[:n_pages]
+            child.host_data = child.host_data[n_pages:]
         parent.children[self._edge_key(upper.tokens)] = upper
         child.tokens = child.tokens[cut:]
         child.pages = child.pages[n_pages:]
@@ -172,7 +226,7 @@ class RadixCache:
     # ------------- locking -------------
     def inc_lock_ref(self, node: TreeNode) -> None:
         while node is not None and node is not self.root:
-            if node.lock_ref == 0:
+            if node.lock_ref == 0 and not node.on_host:
                 self._evictable_tokens -= len(node.tokens)
                 self._protected_tokens += len(node.tokens)
             node.lock_ref += 1
@@ -182,36 +236,67 @@ class RadixCache:
         while node is not None and node is not self.root:
             node.lock_ref -= 1
             assert node.lock_ref >= 0
-            if node.lock_ref == 0:
+            if node.lock_ref == 0 and not node.on_host:
                 self._protected_tokens -= len(node.tokens)
                 self._evictable_tokens += len(node.tokens)
             node = node.parent
 
     # ------------- eviction -------------
+    def _device_leafish(self, n: TreeNode) -> bool:
+        """Deepest device-resident unlocked nodes: all children (if any)
+        live on the host tier."""
+        return (
+            n is not self.root
+            and n.lock_ref == 0
+            and not n.on_host
+            and all(c.on_host for c in n.children.values())
+        )
+
     def evict(self, num_pages: int) -> int:
-        """Evict up to num_pages pages from unlocked LRU leaves. Returns the
-        number actually evicted (pages are returned via free_pages_fn)."""
-        leaves = [
-            n
-            for n in self._iter_nodes()
-            if not n.children and n.lock_ref == 0 and n is not self.root
-        ]
+        """Reclaim up to num_pages device pages from LRU leaves. With the
+        host tier enabled, content is offloaded to host RAM (and still
+        serves prefix hits); otherwise it is dropped. Returns pages freed."""
+        leaves = [n for n in self._iter_nodes() if self._device_leafish(n)]
         heapq.heapify(leaves)
         evicted = 0
         while leaves and evicted < num_pages:
             leaf = heapq.heappop(leaves)
-            self.free_pages_fn(leaf.pages)
-            evicted += len(leaf.pages)
-            self._evictable_tokens -= len(leaf.tokens)
-            parent = leaf.parent
-            del parent.children[self._edge_key(leaf.tokens)]
+            n_pages = len(leaf.pages)
+            offloaded = False
             if (
-                parent is not self.root
-                and not parent.children
-                and parent.lock_ref == 0
+                self._offload_fn is not None
+                and self.host_bytes + n_pages * self._bytes_per_page
+                <= self._host_limit_bytes
             ):
+                leaf.host_data = self._offload_fn(leaf.pages)
+                offloaded = leaf.host_data is not None
+            self.free_pages_fn(leaf.pages)
+            evicted += n_pages
+            self._evictable_tokens -= len(leaf.tokens)
+            if offloaded:
+                leaf.pages = []
+                self.host_bytes += n_pages * self._bytes_per_page
+                self.host_tokens += len(leaf.tokens)
+            else:
+                # drop the node (and with it any host-resident children)
+                self._drop_subtree_host(leaf)
+                parent = leaf.parent
+                del parent.children[self._edge_key(leaf.tokens)]
+            parent = leaf.parent
+            if self._device_leafish(parent):
                 heapq.heappush(leaves, parent)
         return evicted
+
+    def _drop_subtree_host(self, node: TreeNode) -> None:
+        stack = list(node.children.values())
+        while stack:
+            n = stack.pop()
+            stack.extend(n.children.values())
+            if n.on_host:
+                self.host_bytes -= (
+                    len(n.host_data) * self._bytes_per_page if n.host_data else 0
+                )
+                self.host_tokens -= len(n.tokens)
 
     def _iter_nodes(self):
         stack = [self.root]
