@@ -121,6 +121,32 @@ class Scheduler:
     def has_work(self) -> bool:
         return bool(self.waiting or self.running or self.chunked_req)
 
+    def self_check_idle(self) -> None:
+        """Page-accounting invariant when idle: free + tree-held pages must
+        equal the pool (reference: scheduler_runtime_checker_mixin.py:342
+        self_check_during_idle leak detection). Raises on leaks."""
+        if self.has_work():
+            return
+        tree_pages = 0
+        if self.radix is not None and hasattr(self.radix, "root"):
+            if self.radix.root is not None:
+                stack = [self.radix.root]
+                while stack:
+                    n = stack.pop()
+                    tree_pages += len(n.pages)
+                    stack.extend(n.children.values())
+            else:  # native tree: infer from token accounting
+                tree_pages = (
+                    self.radix.total_cached_tokens() // self.page_size
+                )
+        total = self.allocator.free_pages + tree_pages
+        expect = self.allocator.num_pages - 1  # page 0 reserved
+        if total != expect:
+            raise AssertionError(
+                f"KV page leak: free={self.allocator.free_pages} "
+                f"tree={tree_pages} != pool={expect}"
+            )
+
     def check_timeouts(self) -> List[Req]:
         """Abort requests exceeding waiting/running timeouts (reference:
         scheduler.py:1098 _abort_on_running_timeout, :1827 waiting)."""

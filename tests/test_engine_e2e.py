@@ -141,3 +141,26 @@ def test_retraction_under_memory_pressure():
     for p, o in zip(prompts, outs):
         ref = eng2.generate(p, SamplingParams(temperature=0.0, max_new_tokens=40, ignore_eos=True))
         assert ref["output_ids"] == o["output_ids"]
+
+
+def test_no_page_leaks_after_mixed_workload(engine):
+    """Idle-state page accounting (reference: self_check_during_idle)."""
+    sp = SamplingParams(temperature=0.0, max_new_tokens=5)
+    engine.generate(["leak check one", "leak check two " * 10], sp)
+    engine.generate("leak check one", sp)  # cache hit path
+    engine.scheduler.self_check_idle()
+
+
+def test_no_page_leaks_with_stops_and_aborts(engine):
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop=["zz"])
+    engine.generate("stop strings and pages", sp)
+    r = engine._make_req("to be aborted", None,
+                         SamplingParams(temperature=0.0, max_new_tokens=50))
+    engine.scheduler.add_request(r)
+    engine.step()
+    engine.abort_request(r.rid)
+    for _ in range(10):
+        if not engine.scheduler.has_work():
+            break
+        engine.step()
+    engine.scheduler.self_check_idle()
