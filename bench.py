@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--decode-horizon", type=int, default=32)
     ap.add_argument("--quantization", default=None, choices=[None, "int8", "fp8"])
     ap.add_argument("--kv-cache-dtype", default="auto")
+    ap.add_argument("--num-layers", type=int, default=None, help="override model depth")
+    ap.add_argument("--vocab-size", type=int, default=None, help="override vocab")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
     args = ap.parse_args()
 
@@ -67,6 +69,10 @@ def main():
     from sglang_diffusion_tpu.sampling.params import SamplingParams
 
     cfg = ModelConfig.tiny_llama() if args.tiny else llama32_1b_config()
+    if args.num_layers:
+        cfg.num_hidden_layers = args.num_layers
+    if args.vocab_size:
+        cfg.vocab_size = args.vocab_size
     sargs = ServerArgs(
         model_path="",
         tokenizer_path="byte",

@@ -39,12 +39,16 @@ from sglang_diffusion_tpu.utils.common import get_logger
 logger = get_logger("diffusion")
 
 
-def _select_dit_attention(cfg: DiTConfig):
+def _select_dit_attention(cfg: DiTConfig, sp_mesh=None):
     """Backend selection (reference analog: layers/attention/selector.py):
-    Pallas flash attention on TPU when head_dim is lane-aligned, einsum
-    otherwise."""
+    Ulysses sequence-parallel attention when an "sp" mesh is given, Pallas
+    flash attention on TPU when head_dim is lane-aligned, einsum otherwise."""
     import jax as _jax
 
+    if sp_mesh is not None and sp_mesh.shape.get("sp", 1) > 1:
+        from sglang_diffusion_tpu.diffusion.usp import ulysses_attention
+
+        return lambda q, k, v, s: ulysses_attention(q, k, v, s, sp_mesh)
     if _jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0:
         from sglang_diffusion_tpu.ops.flash_pallas import flash_attention
 
@@ -202,7 +206,9 @@ class DiffusionPipeline:
         tokenizer=None,
         rng_seed: int = 0,
         dtype=jnp.float32,
+        sp_mesh=None,  # Mesh with an "sp" axis -> Ulysses sequence parallel
     ):
+        self.sp_mesh = sp_mesh
         self.dit_cfg = dit_cfg or DiTConfig()
         self.vae_cfg = vae_cfg or VAEConfig(latent_channels=self.dit_cfg.in_channels)
         self.te_cfg = te_cfg or TextEncoderConfig(hidden_size=self.dit_cfg.text_dim)
@@ -218,7 +224,7 @@ class DiffusionPipeline:
             }
         self.params = params
         self.dit_forward = MMDiT.make_forward(
-            self.dit_cfg, attn_fn=_select_dit_attention(self.dit_cfg)
+            self.dit_cfg, attn_fn=_select_dit_attention(self.dit_cfg, sp_mesh)
         )
         self.stages: List[Stage] = [
             InputValidationStage(),

@@ -29,6 +29,11 @@ def ulysses_attention(q, k, v, sm_scale, mesh, axis: str = SP_AXIS):
     axis. Returns output with the same sharding."""
     if mesh is None or mesh.shape.get(axis, 1) == 1:
         return joint_attention(q, k, v, sm_scale)
+    n = mesh.shape[axis]
+    if q.shape[1] % n != 0 or q.shape[2] % n != 0:
+        # Ulysses needs both seq and heads divisible by sp; fall back
+        # (the reference pads; padding needs masked attention — later round)
+        return joint_attention(q, k, v, sm_scale)
 
     from jax import shard_map
 

@@ -45,3 +45,31 @@ def test_ring_handles_sp_gt_heads():
         *(jax.device_put(x, sh) for x in (q, k, v)), 0.25, mesh
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@needs_devices
+def test_pipeline_with_sp_mesh_matches_local():
+    """Full diffusion pipeline under Ulysses SP produces identical images."""
+    from sglang_diffusion_tpu.diffusion.generator import DiffGenerator
+    from sglang_diffusion_tpu.diffusion.models.dit import DiTConfig
+    from sglang_diffusion_tpu.diffusion.models.text_encoder import TextEncoderConfig
+    from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig
+
+    kw = dict(
+        dit_cfg=DiTConfig(
+            hidden_size=64, depth=2, num_heads=4, text_dim=64, in_channels=4
+        ),
+        vae_cfg=VAEConfig(latent_channels=4, base_channels=8, num_upsamples=3),
+        # txt 60 + img (64/8/2)^2=16 -> T=76, divisible by sp=4
+        te_cfg=TextEncoderConfig(hidden_size=64, num_layers=1, num_heads=2, max_len=60),
+    )
+    ref = DiffGenerator.from_config(**kw).generate(
+        "sp test", height=64, width=64, num_inference_steps=2, seed=5
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    sp = DiffGenerator.from_config(**kw, sp_mesh=mesh).generate(
+        "sp test", height=64, width=64, num_inference_steps=2, seed=5
+    )
+    np.testing.assert_allclose(
+        ref["images"].astype(np.int32), sp["images"].astype(np.int32), atol=1
+    )
