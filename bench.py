@@ -48,15 +48,15 @@ def llama32_1b_config():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-prompts", type=int, default=64)
+    ap.add_argument("--num-prompts", type=int, default=128)
     ap.add_argument("--input-len", type=int, default=128)
     ap.add_argument("--output-len", type=int, default=128)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--attention-backend", default="auto")
-    ap.add_argument("--max-total-tokens", type=int, default=32768)
+    ap.add_argument("--max-total-tokens", type=int, default=65536)
     ap.add_argument("--decode-horizon", type=int, default=32)
-    ap.add_argument("--quantization", default=None, choices=[None, "int8", "fp8"])
-    ap.add_argument("--kv-cache-dtype", default="auto")
+    ap.add_argument("--quantization", default="int8", choices=[None, "none", "int8", "fp8"])
+    ap.add_argument("--kv-cache-dtype", default="fp8_e4m3")
     ap.add_argument("--num-layers", type=int, default=None, help="override model depth")
     ap.add_argument("--vocab-size", type=int, default=None, help="override vocab")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
@@ -84,7 +84,7 @@ def main():
         context_length=args.input_len + args.output_len + args.page_size,
         max_running_requests=max(256, args.num_prompts),
         decode_horizon=args.decode_horizon,
-        quantization=args.quantization,
+        quantization=None if args.quantization in (None, "none") else args.quantization,
         kv_cache_dtype=args.kv_cache_dtype,
     )
     t0 = time.time()
@@ -128,7 +128,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "offline_output_throughput_llama3.2-1b_bf16",
+                "metric": "offline_output_throughput_llama3.2-1b"
+                + (f"_{args.quantization}" if args.quantization not in (None, "none") else "_bf16")
+                + ("_fp8kv" if args.kv_cache_dtype == "fp8_e4m3" else ""),
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
