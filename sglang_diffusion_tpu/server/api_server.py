@@ -201,6 +201,20 @@ class ApiServer:
                 }
             )
 
+        @http.route("POST", "/v1/score")
+        async def score(req: Request) -> Response:
+            # choice scoring (reference analog: /v1/score, serving_score.py)
+            body = req.json()
+            prompt = body.get("prompt", body.get("query", ""))
+            choices = body.get("choices", body.get("items", []))
+            if not choices:
+                return Response({"error": "choices required"}, 400)
+            loop = asyncio.get_running_loop()
+            scores = await loop.run_in_executor(
+                None, lambda: self.engine.score_choices(prompt, choices)
+            )
+            return Response({"scores": scores})
+
         @http.route("POST", "/open_session")
         async def open_session(req: Request) -> Response:
             body = req.json()

@@ -154,3 +154,22 @@ async def _scenario(server):
 def test_http_api_roundtrip():
     server = make_server()
     asyncio.run(asyncio.wait_for(_scenario(server), timeout=300))
+
+
+def test_score_route():
+    server = make_server()
+
+    async def scenario():
+        await server.start()
+        port = server.http.port
+        st, _, data = await http_request(
+            port, "POST", "/v1/score",
+            {"prompt": "The answer is ", "choices": ["yes", "no"]},
+        )
+        assert st == 200
+        out = json.loads(data)
+        assert len(out["scores"]) == 2
+        assert out["scores"][0] != out["scores"][1]
+        await server.stop()
+
+    asyncio.run(asyncio.wait_for(scenario(), timeout=300))
