@@ -207,8 +207,11 @@ class DiffusionPipeline:
         rng_seed: int = 0,
         dtype=jnp.float32,
         sp_mesh=None,  # Mesh with an "sp" axis -> Ulysses sequence parallel
+        teacache=None,  # TeaCacheConfig
     ):
         self.sp_mesh = sp_mesh
+        self.teacache = teacache
+        self.last_teacache_skipped = 0
         self.dit_cfg = dit_cfg or DiTConfig()
         self.vae_cfg = vae_cfg or VAEConfig(latent_channels=self.dit_cfg.in_channels)
         self.te_cfg = te_cfg or TextEncoderConfig(hidden_size=self.dit_cfg.text_dim)
@@ -259,9 +262,14 @@ class DiffusionPipeline:
         return self._decode_jit(self.params["vae"], latents)
 
     def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale):
-        """Whole denoise loop in one jit: lax.scan over steps, CFG inside."""
+        """Whole denoise loop in one jit: lax.scan over steps, CFG inside.
+        With TeaCache enabled, steps whose conditioning barely changed reuse
+        the previous velocity via a scalar lax.cond (the DiT branch does not
+        execute on skipped steps)."""
         p = self.dit_cfg.patch_size
         use_cfg = bool(guidance_scale > 1.0)
+        tc = self.teacache
+        use_tc = bool(tc is not None and tc.enabled)
 
         def loop(dit_params, latents, text_emb, neg_emb, sigmas, gs):
             video = latents.ndim == 5
@@ -270,28 +278,65 @@ class DiffusionPipeline:
             else:
                 tokens, grid_hw = patchify(latents, p)
 
-            def step(x, i):
-                sigma = sigmas[i]
-                sigma_next = sigmas[i + 1]
-                t = jnp.full((x.shape[0],), sigma * 1000.0)
+            def cond_signal(t):
+                """Timestep-conditioning proxy (same signal modulating the
+                blocks; text part is step-invariant)."""
+                from sglang_diffusion_tpu.diffusion.models.dit import (
+                    timestep_embedding,
+                )
+
+                e = timestep_embedding(t[:1], 256)
+                h = jnp.dot(jax.nn.silu(jnp.dot(e, dit_params["t_mlp1"])),
+                            dit_params["t_mlp2"])
+                return h[0].astype(jnp.float32)
+
+            def predict(x, t):
                 if use_cfg:
                     x2 = jnp.concatenate([x, x], axis=0)
                     emb2 = jnp.concatenate([text_emb, neg_emb], axis=0)
                     t2 = jnp.concatenate([t, t], axis=0)
                     v2 = self.dit_forward(dit_params, x2, emb2, t2, grid_hw)
                     v_cond, v_uncond = jnp.split(v2, 2, axis=0)
-                    v = v_uncond + gs * (v_cond - v_uncond)
-                else:
-                    v = self.dit_forward(dit_params, x, text_emb, t, grid_hw)
-                x = FlowMatchEulerScheduler.step(v, x, sigma, sigma_next)
-                return x, None
+                    return v_uncond + gs * (v_cond - v_uncond)
+                return self.dit_forward(dit_params, x, text_emb, t, grid_hw)
 
-            tokens, _ = jax.lax.scan(
-                step, tokens, jnp.arange(sigmas.shape[0] - 1)
+            def step(carry, i):
+                x, prev_v, prev_sig, accum, skipped = carry
+                sigma = sigmas[i]
+                sigma_next = sigmas[i + 1]
+                t = jnp.full((x.shape[0],), sigma * 1000.0)
+                if use_tc:
+                    sig = cond_signal(t)
+                    rel = jnp.sum(jnp.abs(sig - prev_sig)) / jnp.maximum(
+                        jnp.sum(jnp.abs(prev_sig)), 1e-6
+                    )
+                    accum_new = accum + rel
+                    skip = (accum_new < tc.threshold) & (i > 0)
+                    v = jax.lax.cond(skip, lambda: prev_v, lambda: predict(x, t))
+                    accum = jnp.where(skip, accum_new, 0.0)
+                    skipped = skipped + skip.astype(jnp.int32)
+                    prev_sig = sig
+                else:
+                    v = predict(x, t)
+                x = FlowMatchEulerScheduler.step(v, x, sigma, sigma_next)
+                return (x, v, prev_sig, accum, skipped), None
+
+            e_dim = dit_params["t_mlp2"].shape[-1]
+            init = (
+                tokens,
+                jnp.zeros_like(tokens),
+                jnp.zeros((e_dim,), jnp.float32),
+                jnp.float32(0.0),
+                jnp.int32(0),
+            )
+            (tokens, _, _, _, skipped), _ = jax.lax.scan(
+                step, init, jnp.arange(sigmas.shape[0] - 1)
             )
             if video:
-                return unpatchify_video(tokens, grid_hw, p, self.dit_cfg.in_channels)
-            return unpatchify(tokens, grid_hw, p, self.dit_cfg.in_channels)
+                out = unpatchify_video(tokens, grid_hw, p, self.dit_cfg.in_channels)
+            else:
+                out = unpatchify(tokens, grid_hw, p, self.dit_cfg.in_channels)
+            return out, skipped
 
         if self._denoise_jit is None:
             self._denoise_jit = {}
@@ -299,9 +344,11 @@ class DiffusionPipeline:
             self._denoise_jit[use_cfg] = jax.jit(loop)
         gs = jnp.float32(guidance_scale)
         neg = neg_emb if neg_emb is not None else text_emb
-        return self._denoise_jit[use_cfg](
+        out, skipped = self._denoise_jit[use_cfg](
             self.params["dit"], latents, text_emb, neg, sigmas, gs
         )
+        self.last_teacache_skipped = int(skipped)
+        return out
 
     # ------------- entry -------------
     def forward(self, gen_params: GenerationParams) -> DiffusionBatch:
