@@ -54,23 +54,25 @@ def get_attention_backend(name: str) -> AttentionFn:
 
 
 @register_attention_backend("xla")
-def _xla_backend(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
+def _xla_backend(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float):
     return attention_xla.paged_attention(
-        q, kv_layer, meta.page_table, meta.kv_lens, meta.q_start_pos, sm_scale
+        q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
+        meta.q_start_pos, sm_scale,
     )
 
 
-def _pallas_backend_impl(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
+def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float):
     # Imported lazily to keep CPU-only environments working.
     from sglang_diffusion_tpu.ops import attention_pallas
 
     if q.shape[-1] % 128 != 0:
         # Mosaic requires 128-lane-aligned head_dim for the page DMA; small
         # head dims (tiny test models) fall back to the XLA path.
-        return _xla_backend(q, kv_layer, meta, sm_scale)
+        return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale)
     return attention_pallas.paged_attention(
         q,
-        kv_layer,
+        kv_cache,
+        layer_idx,
         meta.page_table,
         meta.kv_lens,
         meta.q_start_pos,
@@ -105,18 +107,19 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
     from jax import shard_map
 
     q_spec = P("dp", None, "tp", None)
-    kv_spec = P(None, "tp", None, None)
+    kv_spec = P(None, None, "tp", None, None)
     b_spec = P("dp")
+    rep = P()
 
-    def fn(q, kv_layer, meta: AttentionMetadata, sm_scale: float):
+    def fn(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float):
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(q_spec, kv_spec, P("dp", None), b_spec, b_spec),
+            in_specs=(q_spec, kv_spec, rep, P("dp", None), b_spec, b_spec),
             out_specs=q_spec,
             check_vma=False,
         )
-        def inner(q_l, kv_l, pt, klens, qstart):
+        def inner(q_l, kv_l, li, pt, klens, qstart):
             # slot_ids/logit_idx are not used by attention kernels; fill
             # with placeholders (shard_map operands must be explicit)
             local_meta = AttentionMetadata(
@@ -126,10 +129,11 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
                 slot_ids=pt,
                 logit_idx=klens,
             )
-            return base(q_l, kv_l, local_meta, sm_scale)
+            return base(q_l, kv_l, li, local_meta, sm_scale)
 
         return inner(
-            q, kv_layer, meta.page_table, meta.kv_lens, meta.q_start_pos
+            q, kv_cache, jnp.asarray(layer_idx, jnp.int32),
+            meta.page_table, meta.kv_lens, meta.q_start_pos,
         )
 
     return fn

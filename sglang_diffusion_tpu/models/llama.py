@@ -152,8 +152,11 @@ class LlamaFamily:
             # gemma stores zero-centered norm weights: scale = 1 + w
             return rms_norm(x, (1.0 + w) if gemma else w, eps)
 
-        def layer_body(hidden, xs, positions, meta):
-            lp, kv_layer = xs
+        def layer_body(l, hidden, kv_cache, layers_p, positions, meta):
+            # one layer, indexed dynamically: params stream via dynamic
+            # slices; the KV cache is scattered into IN PLACE (the cache is
+            # the loop carry — no per-layer copies, unlike scan xs/ys)
+            lp = jax.tree.map(lambda x: x[l], layers_p)
             b, t, e = hidden.shape
 
             h = norm(hidden, lp["input_norm"])
@@ -167,15 +170,15 @@ class LlamaFamily:
                 q = norm(q, lp["q_norm"])
                 k = norm(k, lp["k_norm"])
             q, k = apply_rope(q, k, positions, inv_freq)
-            kv_layer = write_kv_pages(kv_layer, k, v, meta.slot_ids)
-            attn_out = attn_fn(q, kv_layer, meta, sm_scale)
+            kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
+            attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
             hidden = hidden + _dense(attn_out.reshape(b, t, Hq * D), lp["wo"])
 
             h = norm(hidden, lp["post_norm"])
             gate = _dense(h, lp["w_gate"])
             up = _dense(h, lp["w_up"])
             hidden = hidden + _dense(act_fn(gate) * up, lp["w_down"])
-            return hidden, kv_layer
+            return hidden, kv_cache
 
         def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata):
             hidden = jnp.take(params["embed"], input_ids, axis=0)
@@ -184,10 +187,13 @@ class LlamaFamily:
                     np.sqrt(cfg.hidden_size), hidden.dtype
                 )
 
-            def body(h, xs):
-                return layer_body(h, xs, positions, meta)
+            def body(l, carry):
+                h, kv = carry
+                return layer_body(l, h, kv, params["layers"], positions, meta)
 
-            hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
+            hidden, new_kv = jax.lax.fori_loop(
+                0, cfg.num_hidden_layers, body, (hidden, kv_cache)
+            )
             hidden = norm(hidden, params["final_norm"])
             b = hidden.shape[0]
             if logits_mode == "hidden":

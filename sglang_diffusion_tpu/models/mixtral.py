@@ -109,7 +109,7 @@ class MixtralFamily:
         }
 
     @staticmethod
-    def make_forward(cfg: ModelConfig, attn_fn: Callable):
+    def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last"):
         Hq = cfg.num_attention_heads
         Hkv = cfg.num_key_value_heads
         D = cfg.actual_head_dim
@@ -118,35 +118,40 @@ class MixtralFamily:
         top_k = cfg.num_experts_per_tok
         inv_freq = jnp.asarray(compute_inv_freq(D, cfg.rope_theta, cfg.rope_scaling))
 
-        def layer_body(hidden, xs, positions, meta):
-            lp, kv_layer = xs
+        def layer_body(l, hidden, kv_cache, layers_p, positions, meta):
+            lp = jax.tree.map(lambda x: x[l], layers_p)
             b, t, e = hidden.shape
             h = rms_norm(hidden, lp["input_norm"], eps)
             q = jnp.dot(h, lp["wq"]).reshape(b, t, Hq, D)
             k = jnp.dot(h, lp["wk"]).reshape(b, t, Hkv, D)
             v = jnp.dot(h, lp["wv"]).reshape(b, t, Hkv, D)
             q, k = apply_rope(q, k, positions, inv_freq)
-            kv_layer = write_kv_pages(kv_layer, k, v, meta.slot_ids)
-            attn_out = attn_fn(q, kv_layer, meta, sm_scale)
+            kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
+            attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
             hidden = hidden + jnp.dot(attn_out.reshape(b, t, Hq * D), lp["wo"])
 
             h = rms_norm(hidden, lp["post_norm"], eps)
             hidden = hidden + moe_mlp(
                 h, lp["w_router"], lp["w_gate"], lp["w_up"], lp["w_down"], top_k
             )
-            return hidden, kv_layer
+            return hidden, kv_cache
 
         def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata):
             hidden = jnp.take(params["embed"], input_ids, axis=0)
 
-            def body(h, xs):
-                return layer_body(h, xs, positions, meta)
+            def body(l, carry):
+                h, kv = carry
+                return layer_body(l, h, kv, params["layers"], positions, meta)
 
-            hidden, new_kv = jax.lax.scan(body, hidden, (params["layers"], kv_cache))
+            hidden, new_kv = jax.lax.fori_loop(
+                0, cfg.num_hidden_layers, body, (hidden, kv_cache)
+            )
             hidden = rms_norm(hidden, params["final_norm"], eps)
             b = hidden.shape[0]
-            last_h = hidden[jnp.arange(b), meta.logit_idx]
-            logits = jnp.dot(last_h, params["lm_head"], preferred_element_type=jnp.float32)
+            if logits_mode == "hidden":
+                return hidden[jnp.arange(b), meta.logit_idx], new_kv
+            h_out = hidden if logits_mode == "all" else hidden[jnp.arange(b), meta.logit_idx]
+            logits = jnp.dot(h_out, params["lm_head"], preferred_element_type=jnp.float32)
             return logits, new_kv
 
         return forward

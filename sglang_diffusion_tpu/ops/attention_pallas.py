@@ -34,12 +34,13 @@ DEFAULT_Q_BLOCK = 128
 
 def _kernel(
     # scalar prefetch
+    layer_ref,  # [1] int32: layer index into the stacked cache
     page_table_ref,  # [B, PPS] int32 (SMEM)
     kv_lens_ref,  # [B] int32
     q_start_ref,  # [B] int32
     # inputs
     q_ref,  # [1, TQ, G, D] VMEM block (one kv head's query group)
-    kv_hbm,  # [P, 2*Hkv, S, D] in ANY/HBM
+    kv_hbm,  # [L, P, 2*Hkv, S, D] in ANY/HBM
     # outputs
     o_ref,  # [1, TQ, G, D] VMEM
     # scratch
@@ -67,10 +68,12 @@ def _kernel(
     kv_limit = jnp.minimum(kv_len, q_start + tq)
     num_pages = pl.cdiv(kv_limit, page_size)
 
+    layer = layer_ref[0]
+
     def start_dma(slot, page_idx):
         pid = page_table_ref[b, page_idx]
         return pltpu.make_async_copy(
-            kv_hbm.at[pid, pl.ds(2 * h, 2)],  # [2, S, D]
+            kv_hbm.at[layer, pid, pl.ds(2 * h, 2)],  # [2, S, D]
             kv_buf.at[slot],
             sems.at[slot],
         )
@@ -143,7 +146,8 @@ def _kernel(
 )
 def paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
-    kv_layer: jax.Array,  # [P, 2*Hkv, S, D]
+    kv_cache: jax.Array,  # [L, P, 2*Hkv, S, D]
+    layer_idx,  # scalar int
     page_table: jax.Array,  # [B, PPS] int32
     kv_lens: jax.Array,  # [B] int32
     q_start_pos: jax.Array,  # [B] int32
@@ -152,7 +156,7 @@ def paged_attention(
     interpret: bool = False,
 ) -> jax.Array:
     b, t, hq, d = q.shape
-    p, two_hkv, s, _ = kv_layer.shape
+    nl, p, two_hkv, s, _ = kv_cache.shape
     hkv = two_hkv // 2
     g = hq // hkv
     tq = min(t, q_block)
@@ -173,7 +177,7 @@ def paged_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -189,7 +193,7 @@ def paged_attention(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 2, s, d), kv_layer.dtype),
+                pltpu.VMEM((2, 2, s, d), kv_cache.dtype),
                 pltpu.VMEM((rows, d), jnp.float32),
                 pltpu.VMEM((rows, 128), jnp.float32),
                 pltpu.VMEM((rows, 128), jnp.float32),
@@ -198,5 +202,12 @@ def paged_attention(
         ),
         out_shape=jax.ShapeDtypeStruct((b, t, hkv, g, d), q.dtype),
         interpret=interpret,
-    )(page_table, kv_lens, q_start_pos, q_r, kv_layer)
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        page_table,
+        kv_lens,
+        q_start_pos,
+        q_r,
+        kv_cache,
+    )
     return out.reshape(b, t, hq, d)

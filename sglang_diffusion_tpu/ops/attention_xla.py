@@ -20,34 +20,46 @@ NEG_INF = -1e30
 
 
 def write_kv_pages(
-    kv_layer: jax.Array,  # [num_pages, 2*Hkv, page_size, D]
+    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    layer_idx,  # scalar int layer index
     k: jax.Array,  # [B, T, Hkv, D]
     v: jax.Array,  # [B, T, Hkv, D]
     slot_ids: jax.Array,  # [B, T] int32 flat slots (page*page_size+off); -1 = skip
 ) -> jax.Array:
-    """Scatter new K/V tokens into the paged cache (write-then-attend)."""
-    num_pages, two_hkv, page_size, d = kv_layer.shape
-    flat = kv_layer.reshape(num_pages * two_hkv * page_size, d)
+    """Scatter new K/V tokens into one layer of the full paged cache.
+
+    Operates on the WHOLE stacked cache (scatter rows carry the layer
+    offset) so the enclosing layer loop can keep the cache as a loop carry
+    that XLA updates in place — never copying a 100MB+ layer per step
+    (which a scan-over-layers ys stack would do)."""
+    nl, num_pages, two_hkv, page_size, d = kv_cache.shape
+    flat = kv_cache.reshape(nl * num_pages * two_hkv * page_size, d)
     kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv, d)  # [B*T, 2Hkv, D]
     kv = kv.astype(flat.dtype)
     slots = slot_ids.reshape(-1)  # [B*T], flat page*page_size+off
     pid = slots // page_size
     off = slots % page_size
     h2 = jnp.arange(two_hkv)[None, :]
-    rows = (pid[:, None] * two_hkv + h2) * page_size + off[:, None]  # [BT, 2Hkv]
+    rows = (
+        (layer_idx * num_pages + pid[:, None]) * two_hkv + h2
+    ) * page_size + off[:, None]  # [BT, 2Hkv]
     # redirect padding slots (<0) out of range; mode="drop" discards them
     rows = jnp.where(slots[:, None] >= 0, rows, flat.shape[0])
     flat = flat.at[rows.reshape(-1)].set(kv.reshape(-1, d), mode="drop")
-    return flat.reshape(num_pages, two_hkv, page_size, d)
+    return flat.reshape(nl, num_pages, two_hkv, page_size, d)
 
 
 def gather_kv(
-    kv_layer: jax.Array,  # [num_pages, 2*Hkv, page_size, D]
+    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    layer_idx,  # scalar int
     page_table: jax.Array,  # [B, pages_per_seq]
 ) -> Tuple[jax.Array, jax.Array]:
-    """Gather each sequence's pages -> K,V [B, Lkv, Hkv, D]."""
-    num_pages, two_hkv, page_size, d = kv_layer.shape
-    pages = jnp.take(kv_layer, jnp.maximum(page_table, 0), axis=0)
+    """Gather one layer's pages for each sequence -> K,V [B, Lkv, Hkv, D].
+    One fused gather over the [(L*P), ...] view — no layer-slice copy."""
+    nl, num_pages, two_hkv, page_size, d = kv_cache.shape
+    flat_pages = kv_cache.reshape(nl * num_pages, two_hkv, page_size, d)
+    idx = layer_idx * num_pages + jnp.maximum(page_table, 0)
+    pages = jnp.take(flat_pages, idx, axis=0)
     b, pps = page_table.shape
     # [B, PPS, 2Hkv, S, D] -> [B, PPS, S, 2Hkv, D] -> [B, Lkv, 2Hkv, D]
     kv = pages.transpose(0, 1, 3, 2, 4).reshape(b, pps * page_size, two_hkv, d)
@@ -83,7 +95,8 @@ def _attn_core(
 
 def paged_attention(
     q: jax.Array,  # [B, Tq, Hq, D] (Tq=1 for decode)
-    kv_layer: jax.Array,  # [num_pages, page_size, 2*Hkv, D]
+    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    layer_idx,  # scalar int layer index
     page_table: jax.Array,  # [B, pages_per_seq]
     kv_lens: jax.Array,  # [B] total valid kv length (incl. tokens just written)
     q_start_pos: jax.Array,  # [B] absolute position of q token 0 (=cache_len)
@@ -96,7 +109,7 @@ def paged_attention(
     q_start_pos + t >= kv_lens; their output is zeroed.
     """
     b, tq = q.shape[0], q.shape[1]
-    k, v = gather_kv(kv_layer, page_table)
+    k, v = gather_kv(kv_cache, layer_idx, page_table)
     lkv = k.shape[1]
     kv_pos = jnp.arange(lkv)[None, None, :]  # [1,1,Lkv]
     q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]

@@ -19,8 +19,8 @@ from sglang_diffusion_tpu.ops.attention_xla import (
 PAGE = 8
 
 
-def make_cache(num_pages, hkv, d, dtype=jnp.float32):
-    return jnp.zeros((num_pages, 2 * hkv, PAGE, d), dtype)
+def make_cache(num_pages, hkv, d, dtype=jnp.float32, nl=1):
+    return jnp.zeros((nl, num_pages, 2 * hkv, PAGE, d), dtype)
 
 
 def test_write_then_gather_roundtrip():
@@ -34,8 +34,8 @@ def test_write_then_gather_roundtrip():
     slots = jnp.stack(
         [jnp.arange(t), 4 * PAGE + jnp.arange(t)]
     ).astype(jnp.int32)
-    cache = write_kv_pages(cache, k, v, slots)
-    kg, vg = gather_kv(cache, page_table)
+    cache = write_kv_pages(cache, 0, k, v, slots)
+    kg, vg = gather_kv(cache, 0, page_table)
     np.testing.assert_allclose(kg[:, :t], k, rtol=1e-6)
     np.testing.assert_allclose(vg[:, :t], v, rtol=1e-6)
 
@@ -46,9 +46,9 @@ def test_padding_slots_dropped():
     k = jnp.ones((b, t, hkv, d))
     v = jnp.ones((b, t, hkv, d))
     slots = jnp.array([[0, 1, -1, -1]], jnp.int32)
-    cache = write_kv_pages(cache, k, v, slots)
-    assert float(cache[0, :, 0].sum()) != 0.0  # slot 0 written
-    assert float(cache[0, :, 2:].sum()) == 0.0  # padding slots dropped
+    cache = write_kv_pages(cache, 0, k, v, slots)
+    assert float(cache[0, 0, :, 0].sum()) != 0.0  # slot 0 written
+    assert float(cache[0, 0, :, 2:].sum()) == 0.0  # padding slots dropped
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (4, 2), (8, 1)])
@@ -75,10 +75,11 @@ def test_paged_matches_full_attention(hq, hkv):
         page_table, offs // PAGE, axis=1
     ) * PAGE + offs % PAGE
     slots = jnp.where(offs < seq_lens[:, None], slots, -1).astype(jnp.int32)
-    cache = write_kv_pages(cache, k, v, slots)
+    cache = write_kv_pages(cache, 0, k, v, slots)
     out = paged_attention(
         q,
         cache,
+        0,
         page_table,
         kv_lens=seq_lens,
         q_start_pos=jnp.zeros((b,), jnp.int32),
@@ -109,11 +110,12 @@ def test_decode_step_matches_prefill():
     for i in range(t):
         slots = jnp.array([[i]], jnp.int32)
         cache = write_kv_pages(
-            cache, k_all[:, i : i + 1], v_all[:, i : i + 1], slots
+            cache, 0, k_all[:, i : i + 1], v_all[:, i : i + 1], slots
         )
         o = paged_attention(
             q_all[:, i : i + 1],
             cache,
+            0,
             page_table,
             kv_lens=jnp.array([i + 1], jnp.int32),
             q_start_pos=jnp.array([i], jnp.int32),

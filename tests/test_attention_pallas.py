@@ -19,7 +19,7 @@ def _setup(b, t_new, hq, hkv, d, ctx_lens, seed=0):
     max_tokens = max(c + t_new for c in ctx_lens)
     pps = -(-max_tokens // PAGE)
     num_pages = b * pps + 1
-    cache = jnp.zeros((num_pages, 2 * hkv, PAGE, d), jnp.float32)
+    cache = jnp.zeros((1, num_pages, 2 * hkv, PAGE, d), jnp.float32)
     page_table = np.zeros((b, pps), np.int32)
     for i in range(b):
         page_table[i] = np.arange(1 + i * pps, 1 + (i + 1) * pps)
@@ -32,7 +32,7 @@ def _setup(b, t_new, hq, hkv, d, ctx_lens, seed=0):
     slots = page_table[np.arange(b)[:, None], offs // PAGE] * PAGE + offs % PAGE
     slots = np.where(offs < np.array(total)[:, None], slots, -1).astype(np.int32)
     cache = attention_xla.write_kv_pages(
-        cache, jnp.asarray(k_all), jnp.asarray(v_all), jnp.asarray(slots)
+        cache, 0, jnp.asarray(k_all), jnp.asarray(v_all), jnp.asarray(slots)
     )
     q = jnp.asarray(rng.normal(size=(b, t_new, hq, d)), jnp.float32)
     kv_lens = jnp.asarray(total, jnp.int32)
@@ -54,9 +54,9 @@ def test_pallas_matches_xla(b, t_new, hq, hkv, ctx):
     d = 32
     q, cache, pt, kv_lens, q_start = _setup(b, t_new, hq, hkv, d, ctx)
     scale = d**-0.5
-    ref = attention_xla.paged_attention(q, cache, pt, kv_lens, q_start, scale)
+    ref = attention_xla.paged_attention(q, cache, 0, pt, kv_lens, q_start, scale)
     got = attention_pallas.paged_attention(
-        q, cache, pt, kv_lens, q_start, scale, q_block=16, interpret=True
+        q, cache, 0, pt, kv_lens, q_start, scale, q_block=16, interpret=True
     )
     # mask out padding queries (ref zeroes them; kernel may too)
     t_idx = np.arange(t_new)[None, :]

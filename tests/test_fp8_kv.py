@@ -46,7 +46,7 @@ def test_fp8_kv_pallas_interpret_matches_xla():
     rng = np.random.default_rng(0)
     PAGE, b, t, hq, hkv, d = 8, 2, 1, 4, 2, 32
     ctx = 20
-    cache = jnp.zeros((8, 2 * hkv, PAGE, d), jnp.float8_e4m3fn)
+    cache = jnp.zeros((1, 8, 2 * hkv, PAGE, d), jnp.float8_e4m3fn)
     pt = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
     total = ctx + t
     k = rng.normal(size=(b, total, hkv, d)).astype(np.float32)
@@ -56,13 +56,13 @@ def test_fp8_kv_pallas_interpret_matches_xla():
         np.int32
     )
     cache = attention_xla.write_kv_pages(
-        cache, jnp.asarray(k), jnp.asarray(v), jnp.asarray(slots)
+        cache, 0, jnp.asarray(k), jnp.asarray(v), jnp.asarray(slots)
     )
     q = jnp.asarray(rng.normal(size=(b, t, hq, d)), jnp.float32)
     kv_lens = jnp.full((b,), total, jnp.int32)
     q_start = jnp.full((b,), ctx, jnp.int32)
-    ref = attention_xla.paged_attention(q, cache, jnp.asarray(pt), kv_lens, q_start, 0.2)
+    ref = attention_xla.paged_attention(q, cache, 0, jnp.asarray(pt), kv_lens, q_start, 0.2)
     got = attention_pallas.paged_attention(
-        q, cache, jnp.asarray(pt), kv_lens, q_start, 0.2, interpret=True
+        q, cache, 0, jnp.asarray(pt), kv_lens, q_start, 0.2, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
