@@ -6,10 +6,10 @@ TPU-native re-design of the reference model zoo entries
 sharded Linear layers). Here the model is a pure function over a params
 pytree; tensor parallelism comes from PartitionSpecs on the params (heads /
 ffn / vocab sharded over the "tp" mesh axis) and GSPMD inserts the
-collectives. Layers are stacked and iterated with lax.scan so compile time
-is O(1) in depth.
+collectives. Layers are stacked and iterated with lax.fori_loop (compile
+time O(1) in depth; the KV cache carry updates in place).
 
-KV cache layout: [L, num_pages, page_size, 2*Hkv, D] (see ops/__init__.py).
+KV cache layout: [L, num_pages, 2*Hkv, page_size, D] (see ops/__init__.py).
 """
 
 from __future__ import annotations
