@@ -48,12 +48,12 @@ def llama32_1b_config():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--num-prompts", type=int, default=128)
+    ap.add_argument("--num-prompts", type=int, default=256)
     ap.add_argument("--input-len", type=int, default=128)
     ap.add_argument("--output-len", type=int, default=128)
     ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--attention-backend", default="auto")
-    ap.add_argument("--max-total-tokens", type=int, default=65536)
+    ap.add_argument("--max-total-tokens", type=int, default=131072)
     ap.add_argument("--decode-horizon", type=int, default=32)
     ap.add_argument("--quantization", default="int8", choices=[None, "none", "int8", "fp8"])
     ap.add_argument("--kv-cache-dtype", default="fp8_e4m3")
