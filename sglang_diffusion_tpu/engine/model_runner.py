@@ -28,7 +28,7 @@ from sglang_diffusion_tpu.utils.common import cdiv, get_logger, select_bucket
 logger = get_logger("model_runner")
 
 # decode/prefill batch-size buckets always include 1 and 2
-BS_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+BS_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
 LQ_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
 
 
