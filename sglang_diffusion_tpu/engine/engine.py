@@ -232,6 +232,9 @@ class Engine:
             "min_p": arr(lambda s: s.min_p, np.float32, 0.0),
             "frequency_penalty": arr(lambda s: s.frequency_penalty, np.float32, 0.0),
             "presence_penalty": arr(lambda s: s.presence_penalty, np.float32, 0.0),
+            "seeds": arr(
+                lambda s: s.seed if s.seed is not None else -1, np.int32, -1
+            ),
         }
 
     # ---------------- sync API ----------------

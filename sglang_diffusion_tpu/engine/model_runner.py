@@ -124,7 +124,8 @@ class ModelRunner:
             )
             logits, new_kv = fwd(params, token_ids, positions, kv_cache, meta)
             next_tok, tok_logprob = sample(
-                logits, samp_meta, key, all_greedy, output_counts, vocab_mask
+                logits, samp_meta, key, all_greedy, output_counts, vocab_mask,
+                nonce=kv_lens,
             )
             return next_tok, tok_logprob, new_kv
 
@@ -158,6 +159,7 @@ class ModelRunner:
                     all_greedy,
                     output_counts,
                     vocab_mask,
+                    nonce=pos,
                 )
                 return (tok, kv_cache), (tok, lp)
 
@@ -343,6 +345,7 @@ class ModelRunner:
             out[:b] = x
             return out
 
+        has_seeds = bool(np.any(samp_meta_np.get("seeds", np.array([-1])) >= 0))
         samp = SamplingMetadata(
             temperature=jnp.asarray(pad1(samp_meta_np["temperature"])),
             top_p=jnp.asarray(pad1(samp_meta_np["top_p"], fill=1.0)),
@@ -350,6 +353,11 @@ class ModelRunner:
             min_p=jnp.asarray(pad1(samp_meta_np["min_p"])),
             frequency_penalty=jnp.asarray(pad1(samp_meta_np["frequency_penalty"])),
             presence_penalty=jnp.asarray(pad1(samp_meta_np["presence_penalty"])),
+            seeds=(
+                jnp.asarray(pad1(samp_meta_np["seeds"], fill=-1))
+                if has_seeds
+                else None
+            ),
         )
         self._rng_counter += 1
         key = jax.random.fold_in(self.base_key, self._rng_counter)

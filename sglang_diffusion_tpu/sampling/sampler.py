@@ -25,6 +25,9 @@ class SamplingMetadata(NamedTuple):
     min_p: jax.Array  # [B] f32
     frequency_penalty: jax.Array  # [B] f32
     presence_penalty: jax.Array  # [B] f32
+    # per-request sampling seed; -1 = use the engine's global stream
+    # (reference analog: deterministic sampling seeds)
+    seeds: Optional[jax.Array] = None  # [B] i32
     # output-token occurrence counts for penalties: [B, V] int32 (optional,
     # pass zeros when no penalties active)
 
@@ -54,6 +57,7 @@ def sample(
     all_greedy: bool = False,
     output_counts: Optional[jax.Array] = None,  # [B, V] i32 for penalties
     vocab_mask: Optional[jax.Array] = None,  # [B, V] bool, False = forbidden
+    nonce: Optional[jax.Array] = None,  # [B] i32 token position (seeded path)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (next_token [B] i32, logprob_of_token [B] f32).
 
@@ -93,7 +97,25 @@ def sample(
     mask_minp = probs >= meta.min_p[:, None] * probs[:, 0:1]
 
     masked = jnp.where(mask_topk & mask_topp & mask_minp, top_vals, -jnp.inf)
-    choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0, c)
+    if meta.seeds is not None and nonce is not None:
+        # per-request seeded sampling: the gumbel noise depends only on
+        # (seed, token position) — reproducible across batch compositions
+        def row_key(seed, n):
+            return jax.random.fold_in(jax.random.PRNGKey(seed), n)
+
+        row_keys = jax.vmap(row_key)(jnp.maximum(meta.seeds, 0), nonce)
+        seeded_u = jax.vmap(
+            lambda k_, n_: jax.random.uniform(k_, (c,), minval=1e-10, maxval=1.0)
+        )(row_keys, nonce)
+        gumbel_seeded = -jnp.log(-jnp.log(seeded_u))
+        global_u = jax.random.uniform(key, (b, c), minval=1e-10, maxval=1.0)
+        gumbel_global = -jnp.log(-jnp.log(global_u))
+        gumbel = jnp.where(
+            (meta.seeds >= 0)[:, None], gumbel_seeded, gumbel_global
+        )
+        choice = jnp.argmax(masked + gumbel, axis=-1)
+    else:
+        choice = jax.random.categorical(key, masked, axis=-1)  # [B] in [0, c)
     sampled_tok = jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
 
     is_greedy = meta.temperature == 0.0
