@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from sglang_diffusion_tpu.diffusion.models.dit import (
     DiTConfig,
@@ -207,9 +208,11 @@ class DiffusionPipeline:
         rng_seed: int = 0,
         dtype=jnp.float32,
         sp_mesh=None,  # Mesh with an "sp" axis -> Ulysses sequence parallel
+        cfg_mesh=None,  # Mesh with a "cfg" axis (size 2) -> CFG parallel
         teacache=None,  # TeaCacheConfig
     ):
         self.sp_mesh = sp_mesh
+        self.cfg_mesh = cfg_mesh
         self.teacache = teacache
         self.last_teacache_skipped = 0
         self.dit_cfg = dit_cfg or DiTConfig()
@@ -295,6 +298,17 @@ class DiffusionPipeline:
                     x2 = jnp.concatenate([x, x], axis=0)
                     emb2 = jnp.concatenate([text_emb, neg_emb], axis=0)
                     t2 = jnp.concatenate([t, t], axis=0)
+                    if self.cfg_mesh is not None:
+                        # CFG parallel: cond/uncond halves on disjoint
+                        # devices (reference: multimodal_gen parallel_state
+                        # CFG groups, :1005-1017) — the doubled batch is
+                        # sharded over the "cfg" mesh axis; XLA places the
+                        # two DiT branch evaluations on separate devices
+                        from jax.sharding import NamedSharding
+
+                        sh = NamedSharding(self.cfg_mesh, P("cfg"))
+                        x2 = jax.lax.with_sharding_constraint(x2, sh)
+                        emb2 = jax.lax.with_sharding_constraint(emb2, sh)
                     v2 = self.dit_forward(dit_params, x2, emb2, t2, grid_hw)
                     v_cond, v_uncond = jnp.split(v2, 2, axis=0)
                     return v_uncond + gs * (v_cond - v_uncond)

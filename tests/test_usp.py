@@ -73,3 +73,31 @@ def test_pipeline_with_sp_mesh_matches_local():
     np.testing.assert_allclose(
         ref["images"].astype(np.int32), sp["images"].astype(np.int32), atol=1
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs >= 2 devices")
+def test_cfg_parallel_matches_local():
+    """CFG-parallel (cond/uncond sharded over a 2-device axis) matches the
+    single-device CFG result."""
+    from sglang_diffusion_tpu.diffusion.generator import DiffGenerator
+    from sglang_diffusion_tpu.diffusion.models.dit import DiTConfig
+    from sglang_diffusion_tpu.diffusion.models.text_encoder import TextEncoderConfig
+    from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig
+
+    kw = dict(
+        dit_cfg=DiTConfig(
+            hidden_size=64, depth=2, num_heads=2, text_dim=64, in_channels=4
+        ),
+        vae_cfg=VAEConfig(latent_channels=4, base_channels=8, num_upsamples=3),
+        te_cfg=TextEncoderConfig(hidden_size=64, num_layers=1, num_heads=2),
+    )
+    gen_kw = dict(
+        height=32, width=32, num_inference_steps=2, seed=4,
+        guidance_scale=4.0, negative_prompt="bad",
+    )
+    ref = DiffGenerator.from_config(**kw).generate("cfgp", **gen_kw)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("cfg",))
+    par = DiffGenerator.from_config(**kw, cfg_mesh=mesh).generate("cfgp", **gen_kw)
+    np.testing.assert_allclose(
+        ref["images"].astype(np.int32), par["images"].astype(np.int32), atol=1
+    )
