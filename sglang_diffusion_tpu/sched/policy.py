@@ -91,7 +91,11 @@ class PrefillAdder:
         """Returns "added", "chunked" (partially added), or "full" (stop)."""
         if self.budget.rem_reqs <= 0:
             return "full"
-        extend = len(req.input_ids) - cached_prefix_len
+        # fill covers prompt + already-sampled outputs (retracted requests
+        # re-prefill their generated tokens too; disagg-imported requests
+        # carry a first token) — using input_ids alone undercounts and can
+        # strand the request un-sampled
+        extend = len(req.all_ids()) - cached_prefix_len
         # new KV this req will need overall (extend + expected decode)
         need = extend + int(
             req.sampling_params.max_new_tokens * self.new_token_ratio
