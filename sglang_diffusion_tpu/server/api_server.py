@@ -396,13 +396,39 @@ class ApiServer:
         async def chat(req: Request) -> Response:
             body = req.json()
             sp = _sp_from_openai(body, self.args.max_new_tokens_default)
-            prompt = self._messages_to_prompt(body.get("messages", []))
+            messages = list(body.get("messages", []))
+            tools = body.get("tools") or []
+            tool_choice = body.get("tool_choice", "auto" if tools else "none")
+            parser = None
+            if tools and tool_choice != "none":
+                from sglang_diffusion_tpu.function_call import (
+                    FunctionCallParser,
+                    tools_system_prompt,
+                )
+
+                messages.insert(
+                    0, {"role": "system", "content": tools_system_prompt(tools)}
+                )
+                parser = FunctionCallParser(tools)
+                if tool_choice == "required" or isinstance(tool_choice, dict):
+                    sp.json_schema = "{}"  # constrain output to JSON
+            prompt = self._messages_to_prompt(messages)
             stream = body.get("stream", False)
             r = self.engine._make_req(prompt, None, sp, stream=stream)
             cid = f"chatcmpl-{uuid.uuid4().hex}"
             created = int(time.time())
             if not stream:
                 out = await self._run_one(r)
+                content: Any = out["text"]
+                tool_calls = []
+                finish = out["meta_info"]["finish_reason"]
+                if parser is not None:
+                    content, tool_calls = parser.parse(out["text"])
+                    if tool_calls:
+                        finish = "tool_calls"
+                msg: Dict[str, Any] = {"role": "assistant", "content": content}
+                if tool_calls:
+                    msg["tool_calls"] = tool_calls
                 return Response(
                     {
                         "id": cid,
@@ -412,8 +438,8 @@ class ApiServer:
                         "choices": [
                             {
                                 "index": 0,
-                                "message": {"role": "assistant", "content": out["text"]},
-                                "finish_reason": out["meta_info"]["finish_reason"],
+                                "message": msg,
+                                "finish_reason": finish,
                             }
                         ],
                         "usage": {
