@@ -61,6 +61,8 @@ class DiffGenerator:
         seed: int = 0,
         num_images: int = 1,
         num_frames: int = 0,
+        image=None,
+        strength: float = 0.6,
     ) -> Dict[str, Any]:
         gp = GenerationParams(
             prompt=prompt,
@@ -72,6 +74,8 @@ class DiffGenerator:
             seed=seed,
             num_images=num_images,
             num_frames=num_frames,
+            image=image,
+            strength=strength,
         )
         t0 = time.perf_counter()
         batch = self.pipeline.forward(gp)

@@ -72,6 +72,11 @@ class GenerationParams:
     seed: int = 0
     num_images: int = 1
     num_frames: int = 0  # 0 = image; >0 = video (frames at 8x temporal)
+    # image-to-image: start from an encoded input image instead of pure
+    # noise; strength in (0, 1] controls how much of the schedule runs
+    # (reference analog: qwen-image-edit / images/edits pipelines)
+    image: Any = None  # np.ndarray [H, W, 3] uint8
+    strength: float = 0.6
 
     def __post_init__(self):
         if self.height % 16 or self.width % 16:
@@ -162,7 +167,21 @@ class LatentPreparationStage(Stage):
             shape = (b, p.num_frames, lat_h, lat_w, pipe.vae_cfg.latent_channels)
         else:
             shape = (b, lat_h, lat_w, pipe.vae_cfg.latent_channels)
-        batch.latents = jax.random.normal(key, shape, jnp.float32)
+        noise = jax.random.normal(key, shape, jnp.float32)
+        if p.image is not None and p.num_frames == 0:
+            # i2i: encode the input image and noise it to the start sigma
+            img = jnp.asarray(p.image, jnp.float32) / 127.5 - 1.0
+            if img.ndim == 3:
+                img = img[None]
+            img = jnp.broadcast_to(img, (b,) + img.shape[1:])
+            z = pipe.vae_encode(img)
+            start = int(round((1.0 - p.strength) * p.num_inference_steps))
+            start = min(start, p.num_inference_steps - 1)
+            batch.sigmas = batch.sigmas[start:]
+            sigma0 = float(batch.sigmas[0])
+            batch.latents = FlowMatchEulerScheduler.scale_noise(z, sigma0, noise)
+        else:
+            batch.latents = noise
 
 
 class DenoisingStage(Stage):
@@ -263,6 +282,19 @@ class DiffusionPipeline:
                 lambda p, z: VAEDecoder.apply(p, z, self.vae_cfg)
             )
         return self._decode_jit(self.params["vae"], latents)
+
+    def vae_encode(self, images: jax.Array):
+        from sglang_diffusion_tpu.diffusion.models.vae import VAEEncoder
+
+        if "vae_encoder" not in self.params:
+            self.params["vae_encoder"] = VAEEncoder.init_params(
+                jax.random.PRNGKey(7), self.vae_cfg
+            )
+        if not hasattr(self, "_encode_img_jit") or self._encode_img_jit is None:
+            self._encode_img_jit = jax.jit(
+                lambda p, x: VAEEncoder.apply(p, x, self.vae_cfg)
+            )
+        return self._encode_img_jit(self.params["vae_encoder"], images)
 
     def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale):
         """Whole denoise loop in one jit: lax.scan over steps, CFG inside.

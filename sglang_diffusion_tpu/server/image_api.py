@@ -67,3 +67,45 @@ def register_image_routes(http: HTTPServer, generator: DiffGenerator) -> None:
                 "meta_info": out["meta_info"],
             }
         )
+
+    @http.route("POST", "/v1/images/edits")
+    async def edits(req: Request) -> Response:
+        """Image-to-image (JSON body with base64 "image"; the reference
+        accepts multipart — JSON keeps the dependency-free server simple)."""
+        import io
+
+        from PIL import Image
+
+        body = req.json()
+        b64_img = body.get("image", "")
+        try:
+            raw = base64.b64decode(b64_img)
+            img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        except Exception:
+            return Response({"error": "invalid base64 image"}, 400)
+        prompt = body.get("prompt", "")
+        size = body.get("size")
+        if size:
+            w, h = (int(x) for x in size.lower().split("x"))
+        else:
+            h, w = img.shape[0], img.shape[1]
+        steps = int(body.get("num_inference_steps", 20))
+        strength = float(body.get("strength", 0.6))
+        seed = int(body.get("seed", int(time.time()) & 0xFFFF))
+
+        import asyncio
+
+        out = await asyncio.get_running_loop().run_in_executor(
+            None,
+            lambda: generator.generate(
+                prompt,
+                height=h,
+                width=w,
+                num_inference_steps=steps,
+                seed=seed,
+                image=img,
+                strength=strength,
+            ),
+        )
+        data = [{"b64_json": png_b64(im)} for im in out["images"]]
+        return Response({"created": int(time.time()), "data": data})

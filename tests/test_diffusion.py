@@ -167,3 +167,20 @@ def test_teacache_skips_and_stays_close():
     assert diff < 80, diff
     # disabled pipeline skips nothing
     assert ref_gen.pipeline.last_teacache_skipped == 0
+
+
+def test_image_to_image(generator):
+    base = generator.generate("base", height=32, width=32, num_inference_steps=4, seed=1)
+    src = base["images"][0]
+    out = generator.generate(
+        "edit it", height=32, width=32, num_inference_steps=6,
+        image=src, strength=0.5, seed=2,
+    )
+    assert out["images"].shape == (1, 32, 32, 3)
+    # strength<1 keeps it anchored to the source: closer to src than a
+    # fresh unrelated generation is
+    fresh = generator.generate("edit it", height=32, width=32,
+                               num_inference_steps=6, seed=2)
+    d_src = np.abs(out["images"].astype(int) - src.astype(int)).mean()
+    d_fresh = np.abs(fresh["images"].astype(int) - src.astype(int)).mean()
+    assert d_src <= d_fresh + 5, (d_src, d_fresh)

@@ -56,3 +56,54 @@ def test_images_generations_route():
         await server.stop()
 
     asyncio.run(asyncio.wait_for(scenario(), timeout=300))
+
+
+def test_images_edits_route():
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    args = ServerArgs(
+        model_path="",
+        tokenizer_path="byte",
+        page_size=8,
+        max_total_tokens=1024,
+        attention_backend="xla",
+        context_length=128,
+        host="127.0.0.1",
+        port=0,
+    )
+    cfg = ModelConfig.tiny_llama(vocab_size=512)
+    eng = Engine(server_args=args, model_config=cfg, tokenizer=ByteTokenizer())
+    gen = DiffGenerator.from_config(
+        dit_cfg=DiTConfig(
+            hidden_size=64, depth=1, num_heads=2, text_dim=64, in_channels=4
+        ),
+        vae_cfg=VAEConfig(latent_channels=4, base_channels=8, num_upsamples=3),
+        te_cfg=TextEncoderConfig(hidden_size=64, num_layers=1, num_heads=2),
+    )
+    server = ApiServer(eng, args, diff_generator=gen)
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    img_b64 = base64.b64encode(buf.getvalue()).decode()
+
+    async def scenario():
+        await server.start()
+        port = server.http.port
+        st, _, data = await http_request(
+            port,
+            "POST",
+            "/v1/images/edits",
+            {"prompt": "edit", "image": img_b64, "num_inference_steps": 2, "seed": 3},
+        )
+        assert st == 200, data
+        out = json.loads(data)
+        png = base64.b64decode(out["data"][0]["b64_json"])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        await server.stop()
+
+    asyncio.run(asyncio.wait_for(scenario(), timeout=300))
