@@ -406,7 +406,8 @@ class ModelRunner:
                 jnp.asarray(pad1(plan.q_start)),
                 jnp.asarray(pad2t(plan.slots, fill=-1)),
             )
-            return np.asarray(greedy)[:b], np.asarray(glp)[:b]
+            greedy, glp = jax.device_get((greedy, glp))
+            return greedy[:b], glp[:b]
 
         if plan.kind == "decode":
             slots_km = np.full((plan.horizon, bb), -1, np.int32)
@@ -424,7 +425,8 @@ class ModelRunner:
                 output_counts=output_counts,
                 vocab_mask=vocab_mask,
             )
-            return np.asarray(next_tok)[:b], np.asarray(logprob)[:b]
+            next_tok, logprob = jax.device_get((next_tok, logprob))
+            return next_tok[:b], logprob[:b]
 
         lq = plan.token_ids.shape[1]
         lb = select_bucket(LQ_BUCKETS, lq)
@@ -450,4 +452,5 @@ class ModelRunner:
             output_counts=output_counts,
             vocab_mask=vocab_mask,
         )
-        return np.asarray(next_tok)[:b, None], np.asarray(logprob)[:b, None]
+        next_tok, logprob = jax.device_get((next_tok, logprob))
+        return next_tok[:b, None], logprob[:b, None]
