@@ -57,6 +57,7 @@ def main():
     ap.add_argument("--decode-horizon", type=int, default=32)
     ap.add_argument("--quantization", default="int8", choices=[None, "none", "int8", "fp8"])
     ap.add_argument("--kv-cache-dtype", default="fp8_e4m3")
+    ap.add_argument("--decode-pipelining", action="store_true")
     ap.add_argument("--num-layers", type=int, default=None, help="override model depth")
     ap.add_argument("--vocab-size", type=int, default=None, help="override vocab")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
@@ -84,6 +85,7 @@ def main():
         context_length=args.input_len + args.output_len + args.page_size,
         max_running_requests=max(256, args.num_prompts),
         decode_horizon=args.decode_horizon,
+        enable_decode_pipelining=args.decode_pipelining,
         quantization=None if args.quantization in (None, "none") else args.quantization,
         kv_cache_dtype=args.kv_cache_dtype,
     )

@@ -176,6 +176,16 @@ class Engine:
         plan = self.scheduler.get_next_batch()
         if plan is None:
             return timed_out
+        if (
+            self.args.enable_decode_pipelining
+            and plan.kind == "decode"
+            and plan.horizon > 1
+            and not self.scheduler.waiting
+            and self.scheduler.chunked_req is None
+        ):
+            finished = self._run_decode_pipelined(plan)
+            finished.extend(timed_out)
+            return finished
         samp_np = self._samp_arrays(plan)
         t0 = time.monotonic()
         next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
@@ -187,8 +197,12 @@ class Engine:
             )
         finished = self.scheduler.process_batch_result(plan, next_tokens, logprobs)
         finished.extend(timed_out)
-        # incremental detokenization + stop-string scan for requests that
-        # produced a token this step (streaming or stop-bearing only)
+        self._post_process(plan, finished)
+        return finished
+
+    def _post_process(self, plan, finished) -> None:
+        """Incremental detokenization + stop-string scan for requests that
+        produced a token this step (streaming or stop-bearing only)."""
         for i, req in enumerate(plan.reqs):
             if not plan.sample_mask[i]:
                 continue
@@ -210,7 +224,107 @@ class Engine:
                 )
                 self.scheduler.num_finished += 1
                 finished.append(req)
-        return finished
+
+    # ------------- cross-call decode pipelining -------------
+    def _derive_next_decode_plan(self, plan):
+        """The follow-on decode window: same requests, positions advanced
+        by the horizon. Returns None when pipelining must stop (a request
+        could finish, memory is tight, or new work arrived)."""
+        import numpy as _np
+
+        from sglang_diffusion_tpu.sched.scheduler import BatchPlan
+        from sglang_diffusion_tpu.utils.common import cdiv
+
+        k = plan.horizon
+        if self.scheduler.waiting or self.scheduler.chunked_req is not None:
+            return None
+        for req in plan.reqs:
+            # one window is in flight (its tokens not yet in output_ids):
+            # the next window needs 2k of remaining budget
+            if req.remaining_new_tokens() < 2 * k or req.finished:
+                return None
+        # grow page lists to cover the next window (device ordering makes
+        # reuse of any pages freed later safe — see disagg/ notes)
+        for i, req in enumerate(plan.reqs):
+            end = int(plan.positions[i, 0]) + 2 * k
+            need = cdiv(end, self.args.page_size) - len(req.pages)
+            if need > 0:
+                if self.allocator.free_pages < need and self.radix is not None:
+                    self.radix.evict(need - self.allocator.free_pages)
+                got = self.allocator.try_alloc(need)
+                if got is None:
+                    return None
+                req.pages.extend(got)
+        b = len(plan.reqs)
+        positions = plan.positions + k
+        slots = _np.full((b, k), -1, _np.int32)
+        page_table = _np.zeros_like(plan.page_table)
+        for i, req in enumerate(plan.reqs):
+            pv = _np.asarray(req.pages, _np.int32)
+            page_table[i, : len(pv)] = pv
+            steps = _np.arange(positions[i, 0], positions[i, 0] + k)
+            slots[i] = pv[steps // self.args.page_size] * self.args.page_size + (
+                steps % self.args.page_size
+            )
+        return BatchPlan(
+            kind="decode",
+            reqs=list(plan.reqs),
+            token_ids=plan.token_ids,  # unused: device tokens feed the call
+            positions=positions,
+            page_table=page_table,
+            kv_lens=plan.kv_lens + k,
+            q_start=plan.q_start + k,
+            slots=slots,
+            logit_idx=plan.logit_idx,
+            sample_mask=plan.sample_mask,
+            horizon=k,
+        )
+
+    def _run_decode_pipelined(self, first_plan) -> List[Req]:
+        """Pure-decode phase with one fused call always in flight
+        (reference analog: event_loop_overlap, scheduler.py:1181)."""
+        import jax as _jax
+
+        samp_np = self._samp_arrays(first_plan)
+        samp, all_greedy = self.runner.build_samp(first_plan, samp_np)
+        finished_total: List[Req] = []
+        cur_plan = first_plan
+        inflight = None  # (plan, toks_dev, lps_dev)
+        tokens0_dev = None
+        while True:
+            issued = None
+            if cur_plan is not None:
+                toks, lps = self.runner.issue_decode(
+                    cur_plan, samp, self.runner.next_decode_key(), all_greedy,
+                    None, None, tokens0_dev=tokens0_dev,
+                )
+                issued = (cur_plan, toks, lps)
+            if inflight is not None:
+                p_prev, t_prev, l_prev = inflight
+                t_np, l_np = _jax.device_get((t_prev, l_prev))
+                nb = len(p_prev.reqs)
+                fin = self.scheduler.process_batch_result(
+                    p_prev, t_np[:nb], l_np[:nb]
+                )
+                self._post_process(p_prev, fin)
+                finished_total.extend(fin)
+                if fin:
+                    # drain the just-issued window: rows of finished reqs
+                    # are discarded by process_batch_result's finished-skip
+                    if issued is not None:
+                        p_i, t_i, l_i = issued
+                        t_np, l_np = _jax.device_get((t_i, l_i))
+                        fin2 = self.scheduler.process_batch_result(
+                            p_i, t_np[: len(p_i.reqs)], l_np[: len(p_i.reqs)]
+                        )
+                        self._post_process(p_i, fin2)
+                        finished_total.extend(fin2)
+                    return finished_total
+            if issued is None:
+                return finished_total
+            inflight = issued
+            tokens0_dev = issued[1][:, -1]  # device-resident last tokens
+            cur_plan = self._derive_next_decode_plan(issued[0])
 
     def pop_stream_delta(self, rid: str) -> str:
         return self._pending_deltas.pop(rid, "")

@@ -231,6 +231,77 @@ class ModelRunner:
             return 65536  # CPU/test default
         return max(4096, budget // token_bytes)
 
+    # ------------- async decode issue (overlap pipelining) -------------
+    def issue_decode(self, plan, samp, key, all_greedy, output_counts,
+                     vocab_mask, page_table=None, tokens0_dev=None):
+        """Dispatch one fused decode call WITHOUT fetching results. Returns
+        device arrays (toks [bb, K], lps [bb, K]). tokens0_dev lets the
+        caller feed the previous call's device-resident last tokens (the
+        cross-call overlap path — no host roundtrip between windows)."""
+        b = plan.token_ids.shape[0]
+        bb = select_bucket(BS_BUCKETS, b)
+        if page_table is None:
+            page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
+            page_table[:b] = plan.page_table
+        slots_km = np.full((plan.horizon, bb), -1, np.int32)
+        slots_km[:, :b] = plan.slots.T
+
+        def pad1(x, fill=0):
+            out = np.full((bb,), fill, x.dtype)
+            out[:b] = x
+            return out
+
+        tokens0 = (
+            tokens0_dev
+            if tokens0_dev is not None
+            else jnp.asarray(pad1(plan.token_ids[:, 0]))
+        )
+        toks, lps, self.kv_cache = self._decode_multi(
+            self.params,
+            self.kv_cache,
+            tokens0,
+            jnp.asarray(pad1(plan.positions[:, 0])),
+            jnp.asarray(page_table),
+            jnp.asarray(slots_km),
+            samp,
+            key,
+            all_greedy=all_greedy,
+            output_counts=output_counts,
+            vocab_mask=vocab_mask,
+        )
+        return toks, lps
+
+    def build_samp(self, plan, samp_meta_np):
+        """Padded SamplingMetadata + static flags for a plan (host->device)."""
+        b = plan.token_ids.shape[0]
+        bb = select_bucket(BS_BUCKETS, b)
+
+        def pad1(x, fill=0):
+            out = np.full((bb,), fill, x.dtype)
+            out[:b] = x
+            return out
+
+        has_seeds = bool(np.any(samp_meta_np.get("seeds", np.array([-1])) >= 0))
+        samp = SamplingMetadata(
+            temperature=jnp.asarray(pad1(samp_meta_np["temperature"])),
+            top_p=jnp.asarray(pad1(samp_meta_np["top_p"], fill=1.0)),
+            top_k=jnp.asarray(pad1(samp_meta_np["top_k"], fill=-1)),
+            min_p=jnp.asarray(pad1(samp_meta_np["min_p"])),
+            frequency_penalty=jnp.asarray(pad1(samp_meta_np["frequency_penalty"])),
+            presence_penalty=jnp.asarray(pad1(samp_meta_np["presence_penalty"])),
+            seeds=(
+                jnp.asarray(pad1(samp_meta_np["seeds"], fill=-1))
+                if has_seeds
+                else None
+            ),
+        )
+        all_greedy = bool(np.all(samp_meta_np["temperature"] == 0.0))
+        return samp, all_greedy
+
+    def next_decode_key(self):
+        self._rng_counter += 1
+        return jax.random.fold_in(self.base_key, self._rng_counter)
+
     # ------------- embeddings -------------
     def run_embedding(self, ids, pages) -> np.ndarray:
         """Hidden-state embedding for one sequence over caller-provided
@@ -410,20 +481,9 @@ class ModelRunner:
             return greedy[:b], glp[:b]
 
         if plan.kind == "decode":
-            slots_km = np.full((plan.horizon, bb), -1, np.int32)
-            slots_km[:, :b] = plan.slots.T
-            next_tok, logprob, self.kv_cache = self._decode_multi(
-                self.params,
-                self.kv_cache,
-                jnp.asarray(pad1(plan.token_ids[:, 0])),
-                jnp.asarray(pad1(plan.positions[:, 0])),
-                jnp.asarray(page_table),
-                jnp.asarray(slots_km),
-                samp,
-                key,
-                all_greedy=all_greedy,
-                output_counts=output_counts,
-                vocab_mask=vocab_mask,
+            next_tok, logprob = self.issue_decode(
+                plan, samp, key, all_greedy, output_counts, vocab_mask,
+                page_table,
             )
             next_tok, logprob = jax.device_get((next_tok, logprob))
             return next_tok[:b], logprob[:b]

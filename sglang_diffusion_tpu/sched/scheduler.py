@@ -543,6 +543,10 @@ class Scheduler:
                     self.running.remove(req)
                 finished.append(req)
                 continue
+            if req.finished:
+                # already finished before this plan's results arrived
+                # (overlap pipelining drain): discard this row
+                continue
             if plan.kind == "prefill":
                 take = int(np.sum(plan.slots[i] >= 0))
                 req.num_computed += take
