@@ -91,6 +91,19 @@ class Engine:
         # srt/managers/session_controller.py; prefix reuse via radix cache)
         self._sessions: Dict[str, List[int]] = {}
 
+        # LoRA adapters (reference: srt/lora/lora_manager.py)
+        self.lora_manager = None
+        if self.args.lora_paths:
+            from sglang_diffusion_tpu.lora import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                model_config, max_adapters=self.args.max_loras_per_batch
+            )
+            self.runner.lora_manager = self.lora_manager
+            for spec in self.args.lora_paths:
+                name, _, path = spec.partition("=")
+                self.lora_manager.load_adapter(name, path or name)
+
     def _wire_hicache(self) -> None:
         """Attach host-tier offload/restore hooks to the radix tree
         (reference: HiCacheController GPU<->host KV movement)."""
@@ -156,6 +169,15 @@ class Engine:
             eos_token_ids=eos_ids,
             stream=stream,
         )
+        if sp.lora_path:
+            if self.lora_manager is None:
+                from sglang_diffusion_tpu.lora import LoRAManager
+
+                self.lora_manager = LoRAManager(
+                    self.model_config, max_adapters=self.args.max_loras_per_batch
+                )
+                self.runner.lora_manager = self.lora_manager
+            req.lora_slot = self.lora_manager.slot_of(sp.lora_path)
         spec = sp.grammar_spec
         if spec is not None:
             if not hasattr(self, "_grammar_manager"):
@@ -182,6 +204,7 @@ class Engine:
             and plan.horizon > 1
             and not self.scheduler.waiting
             and self.scheduler.chunked_req is None
+            and not any(r.lora_slot for r in plan.reqs)
         ):
             finished = self._run_decode_pipelined(plan)
             finished.extend(timed_out)
@@ -568,6 +591,21 @@ class Engine:
             return scores
         finally:
             self.allocator.free(pages)
+
+    def load_lora_adapter(self, name: str, path: str) -> Dict[str, Any]:
+        """Runtime adapter load (reference: /load_lora_adapter route)."""
+        try:
+            if self.lora_manager is None:
+                from sglang_diffusion_tpu.lora import LoRAManager
+
+                self.lora_manager = LoRAManager(
+                    self.model_config, max_adapters=self.args.max_loras_per_batch
+                )
+                self.runner.lora_manager = self.lora_manager
+            slot = self.lora_manager.load_adapter(name, path)
+            return {"success": True, "slot": slot}
+        except Exception as e:  # noqa: BLE001
+            return {"success": False, "message": str(e)}
 
     # ---------------- weight updates (RL hooks) ----------------
     def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:

@@ -209,6 +209,9 @@ class ModelRunner:
             self._verify = jax.jit(verify_step, donate_argnums=(1,))
         self._rng_counter = 0
         self.base_key = jax.random.PRNGKey(args.random_seed)
+        self.lora_manager = None  # set by the engine when LoRA is enabled
+        self._lora_steps = None
+        self._attn_fn = attn_fn
 
     def _auto_kv_tokens(self) -> int:
         """Size the KV pool from free device memory (reference analog:
@@ -230,6 +233,117 @@ class ModelRunner:
         if budget <= 0:
             return 65536  # CPU/test default
         return max(4096, budget // token_bytes)
+
+    # ------------- LoRA step variants -------------
+    def _get_lora_steps(self):
+        if self._lora_steps is None:
+            fwd_l = self.model_cls.make_forward(
+                self.cfg, self._attn_fn, use_lora=True
+            )
+
+            def step_l(params, kv_cache, token_ids, positions, page_table,
+                       kv_lens, q_start, slots, logit_idx, samp_meta, key,
+                       lora_tree, lora_ids, all_greedy=False):
+                meta = AttentionMetadata(
+                    page_table=page_table, kv_lens=kv_lens,
+                    q_start_pos=q_start, slot_ids=slots, logit_idx=logit_idx,
+                )
+                logits, new_kv = fwd_l(
+                    params, token_ids, positions, kv_cache, meta,
+                    lora_tree, lora_ids,
+                )
+                tok, lp = sample(logits, samp_meta, key, all_greedy,
+                                 nonce=kv_lens)
+                return tok, lp, new_kv
+
+            def decode_multi_l(params, kv_cache, tokens0, positions0,
+                               page_table, slots_km, samp_meta, key,
+                               lora_tree, lora_ids, all_greedy=False):
+                def body(carry, xs):
+                    tokens, kv_cache = carry
+                    slots_k, stp = xs
+                    pos = positions0 + stp
+                    meta = AttentionMetadata(
+                        page_table=page_table, kv_lens=pos + 1,
+                        q_start_pos=pos, slot_ids=slots_k[:, None],
+                        logit_idx=jnp.zeros_like(pos),
+                    )
+                    logits, kv_cache = fwd_l(
+                        params, tokens[:, None], pos[:, None], kv_cache,
+                        meta, lora_tree, lora_ids,
+                    )
+                    tok, lp = sample(logits, samp_meta,
+                                     jax.random.fold_in(key, stp),
+                                     all_greedy, nonce=pos)
+                    return (tok, kv_cache), (tok, lp)
+
+                k = slots_km.shape[0]
+                (_, kv_cache), (toks, lps) = jax.lax.scan(
+                    body, (tokens0, kv_cache), (slots_km, jnp.arange(k))
+                )
+                return toks.T, lps.T, kv_cache
+
+            if self.args.disable_jit:
+                self._lora_steps = (step_l, decode_multi_l)
+            else:
+                self._lora_steps = (
+                    jax.jit(step_l, donate_argnums=(1,),
+                            static_argnames=("all_greedy",)),
+                    jax.jit(decode_multi_l, donate_argnums=(1,),
+                            static_argnames=("all_greedy",)),
+                )
+        return self._lora_steps
+
+    def _run_lora_batch(self, plan, samp, all_greedy, key):
+        b = plan.token_ids.shape[0]
+        bb = select_bucket(BS_BUCKETS, b)
+        lora_ids = np.zeros((bb,), np.int32)
+        for i, r in enumerate(plan.reqs):
+            lora_ids[i] = r.lora_slot
+        lora_tree = self.lora_manager.batch_params()
+        lids = jnp.asarray(lora_ids)
+        page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
+        page_table[:b] = plan.page_table
+
+        def pad1(x, fill=0):
+            out = np.full((bb,), fill, x.dtype)
+            out[:b] = x
+            return out
+
+        def pad2(x, fill=0, w=None):
+            w = w or x.shape[1]
+            out = np.full((bb, w), fill, x.dtype)
+            out[:b, : x.shape[1]] = x
+            return out
+
+        step_l, decode_multi_l = self._get_lora_steps()
+        if plan.kind == "decode":
+            slots_km = np.full((plan.horizon, bb), -1, np.int32)
+            slots_km[:, :b] = plan.slots.T
+            toks, lps, self.kv_cache = decode_multi_l(
+                self.params, self.kv_cache,
+                jnp.asarray(pad1(plan.token_ids[:, 0])),
+                jnp.asarray(pad1(plan.positions[:, 0])),
+                jnp.asarray(page_table), jnp.asarray(slots_km),
+                samp, key, lora_tree, lids, all_greedy=all_greedy,
+            )
+            toks, lps = jax.device_get((toks, lps))
+            return toks[:b], lps[:b]
+        lq = plan.token_ids.shape[1]
+        lb = select_bucket(LQ_BUCKETS, lq)
+        toks, lps, self.kv_cache = step_l(
+            self.params, self.kv_cache,
+            jnp.asarray(pad2(plan.token_ids, w=lb)),
+            jnp.asarray(pad2(plan.positions, w=lb)),
+            jnp.asarray(page_table),
+            jnp.asarray(pad1(plan.kv_lens)),
+            jnp.asarray(pad1(plan.q_start)),
+            jnp.asarray(pad2(plan.slots, fill=-1, w=lb)),
+            jnp.asarray(pad1(plan.logit_idx)),
+            samp, key, lora_tree, lids, all_greedy=all_greedy,
+        )
+        toks, lps = jax.device_get((toks, lps))
+        return toks[:b, None], lps[:b, None]
 
     # ------------- async decode issue (overlap pipelining) -------------
     def issue_decode(self, plan, samp, key, all_greedy, output_counts,
@@ -433,6 +547,12 @@ class ModelRunner:
         self._rng_counter += 1
         key = jax.random.fold_in(self.base_key, self._rng_counter)
         all_greedy = bool(np.all(samp_meta_np["temperature"] == 0.0))
+
+        if self.lora_manager is not None and any(
+            r.lora_slot for r in plan.reqs
+        ):
+            samp_l, _ = self.build_samp(plan, samp_meta_np)
+            return self._run_lora_batch(plan, samp_l, all_greedy, key)
 
         has_pen = bool(
             np.any(samp_meta_np["frequency_penalty"] != 0.0)

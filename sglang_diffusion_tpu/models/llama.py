@@ -120,7 +120,8 @@ class LlamaFamily:
 
     # ---------------- forward ----------------
     @staticmethod
-    def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last"):
+    def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last",
+                     use_lora: bool = False):
         """Build the jittable forward step.
 
         forward(params, input_ids [B,T], positions [B,T],
@@ -152,7 +153,8 @@ class LlamaFamily:
             # gemma stores zero-centered norm weights: scale = 1 + w
             return rms_norm(x, (1.0 + w) if gemma else w, eps)
 
-        def layer_body(l, hidden, kv_cache, layers_p, positions, meta):
+        def layer_body(l, hidden, kv_cache, layers_p, positions, meta,
+                       lora_tree=None, lora_ids=None):
             # one layer, indexed dynamically: params stream via dynamic
             # slices; the KV cache is scattered into IN PLACE (the cache is
             # the loop carry — no per-layer copies, unlike scan xs/ys)
@@ -163,6 +165,12 @@ class LlamaFamily:
             q = _dense(h, lp["wq"], lp.get("bq") if has_bias else None)
             k = _dense(h, lp["wk"], lp.get("bk") if has_bias else None)
             v = _dense(h, lp["wv"], lp.get("bv") if has_bias else None)
+            if use_lora:
+                from sglang_diffusion_tpu.lora.manager import apply_lora
+
+                q = apply_lora(h, q, lora_tree, "wq", lora_ids, l)
+                k = apply_lora(h, k, lora_tree, "wk", lora_ids, l)
+                v = apply_lora(h, v, lora_tree, "wv", lora_ids, l)
             q = q.reshape(b, t, Hq, D)
             k = k.reshape(b, t, Hkv, D)
             v = v.reshape(b, t, Hkv, D)
@@ -172,7 +180,13 @@ class LlamaFamily:
             q, k = apply_rope(q, k, positions, inv_freq)
             kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
             attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
-            hidden = hidden + _dense(attn_out.reshape(b, t, Hq * D), lp["wo"])
+            attn_flat = attn_out.reshape(b, t, Hq * D)
+            o = _dense(attn_flat, lp["wo"])
+            if use_lora:
+                from sglang_diffusion_tpu.lora.manager import apply_lora
+
+                o = apply_lora(attn_flat, o, lora_tree, "wo", lora_ids, l)
+            hidden = hidden + o
 
             h = norm(hidden, lp["post_norm"])
             gate = _dense(h, lp["w_gate"])
@@ -180,7 +194,8 @@ class LlamaFamily:
             hidden = hidden + _dense(act_fn(gate) * up, lp["w_down"])
             return hidden, kv_cache
 
-        def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata):
+        def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata,
+                    lora_tree=None, lora_ids=None):
             hidden = jnp.take(params["embed"], input_ids, axis=0)
             if gemma:
                 hidden = hidden * jnp.asarray(
@@ -189,7 +204,8 @@ class LlamaFamily:
 
             def body(l, carry):
                 h, kv = carry
-                return layer_body(l, h, kv, params["layers"], positions, meta)
+                return layer_body(l, h, kv, params["layers"], positions, meta,
+                                  lora_tree, lora_ids)
 
             hidden, new_kv = jax.lax.fori_loop(
                 0, cfg.num_hidden_layers, body, (hidden, kv_cache)

@@ -29,6 +29,8 @@ class SamplingParams:
     # logprobs
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    # LoRA adapter name for this request (reference: lora_path)
+    lora_path: Optional[str] = None
     # constrained decoding (reference: sampling_params.py regex/json_schema)
     regex: Optional[str] = None
     json_schema: Optional[str] = None  # any value enables JSON-mode grammar

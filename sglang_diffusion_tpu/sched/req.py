@@ -52,6 +52,8 @@ class Req:
 
     # constrained decoding session (constrained/manager.py GrammarSession)
     grammar: Optional[object] = None
+    # LoRA adapter slot (0 = base model; see lora/manager.py)
+    lora_slot: int = 0
 
     # streaming / detokenization state
     stream: bool = False

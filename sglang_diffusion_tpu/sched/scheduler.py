@@ -235,6 +235,9 @@ class Scheduler:
         """Radix prefix match at admission; returns cached token count."""
         if req.num_computed > 0 or self.radix is None:
             return req.num_computed  # resumed chunked/retracted req
+        if req.lora_slot:
+            # adapter-specific KV must not mix with base-model cache entries
+            return req.num_computed
         fill = req.all_ids()
         # never reuse the whole prompt: the last token must be recomputed so
         # prefill produces logits for the first new token (reference:
@@ -357,7 +360,9 @@ class Scheduler:
         if not self.running:
             return None
         if self.drafter is not None and all(
-            r.sampling_params.temperature == 0.0 and r.grammar is None
+            r.sampling_params.temperature == 0.0
+            and r.grammar is None
+            and r.lora_slot == 0
             for r in self.running
         ):
             plan = self._get_verify_batch()
@@ -507,6 +512,8 @@ class Scheduler:
         Ownership: the first cached_prefix_len/page pages belong to the tree
         (shared); insert() may dedup more (reference radix_cache.py:459)."""
         shared_pages = req.cached_prefix_len // self.page_size
+        if req.lora_slot:
+            insert_to_cache = False
         if self.radix is not None and insert_to_cache:
             toks = req.all_ids()
             computed = toks[: req.num_computed]
