@@ -251,6 +251,14 @@ class ApiServer:
             except Exception as e:  # noqa: BLE001
                 return Response({"success": False, "message": str(e)}, 400)
 
+        @http.route("POST", "/load_lora_adapter")
+        async def load_lora(req: Request) -> Response:
+            body = req.json()
+            out = self.engine.load_lora_adapter(
+                body.get("lora_name", ""), body.get("lora_path", "")
+            )
+            return Response(out, 200 if out["success"] else 400)
+
         @http.route("POST", "/update_weights_from_disk")
         async def update_weights(req: Request) -> Response:
             body = req.json()
