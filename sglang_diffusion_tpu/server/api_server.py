@@ -46,6 +46,8 @@ def _sp_from_openai(body: Dict[str, Any], default_max: int) -> SamplingParams:
         presence_penalty=body.get("presence_penalty", 0.0),
         stop=body.get("stop"),
         ignore_eos=body.get("ignore_eos", False),
+        seed=body.get("seed"),
+        lora_path=body.get("lora_path"),
     )
 
 
