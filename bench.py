@@ -55,7 +55,8 @@ def main():
     ap.add_argument("--attention-backend", default="auto")
     ap.add_argument("--max-total-tokens", type=int, default=131072)
     ap.add_argument("--decode-horizon", type=int, default=32)
-    ap.add_argument("--quantization", default="int8", choices=[None, "none", "int8", "fp8"])
+    ap.add_argument("--quantization", default="w4a16",
+                    choices=[None, "none", "int8", "fp8", "w4a16"])
     ap.add_argument("--kv-cache-dtype", default="fp8_e4m3")
     ap.add_argument("--decode-pipelining", action="store_true")
     ap.add_argument("--num-layers", type=int, default=None, help="override model depth")

@@ -75,14 +75,14 @@ class ModelRunner:
                 jax.random.PRNGKey(args.random_seed), model_config, dtype
             )
         specs = self.model_cls.partition_specs(model_config)
-        if args.quantization in ("int8", "w8a8_int8", "fp8"):
+        if args.quantization in ("int8", "w8a8_int8", "fp8", "w4a16", "awq", "gptq"):
             from sglang_diffusion_tpu.quant.quantize import (
                 quant_partition_specs,
                 quantize_params,
             )
 
             params = quantize_params(params, args.quantization)
-            specs = quant_partition_specs(specs)
+            specs = quant_partition_specs(specs, args.quantization)
             logger.info("quantized weights: %s", args.quantization)
         mesh = mesh_ctx.mesh
         from jax.sharding import NamedSharding
@@ -485,14 +485,14 @@ class ModelRunner:
         from jax.sharding import NamedSharding
 
         specs = self.model_cls.partition_specs(self.cfg)
-        if self.args.quantization in ("int8", "w8a8_int8", "fp8"):
+        if self.args.quantization in ("int8", "w8a8_int8", "fp8", "w4a16", "awq", "gptq"):
             from sglang_diffusion_tpu.quant.quantize import (
                 quant_partition_specs,
                 quantize_params,
             )
 
             params = quantize_params(params, self.args.quantization)
-            specs = quant_partition_specs(specs)
+            specs = quant_partition_specs(specs, self.args.quantization)
         mesh = self.mesh_ctx.mesh
         self.params = jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),

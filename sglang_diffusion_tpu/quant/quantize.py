@@ -9,9 +9,10 @@ design:
   (preferred_element_type=int32) — no dequant-matmul needed, XLA fuses the
   scales into the epilogue.
 - FP8 (e4m3): same shape, float8 operands, f32 accumulation.
-- W4A16 (AWQ/GPTQ checkpoints): ingested by unpacking to bf16 at load time
-  for functional parity; the fused Pallas dequant-matmul kernel is the
-  round-2 fast path.
+- W4A16: weights stay packed 4-bit in HBM (ksplit nibble layout) and are
+  served by the fused Pallas dequant-GEMM (ops/w4a16_pallas.py) — the
+  speed-of-light path for weight-bandwidth-bound decode. AWQ/GPTQ
+  checkpoints can also be unpacked to bf16 for functional parity.
 
 A "quantized leaf" in a params tree is a dict {"qweight", "scale"}; the
 model's dense() dispatches on leaf type, so every model (LLM + DiT) gets
@@ -19,6 +20,8 @@ quantization for free.
 """
 
 from __future__ import annotations
+
+import functools
 
 from typing import Any, Dict, Optional
 
@@ -34,29 +37,78 @@ _QUANT_KEYS = {
 }
 
 
+# Quantization runs ON DEVICE (jit'd jnp, no host round-trip): pulling a
+# TPU-resident param tree to host for numpy quant costs minutes through a
+# remote-device transport, and the reference's quant configs also quantize
+# on-GPU (srt/layers/quantization/fp8.py process_weights_after_loading).
+
+
+@jax.jit
+def _int8_quant_device(w):
+    wf = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8)
+    scale = amax / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, jnp.squeeze(scale, -2)
+
+
 def _quantize_leaf_int8(w: jax.Array) -> Dict[str, jax.Array]:
     """Per-output-channel symmetric int8: w [..., K, N] -> int8 + scale[..., N]."""
-    wf = np.asarray(w, np.float32)
-    amax = np.abs(wf).max(axis=-2, keepdims=True)  # reduce over K
-    amax = np.maximum(amax, 1e-8)
-    scale = (amax / 127.0).astype(np.float32)
-    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
-    return {"qweight": jnp.asarray(q), "scale": jnp.asarray(np.squeeze(scale, -2))}
+    q, scale = _int8_quant_device(jnp.asarray(w))
+    return {"qweight": q, "scale": scale}
+
+
+@jax.jit
+def _fp8_quant_device(w):
+    wf = w.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8)
+    scale = amax / 448.0  # e4m3 max ~448
+    q = (wf / scale).astype(jnp.float8_e4m3fn)
+    return q, jnp.squeeze(scale, -2)
 
 
 def _quantize_leaf_fp8(w: jax.Array) -> Dict[str, jax.Array]:
-    wf = np.asarray(w, np.float32)
-    amax = np.abs(wf).max(axis=-2, keepdims=True)
-    amax = np.maximum(amax, 1e-8)
-    scale = (amax / 448.0).astype(np.float32)  # e4m3 max ~448
-    q = (wf / scale).astype(jnp.float8_e4m3fn)
-    return {"qweight": jnp.asarray(q), "scale": jnp.asarray(np.squeeze(scale, -2))}
+    q, scale = _fp8_quant_device(jnp.asarray(w))
+    return {"qweight": q, "scale": scale}
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def _w4_quant_device(w, group: int):
+    wf = w.astype(jnp.float32)
+    *lead, k, n = wf.shape
+    wg = wf.reshape(*lead, k // group, group, n)
+    mx = wg.max(axis=-2)
+    mn = wg.min(axis=-2)
+    s = jnp.maximum((mx - mn) / 15.0, 1e-8)  # [..., K//g, N]
+    z = -mn / s
+    q = jnp.clip(
+        jnp.round(wg / s[..., None, :] + z[..., None, :]), 0, 15
+    ).astype(jnp.uint8)
+    q = q.reshape(*lead, k, n)
+    lo = q[..., : k // 2, :]
+    hi = q[..., k // 2 :, :]
+    packed = lo | (hi << 4)
+    return packed, s, z
+
+
+def _quantize_leaf_w4a16(w: jax.Array, group: int = 128) -> Dict[str, jax.Array]:
+    """Per-group asymmetric 4-bit: w [..., K, N] -> ksplit-packed uint8 +
+    per-group scale/zero (dequant = (q - z) * s). Served by the fused Pallas
+    dequant-GEMM (ops/w4a16_pallas.py) — the TPU analog of the reference's
+    Marlin W4A16 kernels (sgl-kernel csrc/gemm/gptq_kernel.cu)."""
+    k = w.shape[-2]
+    g = group
+    while k % (2 * g) != 0 and g > 8:  # tiny test models: shrink the group
+        g //= 2
+    packed, s, z = _w4_quant_device(jnp.asarray(w), g)
+    return {"qweight4": packed, "scale4": s, "zero4": z}
 
 
 def quantize_params(params: Dict[str, Any], method: str) -> Dict[str, Any]:
-    """Quantize matmul weights in a model param tree. method: int8 | fp8."""
+    """Quantize matmul weights in a model param tree. method: int8 | fp8 | w4a16."""
     fn = {"int8": _quantize_leaf_int8, "w8a8_int8": _quantize_leaf_int8,
-          "fp8": _quantize_leaf_fp8}[method]
+          "fp8": _quantize_leaf_fp8, "w4a16": _quantize_leaf_w4a16,
+          "awq": _quantize_leaf_w4a16, "gptq": _quantize_leaf_w4a16}[method]
 
     def walk(node):
         if not isinstance(node, dict):
@@ -74,15 +126,14 @@ def quantize_params(params: Dict[str, Any], method: str) -> Dict[str, Any]:
     return walk(params)
 
 
-def quant_partition_specs(specs: Dict[str, Any]) -> Dict[str, Any]:
-    """Derive specs for a quantized tree: scale inherits the output-dim axis."""
+def quant_partition_specs(
+    specs: Dict[str, Any], method: str = "int8"
+) -> Dict[str, Any]:
+    """Derive specs for a quantized tree: scale inherits the output-dim axis.
 
-    def walk(node):
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, P):
-            return node
-        return node
+    w4a16 leaves keep the full (K, N) spec on all three parts — scale/zero
+    are [K//G, N], same axis order as the weight."""
+    w4 = method in ("w4a16", "awq", "gptq")
 
     def walk_with_keys(node):
         if not isinstance(node, dict):
@@ -92,8 +143,11 @@ def quant_partition_specs(specs: Dict[str, Any]) -> Dict[str, Any]:
             if isinstance(v, dict):
                 out[k] = walk_with_keys(v)
             elif k in _QUANT_KEYS and isinstance(v, P) and len(v) >= 2:
-                # w spec (..., K_axis, N_axis) -> scale spec (..., N_axis)
-                out[k] = {"qweight": v, "scale": P(*(v[:-2] + (v[-1],)))}
+                if w4:
+                    out[k] = {"qweight4": v, "scale4": v, "zero4": v}
+                else:
+                    # w spec (..., K_axis, N_axis) -> scale spec (..., N_axis)
+                    out[k] = {"qweight": v, "scale": P(*(v[:-2] + (v[-1],)))}
             else:
                 out[k] = v
         return out
@@ -137,16 +191,34 @@ def fp8_matmul(x: jax.Array, qw: jax.Array, w_scale: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def w4a16_dense(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
+    """Fused 4-bit dequant-GEMM (Pallas). Single-chip fast path; under TP the
+    packed ksplit layout must be packed per-shard (round-2 shard_map path)."""
+    from sglang_diffusion_tpu.ops.w4a16_pallas import w4a16_matmul
+
+    packed = w["qweight4"]
+    s = w["scale4"]
+    k = 2 * packed.shape[-2]
+    group = k // s.shape[-2]
+    return w4a16_matmul(
+        x, packed, s, w["zero4"], group=group,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 def dense_maybe_quantized(
     x: jax.Array, w: Any, b: Optional[jax.Array] = None
 ) -> jax.Array:
     """Dense layer dispatching on leaf type (plain array vs quantized dict)."""
     if isinstance(w, dict):
-        qw = w["qweight"]
-        if qw.dtype == jnp.int8:
-            out = w8a8_int8_matmul(x, qw, w["scale"])
+        if "qweight4" in w:
+            out = w4a16_dense(x, w)
         else:
-            out = fp8_matmul(x, qw, w["scale"])
+            qw = w["qweight"]
+            if qw.dtype == jnp.int8:
+                out = w8a8_int8_matmul(x, qw, w["scale"])
+            else:
+                out = fp8_matmul(x, qw, w["scale"])
     else:
         out = jnp.dot(x, w)
     if b is not None:
