@@ -34,6 +34,8 @@ class ServerArgs:
     # ---- parallelism (mesh axes) ----
     tp_size: int = 1  # tensor parallel (mesh axis "tp")
     dp_size: int = 1  # data parallel (mesh axis "dp")
+    pp_size: int = 1  # pipeline parallel (mesh axis "pp"; GPipe in-step)
+    pp_microbatches: int = 0  # microbatches per batch (0 -> pp_size)
     ep_size: int = 1  # expert parallel for MoE (reuses "tp" axis slice)
     # diffusion-only sequence parallel degrees (Ulysses x ring), see
     # reference multimodal_gen/runtime/server_args.py:219-231

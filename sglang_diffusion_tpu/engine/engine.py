@@ -49,7 +49,8 @@ class Engine:
     ):
         self.args = server_args or ServerArgs(**kwargs)
         self.mesh_ctx = mesh_ctx or create_mesh(
-            tp_size=self.args.tp_size, dp_size=self.args.dp_size
+            tp_size=self.args.tp_size, dp_size=self.args.dp_size,
+            pp_size=self.args.pp_size,
         )
         if model_config is None:
             model_config = ModelConfig.from_pretrained(self.args.model_path)

@@ -28,6 +28,8 @@ from sglang_diffusion_tpu.utils.common import cdiv, get_logger, select_bucket
 logger = get_logger("model_runner")
 
 # decode/prefill batch-size buckets always include 1 and 2
+# (with pipeline parallelism the runner prunes buckets below the microbatch
+# count so every padded batch splits evenly into microbatches)
 BS_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
 LQ_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
 
@@ -84,6 +86,23 @@ class ModelRunner:
             params = quantize_params(params, args.quantization)
             specs = quant_partition_specs(specs, args.quantization)
             logger.info("quantized weights: %s", args.quantization)
+        self.pp_microbatches = (
+            (args.pp_microbatches or mesh_ctx.pp_size)
+            if mesh_ctx.pp_size > 1 else 1
+        )
+        self.bs_buckets = (
+            BS_BUCKETS if self.pp_microbatches == 1
+            else [b for b in BS_BUCKETS if b % self.pp_microbatches == 0]
+        )
+        if mesh_ctx.pp_size > 1:
+            from sglang_diffusion_tpu.parallel.pipeline import pp_partition_specs
+
+            if model_config.num_hidden_layers % mesh_ctx.pp_size:
+                raise ValueError(
+                    f"pp_size={mesh_ctx.pp_size} must divide "
+                    f"num_hidden_layers={model_config.num_hidden_layers}"
+                )
+            specs = pp_partition_specs(specs)
         mesh = mesh_ctx.mesh
         from jax.sharding import NamedSharding
 
@@ -110,7 +129,15 @@ class ModelRunner:
         from sglang_diffusion_tpu.layers.attention import make_sharded_attention
 
         attn_fn = make_sharded_attention(args.attention_backend, mesh_ctx.mesh)
-        fwd = self.model_cls.make_forward(model_config, attn_fn)
+        if mesh_ctx.pp_size > 1:
+            from sglang_diffusion_tpu.parallel.pipeline import make_pp_forward
+
+            fwd = make_pp_forward(
+                self.model_cls, model_config, attn_fn, mesh_ctx.pp_size,
+                num_microbatches=args.pp_microbatches or None,
+            )
+        else:
+            fwd = self.model_cls.make_forward(model_config, attn_fn)
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
                  q_start, slots, logit_idx, samp_meta, key, all_greedy=False,
@@ -296,7 +323,7 @@ class ModelRunner:
 
     def _run_lora_batch(self, plan, samp, all_greedy, key):
         b = plan.token_ids.shape[0]
-        bb = select_bucket(BS_BUCKETS, b)
+        bb = select_bucket(self.bs_buckets, b)
         lora_ids = np.zeros((bb,), np.int32)
         for i, r in enumerate(plan.reqs):
             lora_ids[i] = r.lora_slot
@@ -353,7 +380,7 @@ class ModelRunner:
         caller feed the previous call's device-resident last tokens (the
         cross-call overlap path — no host roundtrip between windows)."""
         b = plan.token_ids.shape[0]
-        bb = select_bucket(BS_BUCKETS, b)
+        bb = select_bucket(self.bs_buckets, b)
         if page_table is None:
             page_table = np.zeros((bb, self.max_pages_per_seq), np.int32)
             page_table[:b] = plan.page_table
@@ -388,7 +415,7 @@ class ModelRunner:
     def build_samp(self, plan, samp_meta_np):
         """Padded SamplingMetadata + static flags for a plan (host->device)."""
         b = plan.token_ids.shape[0]
-        bb = select_bucket(BS_BUCKETS, b)
+        bb = select_bucket(self.bs_buckets, b)
 
         def pad1(x, fill=0):
             out = np.full((bb,), fill, x.dtype)
@@ -523,7 +550,7 @@ class ModelRunner:
         (next_tokens [B, K], logprobs [B, K]) for the real (unpadded)
         requests. K = plan.horizon for decode, 1 for prefill."""
         b = plan.token_ids.shape[0]
-        bb = select_bucket(BS_BUCKETS, b)
+        bb = select_bucket(self.bs_buckets, b)
 
         def pad1(x, fill=0):
             out = np.full((bb,), fill, x.dtype)

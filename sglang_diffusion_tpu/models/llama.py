@@ -120,8 +120,40 @@ class LlamaFamily:
 
     # ---------------- forward ----------------
     @staticmethod
+    def make_layer_body(cfg: ModelConfig, attn_fn: Callable,
+                        use_lora: bool = False):
+        """Expose the single-layer body for external layer loops (pipeline
+        parallelism runs it per stage over a local layer slice;
+        parallel/pipeline.py)."""
+        fwd_ctx = LlamaFamily.make_forward(cfg, attn_fn, use_lora=use_lora,
+                                           _return_parts=True)
+        return fwd_ctx["layer_body"]
+
+    @staticmethod
+    def make_embed_and_head(cfg: ModelConfig):
+        """(embed(params, input_ids) -> hidden, logits(params, h_out) -> f32)."""
+        gemma = cfg.gemma_style
+        eps = cfg.rms_norm_eps
+
+        def embed(params, input_ids):
+            hidden = jnp.take(params["embed"], input_ids, axis=0)
+            if gemma:
+                hidden = hidden * jnp.asarray(np.sqrt(cfg.hidden_size), hidden.dtype)
+            return hidden
+
+        def head(params, h_out):
+            w = params["final_norm"]
+            h_out = rms_norm(h_out, (1.0 + w) if gemma else w, eps)
+            if cfg.tie_word_embeddings:
+                return jnp.dot(h_out, params["embed"].T,
+                               preferred_element_type=jnp.float32)
+            return _dense(h_out, params["lm_head"]).astype(jnp.float32)
+
+        return embed, head
+
+    @staticmethod
     def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last",
-                     use_lora: bool = False):
+                     use_lora: bool = False, _return_parts: bool = False):
         """Build the jittable forward step.
 
         forward(params, input_ids [B,T], positions [B,T],
@@ -193,6 +225,9 @@ class LlamaFamily:
             up = _dense(h, lp["w_up"])
             hidden = hidden + _dense(act_fn(gate) * up, lp["w_down"])
             return hidden, kv_cache
+
+        if _return_parts:
+            return {"layer_body": layer_body}
 
         def forward(params, input_ids, positions, kv_cache, meta: AttentionMetadata,
                     lora_tree=None, lora_ids=None):

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+PP_AXIS = "pp"
 
 
 @dataclasses.dataclass
@@ -37,6 +38,7 @@ class MeshContext:
     mesh: Mesh
     dp_size: int
     tp_size: int
+    pp_size: int = 1
 
     # Common shardings -------------------------------------------------
     def sharding(self, *spec) -> NamedSharding:
@@ -53,25 +55,34 @@ class MeshContext:
 
     @property
     def kv_sharding(self) -> NamedSharding:
-        """KV cache [layers, pages, 2*kv_heads, page_size, dim]: heads over tp."""
-        return NamedSharding(self.mesh, P(None, None, TP_AXIS, None, None))
+        """KV cache [layers, pages, 2*kv_heads, page_size, dim]: heads over
+        tp; with pipeline parallelism the layer axis is stage-sharded."""
+        layer_axis = PP_AXIS if self.pp_size > 1 else None
+        return NamedSharding(self.mesh, P(layer_axis, None, TP_AXIS, None, None))
 
 
 def create_mesh(
     tp_size: int = 1,
     dp_size: int = 1,
+    pp_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> MeshContext:
     if devices is None:
         devices = jax.devices()
-    n = tp_size * dp_size
+    n = tp_size * dp_size * pp_size
     if len(devices) < n:
         raise ValueError(
-            f"need {n} devices for dp={dp_size} x tp={tp_size}, have {len(devices)}"
+            f"need {n} devices for pp={pp_size} x dp={dp_size} x tp={tp_size},"
+            f" have {len(devices)}"
         )
-    arr = np.array(devices[:n]).reshape(dp_size, tp_size)
-    mesh = Mesh(arr, (DP_AXIS, TP_AXIS))
-    return MeshContext(mesh=mesh, dp_size=dp_size, tp_size=tp_size)
+    if pp_size > 1:
+        arr = np.array(devices[:n]).reshape(pp_size, dp_size, tp_size)
+        mesh = Mesh(arr, (PP_AXIS, DP_AXIS, TP_AXIS))
+    else:
+        arr = np.array(devices[:n]).reshape(dp_size, tp_size)
+        mesh = Mesh(arr, (DP_AXIS, TP_AXIS))
+    return MeshContext(mesh=mesh, dp_size=dp_size, tp_size=tp_size,
+                       pp_size=pp_size)
 
 
 _MESH_CONTEXT: Optional[MeshContext] = None
