@@ -26,26 +26,8 @@ from sglang_diffusion_tpu.ops.norms import rms_norm
 from sglang_diffusion_tpu.ops.rope import apply_rope, compute_inv_freq
 
 
-def moe_mlp(
-    h: jax.Array,  # [B, T, E]
-    w_router: jax.Array,  # [E, X]
-    w_gate: jax.Array,  # [X, E, F]
-    w_up: jax.Array,  # [X, E, F]
-    w_down: jax.Array,  # [X, F, E]
-    top_k: int,
-) -> jax.Array:
-    x_experts = w_gate.shape[0]
-    router_logits = jnp.dot(h, w_router).astype(jnp.float32)  # [B,T,X]
-    topv, topi = jax.lax.top_k(router_logits, top_k)
-    weights = jax.nn.softmax(topv, axis=-1)  # [B,T,k]
-    onehot = jax.nn.one_hot(topi, x_experts, dtype=jnp.float32)  # [B,T,k,X]
-    dense_w = jnp.einsum("btk,btkx->btx", weights, onehot)  # [B,T,X]
-    # all-expert compute
-    gate = jnp.einsum("bte,xef->xbtf", h, w_gate)
-    up = jnp.einsum("bte,xef->xbtf", h, w_up)
-    y = jnp.einsum("xbtf,xfe->xbte", jax.nn.silu(gate) * up, w_down)
-    out = jnp.einsum("xbte,btx->bte", y.astype(jnp.float32), dense_w)
-    return out.astype(h.dtype)
+from sglang_diffusion_tpu.layers.moe import moe_mlp_dense as moe_mlp
+from sglang_diffusion_tpu.layers.moe import moe_mlp_grouped
 
 
 @register_model("MixtralForCausalLM", "Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM")
@@ -109,7 +91,19 @@ class MixtralFamily:
         }
 
     @staticmethod
-    def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last"):
+    def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last",
+                     moe_impl: str = "auto"):
+        """moe_impl: "dense" (all-expert, GSPMD-safe under expert sharding),
+        "grouped" (sort + ragged_dot grouped GEMM, O(k) FLOPs), or "auto"
+        (grouped on a single-device mesh, dense otherwise; the explicit
+        shard_map EP dispatcher lives in layers/moe.py make_ep_moe)."""
+        if moe_impl == "auto":
+            from sglang_diffusion_tpu.parallel.mesh import get_mesh_context
+
+            moe_impl = (
+                "grouped" if get_mesh_context().mesh.size == 1 else "dense"
+            )
+        moe_fn = moe_mlp_grouped if moe_impl == "grouped" else moe_mlp
         Hq = cfg.num_attention_heads
         Hkv = cfg.num_key_value_heads
         D = cfg.actual_head_dim
@@ -131,7 +125,7 @@ class MixtralFamily:
             hidden = hidden + jnp.dot(attn_out.reshape(b, t, Hq * D), lp["wo"])
 
             h = rms_norm(hidden, lp["post_norm"], eps)
-            hidden = hidden + moe_mlp(
+            hidden = hidden + moe_fn(
                 h, lp["w_router"], lp["w_gate"], lp["w_up"], lp["w_down"], top_k
             )
             return hidden, kv_cache
