@@ -38,6 +38,24 @@ class ModelConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 2
     moe_intermediate_size: Optional[int] = None
+    # DeepSeek-style MoE routing (reference: srt/models/deepseek_v2.py,
+    # srt/layers/moe/topk.py noaux_tc): sigmoid scoring + correction bias +
+    # group-limited top-k + shared experts; first k layers stay dense
+    scoring_func: str = "softmax"  # softmax | sigmoid (v3)
+    n_group: int = 1
+    topk_group: int = 1
+    norm_topk_prob: bool = False
+    routed_scaling_factor: float = 1.0
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    # MLA (multi-head latent attention, deepseek v2/v3): the KV cache holds
+    # one compressed latent per token instead of per-head K/V
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    rope_interleave: bool = True
     # misc
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -48,9 +66,35 @@ class ModelConfig:
     def actual_head_dim(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
 
+    # ---- KV cache geometry (MLA stores a single shared latent plane) ----
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank is not None
+
+    @property
+    def kv_cache_heads(self) -> int:
+        """Size of the cache's combined-head axis (2*Hkv, or 1 latent)."""
+        return 1 if self.is_mla else 2 * self.num_key_value_heads
+
+    @property
+    def kv_cache_head_dim(self) -> int:
+        return (
+            self.kv_lora_rank + self.qk_rope_head_dim
+            if self.is_mla else self.actual_head_dim
+        )
+
     @classmethod
     def from_hf_config(cls, cfg: Dict[str, Any]) -> "ModelConfig":
-        archs = cfg.get("architectures") or ["LlamaForCausalLM"]
+        archs = cfg.get("architectures")
+        if not archs:
+            # programmatic HF configs often omit architectures; derive from
+            # model_type ("deepseek_v3" -> "DeepseekV3ForCausalLM")
+            mt = cfg.get("model_type")
+            if mt:
+                camel = "".join(p.capitalize() for p in mt.split("_"))
+                archs = [camel + "ForCausalLM"]
+            else:
+                archs = ["LlamaForCausalLM"]
         eos = cfg.get("eos_token_id")
         if eos is None:
             eos_list = []
@@ -74,6 +118,23 @@ class ModelConfig:
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            scoring_func=cfg.get(
+                "scoring_func",
+                # HF DeepseekV3 hardcodes sigmoid scoring in the router
+                "sigmoid" if archs[0].startswith("DeepseekV3") else "softmax",
+            ),
+            n_group=cfg.get("n_group", 1) or 1,
+            topk_group=cfg.get("topk_group", 1) or 1,
+            norm_topk_prob=cfg.get("norm_topk_prob", False),
+            routed_scaling_factor=cfg.get("routed_scaling_factor", 1.0) or 1.0,
+            n_shared_experts=cfg.get("n_shared_experts", 0) or 0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace", 0) or 0,
+            q_lora_rank=cfg.get("q_lora_rank"),
+            kv_lora_rank=cfg.get("kv_lora_rank"),
+            qk_nope_head_dim=cfg.get("qk_nope_head_dim", 0) or 0,
+            qk_rope_head_dim=cfg.get("qk_rope_head_dim", 0) or 0,
+            v_head_dim=cfg.get("v_head_dim", 0) or 0,
+            rope_interleave=cfg.get("rope_interleave", True),
             attention_bias=cfg.get(
                 "attention_bias",
                 archs[0].startswith("Qwen2"),  # qwen2 family defaults to qkv bias
@@ -81,7 +142,10 @@ class ModelConfig:
             qk_norm=archs[0].startswith("Qwen3"),
             hidden_act=cfg.get("hidden_act", "silu"),
             gemma_style=archs[0].startswith("Gemma"),
-            num_experts=cfg.get("num_local_experts", cfg.get("num_experts", 0)),
+            num_experts=cfg.get(
+                "num_local_experts",
+                cfg.get("num_experts", cfg.get("n_routed_experts", 0)),
+            ),
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             moe_intermediate_size=cfg.get("moe_intermediate_size"),
             bos_token_id=cfg.get("bos_token_id"),

@@ -117,9 +117,9 @@ class ModelRunner:
         kv_shape = (
             model_config.num_hidden_layers,
             self.num_pages,
-            2 * model_config.num_key_value_heads,
+            model_config.kv_cache_heads,  # 2*Hkv, or 1 latent plane (MLA)
             args.page_size,
-            model_config.actual_head_dim,
+            model_config.kv_cache_head_dim,
         )
         self.kv_cache = jax.device_put(
             jnp.zeros(kv_shape, _kv_dtype(args)), mesh_ctx.kv_sharding
@@ -252,9 +252,8 @@ class ModelRunner:
             budget = 0
         token_bytes = (
             self.cfg.num_hidden_layers
-            * 2
-            * self.cfg.num_key_value_heads
-            * self.cfg.actual_head_dim
+            * self.cfg.kv_cache_heads
+            * self.cfg.kv_cache_head_dim
             * (1 if self.args.kv_cache_dtype == "fp8_e4m3" else 2)
         )
         if budget <= 0:

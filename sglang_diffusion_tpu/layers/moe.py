@@ -79,21 +79,64 @@ def _grouped_expert_ffn(xs, expert_ids, w_gate, w_up, w_down, num_experts):
     return jnp.take(y, inv, axis=0)
 
 
+def apply_experts_grouped(h2, ids, weights, w_gate, w_up, w_down):
+    """Apply routed experts via grouped GEMM to pre-routed tokens.
+
+    h2 [N, E], ids [N, k] int32, weights [N, k] f32 -> [N, E]."""
+    n, e = h2.shape
+    top_k = ids.shape[1]
+    num_experts = w_gate.shape[0]
+    xs = jnp.repeat(h2, top_k, axis=0)  # replicas [N*k, E] (token-major)
+    ys = _grouped_expert_ffn(xs, ids.reshape(-1), w_gate, w_up, w_down,
+                             num_experts)
+    ys = ys.reshape(n, top_k, e).astype(jnp.float32)
+    return jnp.einsum("nke,nk->ne", ys, weights)
+
+
 def moe_mlp_grouped(h, w_router, w_gate, w_up, w_down, top_k: int):
     """Top-k dispatch + grouped GEMM (sort + ragged_dot). Same numerics as
     moe_mlp_dense up to f32 summation order."""
     b, t, e = h.shape
-    n = b * t
-    h2 = h.reshape(n, e)
+    h2 = h.reshape(b * t, e)
     ids, weights = _route(h2, w_router, top_k)  # [N,k]
-    num_experts = w_gate.shape[0]
-
-    xs = jnp.repeat(h2, top_k, axis=0)  # replicas [N*k, E] (token-major)
-    flat_ids = ids.reshape(-1)
-    ys = _grouped_expert_ffn(xs, flat_ids, w_gate, w_up, w_down, num_experts)
-    ys = ys.reshape(n, top_k, e).astype(jnp.float32)
-    out = jnp.einsum("nke,nk->ne", ys, weights)
+    out = apply_experts_grouped(h2, ids, weights, w_gate, w_up, w_down)
     return out.reshape(b, t, e).astype(h.dtype)
+
+
+def deepseek_route(h2, w_router, e_bias, cfg):
+    """DeepSeek v2/v3 router (reference: srt/layers/moe/topk.py noaux_tc;
+    HF DeepseekV3TopkRouter numerics): sigmoid (v3) / softmax (v2) scoring,
+    +bias for CHOICE only, group-limited top-k, original scores as weights,
+    optional normalization, routed_scaling_factor.
+
+    h2 [N, E] -> (ids [N, k] int32, weights [N, k] f32)."""
+    x = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    logits = jnp.dot(h2.astype(jnp.float32), w_router.astype(jnp.float32))
+    if cfg.scoring_func == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+    choice = scores + (e_bias[None, :] if e_bias is not None else 0.0)
+    if cfg.n_group > 1:
+        n = h2.shape[0]
+        per_group = x // cfg.n_group
+        grouped = choice.reshape(n, cfg.n_group, per_group)
+        top2, _ = jax.lax.top_k(grouped, min(2, per_group))
+        group_scores = top2.sum(axis=-1)  # [N, G]
+        _, group_idx = jax.lax.top_k(group_scores, cfg.topk_group)
+        group_mask = jnp.zeros_like(group_scores).at[
+            jnp.arange(n)[:, None], group_idx
+        ].set(1.0)
+        choice = jnp.where(
+            jnp.repeat(group_mask, per_group, axis=-1) > 0, choice, 0.0
+        )
+    _, ids = jax.lax.top_k(choice, k)
+    weights = jnp.take_along_axis(scores, ids, axis=-1)
+    if cfg.norm_topk_prob:
+        weights = weights / (weights.sum(axis=-1, keepdims=True) + 1e-20)
+    weights = weights * cfg.routed_scaling_factor
+    return ids.astype(jnp.int32), weights
 
 
 def make_ep_moe(mesh, top_k: int, num_experts: int, ep_axis: str = "tp",
