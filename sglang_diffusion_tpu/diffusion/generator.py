@@ -63,6 +63,7 @@ class DiffGenerator:
         num_frames: int = 0,
         image=None,
         strength: float = 0.6,
+        sampler: str = "euler",
     ) -> Dict[str, Any]:
         gp = GenerationParams(
             prompt=prompt,
@@ -76,6 +77,7 @@ class DiffGenerator:
             num_frames=num_frames,
             image=image,
             strength=strength,
+            sampler=sampler,
         )
         t0 = time.perf_counter()
         batch = self.pipeline.forward(gp)

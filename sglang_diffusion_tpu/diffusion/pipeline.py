@@ -34,7 +34,10 @@ from sglang_diffusion_tpu.diffusion.models.text_encoder import (
     TextEncoderConfig,
 )
 from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig, VAEDecoder
-from sglang_diffusion_tpu.diffusion.scheduling import FlowMatchEulerScheduler
+from sglang_diffusion_tpu.diffusion.scheduling import (
+    FlowMatchEulerScheduler,
+    get_scheduler,
+)
 from sglang_diffusion_tpu.utils.common import get_logger
 
 logger = get_logger("diffusion")
@@ -77,6 +80,9 @@ class GenerationParams:
     # (reference analog: qwen-image-edit / images/edits pipelines)
     image: Any = None  # np.ndarray [H, W, 3] uint8
     strength: float = 0.6
+    # scheduler: "euler" (flow-match Euler) or "unipc" (order-2 UniPC,
+    # the reference's Wan default)
+    sampler: str = "euler"
 
     def __post_init__(self):
         if self.height % 16 or self.width % 16:
@@ -150,6 +156,10 @@ class TimestepPreparationStage(Stage):
         seq_len = (p.height // 8 // pipe.dit_cfg.patch_size) * (
             p.width // 8 // pipe.dit_cfg.patch_size
         ) * max(1, p.num_frames)
+        if p.sampler != "euler":
+            pipe.scheduler = get_scheduler(
+                p.sampler, use_dynamic_shifting=True
+            )
         batch.sigmas = pipe.scheduler.set_timesteps(
             p.num_inference_steps, seq_len=seq_len
         )
@@ -195,6 +205,7 @@ class DenoisingStage(Stage):
             batch.neg_emb,
             jnp.asarray(batch.sigmas),
             p.guidance_scale,
+            sampler=p.sampler,
         )
         batch.latents = latents
 
@@ -296,7 +307,8 @@ class DiffusionPipeline:
             )
         return self._encode_img_jit(self.params["vae_encoder"], images)
 
-    def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale):
+    def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale,
+                    sampler: str = "euler"):
         """Whole denoise loop in one jit: lax.scan over steps, CFG inside.
         With TeaCache enabled, steps whose conditioning barely changed reuse
         the previous velocity via a scalar lax.cond (the DiT branch does not
@@ -305,6 +317,7 @@ class DiffusionPipeline:
         use_cfg = bool(guidance_scale > 1.0)
         tc = self.teacache
         use_tc = bool(tc is not None and tc.enabled)
+        sched = get_scheduler(sampler, use_dynamic_shifting=True)
 
         def loop(dit_params, latents, text_emb, neg_emb, sigmas, gs):
             video = latents.ndim == 5
@@ -346,10 +359,11 @@ class DiffusionPipeline:
                     return v_uncond + gs * (v_cond - v_uncond)
                 return self.dit_forward(dit_params, x, text_emb, t, grid_hw)
 
+            sched_step = sched.make_step(sigmas)
+
             def step(carry, i):
-                x, prev_v, prev_sig, accum, skipped = carry
+                x, prev_v, prev_sig, accum, skipped, sstate = carry
                 sigma = sigmas[i]
-                sigma_next = sigmas[i + 1]
                 t = jnp.full((x.shape[0],), sigma * 1000.0)
                 if use_tc:
                     sig = cond_signal(t)
@@ -364,8 +378,8 @@ class DiffusionPipeline:
                     prev_sig = sig
                 else:
                     v = predict(x, t)
-                x = FlowMatchEulerScheduler.step(v, x, sigma, sigma_next)
-                return (x, v, prev_sig, accum, skipped), None
+                x, sstate = sched_step(i, x, v, sstate)
+                return (x, v, prev_sig, accum, skipped, sstate), None
 
             e_dim = dit_params["t_mlp2"].shape[-1]
             init = (
@@ -374,8 +388,9 @@ class DiffusionPipeline:
                 jnp.zeros((e_dim,), jnp.float32),
                 jnp.float32(0.0),
                 jnp.int32(0),
+                sched.init_state(tokens),
             )
-            (tokens, _, _, _, skipped), _ = jax.lax.scan(
+            (tokens, _, _, _, skipped, _), _ = jax.lax.scan(
                 step, init, jnp.arange(sigmas.shape[0] - 1)
             )
             if video:
@@ -386,11 +401,12 @@ class DiffusionPipeline:
 
         if self._denoise_jit is None:
             self._denoise_jit = {}
-        if use_cfg not in self._denoise_jit:
-            self._denoise_jit[use_cfg] = jax.jit(loop)
+        jit_key = (use_cfg, sampler)
+        if jit_key not in self._denoise_jit:
+            self._denoise_jit[jit_key] = jax.jit(loop)
         gs = jnp.float32(guidance_scale)
         neg = neg_emb if neg_emb is not None else text_emb
-        out, skipped = self._denoise_jit[use_cfg](
+        out, skipped = self._denoise_jit[jit_key](
             self.params["dit"], latents, text_emb, neg, sigmas, gs
         )
         self.last_teacache_skipped = int(skipped)

@@ -61,8 +61,10 @@ class ApiServer:
         self._register_routes()
         if diff_generator is not None:
             from sglang_diffusion_tpu.server.image_api import register_image_routes
+            from sglang_diffusion_tpu.server.video_api import register_video_routes
 
             register_image_routes(self.http, diff_generator)
+            register_video_routes(self.http, diff_generator)
 
     # ------------- lifecycle -------------
     async def run(self) -> None:

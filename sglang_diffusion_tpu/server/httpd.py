@@ -70,7 +70,17 @@ class HTTPServer:
         self.host = host
         self.port = port
         self.routes: Dict[Tuple[str, str], Callable] = {}
+        # (method, prefix) handlers for parameterized paths like
+        # /v1/videos/{id}/content — checked after exact routes miss
+        self.prefix_routes = []
         self._server: Optional[asyncio.AbstractServer] = None
+
+    def prefix_route(self, method: str, prefix: str):
+        def deco(fn):
+            self.prefix_routes.append((method.upper(), prefix, fn))
+            return fn
+
+        return deco
 
     def route(self, method: str, path: str):
         def deco(fn):
@@ -130,6 +140,11 @@ class HTTPServer:
                 if req is None:
                     break
                 handler = self.routes.get((req.method, req.path))
+                if handler is None:
+                    for m, prefix, fn in self.prefix_routes:
+                        if req.method == m and req.path.startswith(prefix):
+                            handler = fn
+                            break
                 if handler is None:
                     resp = Response({"error": f"no route {req.method} {req.path}"}, 404)
                 else:

@@ -44,6 +44,9 @@ def register_image_routes(http: HTTPServer, generator: DiffGenerator) -> None:
         steps = int(body.get("num_inference_steps", 20))
         guidance = float(body.get("guidance_scale", 1.0))
         seed = int(body.get("seed", int(time.time()) & 0xFFFF))
+        sampler = body.get("sampler", "euler")
+        if sampler not in ("euler", "unipc"):
+            return Response({"error": f"unknown sampler {sampler!r}"}, 400)
 
         import asyncio
 
@@ -57,6 +60,7 @@ def register_image_routes(http: HTTPServer, generator: DiffGenerator) -> None:
                 guidance_scale=guidance,
                 seed=seed,
                 num_images=n,
+                sampler=sampler,
             ),
         )
         data = [{"b64_json": png_b64(img)} for img in out["images"]]
