@@ -104,6 +104,8 @@ class ServerArgs:
     # ---- speculative decoding ----
     speculative_algorithm: Optional[str] = None  # None | ngram | eagle
     speculative_num_draft_tokens: int = 4
+    # EAGLE draft head checkpoint (safetensors dir); random-init if unset
+    speculative_draft_model_path: Optional[str] = None
 
     # ---- LoRA ----
     lora_paths: List[str] = field(default_factory=list)

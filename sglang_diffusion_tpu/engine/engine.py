@@ -85,6 +85,14 @@ class Engine:
         self.scheduler = Scheduler(
             self.args, self.allocator, self.radix, self.runner.max_pages_per_seq
         )
+        if self.args.speculative_algorithm == "eagle":
+            from sglang_diffusion_tpu.spec.eagle import EagleDrafter
+
+            self.scheduler.drafter = EagleDrafter(
+                self.runner,
+                k=self.args.speculative_num_draft_tokens,
+                draft_path=self.args.speculative_draft_model_path,
+            )
         self._detoks: Dict[str, IncrementalDetokenizer] = {}
         self._pending_deltas: Dict[str, str] = {}
         self._lock = threading.Lock()
@@ -219,7 +227,11 @@ class Engine:
                 "watchdog: %s step took %.1fs (batch=%d)",
                 plan.kind, step_s, len(plan.reqs),
             )
-        finished = self.scheduler.process_batch_result(plan, next_tokens, logprobs)
+        hidden = self.runner.last_hidden
+        self.runner.last_hidden = None
+        finished = self.scheduler.process_batch_result(
+            plan, next_tokens, logprobs, hidden=hidden
+        )
         finished.extend(timed_out)
         self._post_process(plan, finished)
         return finished

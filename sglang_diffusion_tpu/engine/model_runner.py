@@ -222,6 +222,60 @@ class ModelRunner:
             )[..., 0]
             return greedy, glp, shift_lp, new_kv
 
+        # EAGLE variants: same steps but also returning the pre-final-norm
+        # hidden features the draft head conditions on (reference:
+        # DRAFT_EXTEND / TARGET_VERIFY modes, srt/speculative/eagle_worker.py)
+        self._step_h = self._verify_h = None
+        self.last_hidden = None
+        if args.speculative_algorithm == "eagle":
+            fwd_lh = self.model_cls.make_forward(
+                model_config, attn_fn, logits_mode="last+hidden"
+            )
+            fwd_ah = self.model_cls.make_forward(
+                model_config, attn_fn, logits_mode="all_hidden"
+            )
+
+            def step_h(params, kv_cache, token_ids, positions, page_table,
+                       kv_lens, q_start, slots, logit_idx, samp_meta, key,
+                       all_greedy=False, output_counts=None, vocab_mask=None):
+                meta = AttentionMetadata(
+                    page_table=page_table, kv_lens=kv_lens,
+                    q_start_pos=q_start, slot_ids=slots, logit_idx=logit_idx,
+                )
+                (logits, hidden), new_kv = fwd_lh(
+                    params, token_ids, positions, kv_cache, meta
+                )
+                next_tok, tok_logprob = sample(
+                    logits, samp_meta, key, all_greedy, output_counts,
+                    vocab_mask, nonce=kv_lens,
+                )
+                return next_tok, tok_logprob, hidden, new_kv
+
+            def verify_h_step(params, kv_cache, token_ids, positions,
+                              page_table, kv_lens, q_start, slots):
+                meta = AttentionMetadata(
+                    page_table=page_table, kv_lens=kv_lens,
+                    q_start_pos=q_start, slot_ids=slots,
+                    logit_idx=jnp.zeros_like(kv_lens),
+                )
+                (logits, hidden), new_kv = fwd_ah(
+                    params, token_ids, positions, kv_cache, meta
+                )
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                lps = jax.nn.log_softmax(logits, axis=-1)
+                glp = jnp.take_along_axis(lps, greedy[..., None], axis=-1)[..., 0]
+                return greedy, glp, hidden, new_kv
+
+            if args.disable_jit:
+                self._step_h = step_h
+                self._verify_h = verify_h_step
+            else:
+                self._step_h = jax.jit(
+                    step_h, donate_argnums=(1,),
+                    static_argnames=("all_greedy",),
+                )
+                self._verify_h = jax.jit(verify_h_step, donate_argnums=(1,))
+
         if args.disable_jit:
             self._step = step
             self._decode_multi = decode_multi
@@ -613,7 +667,7 @@ class ModelRunner:
                 out[:b] = x
                 return out
 
-            greedy, glp, _shift_lp, self.kv_cache = self._verify(
+            vargs = (
                 self.params,
                 self.kv_cache,
                 jnp.asarray(pad2t(plan.token_ids)),
@@ -623,7 +677,13 @@ class ModelRunner:
                 jnp.asarray(pad1(plan.q_start)),
                 jnp.asarray(pad2t(plan.slots, fill=-1)),
             )
-            greedy, glp = jax.device_get((greedy, glp))
+            if self._verify_h is not None:
+                greedy, glp, hidden, self.kv_cache = self._verify_h(*vargs)
+                greedy, glp, hidden = jax.device_get((greedy, glp, hidden))
+                self.last_hidden = hidden[:b]
+            else:
+                greedy, glp, _shift_lp, self.kv_cache = self._verify(*vargs)
+                greedy, glp = jax.device_get((greedy, glp))
             return greedy[:b], glp[:b]
 
         if plan.kind == "decode":
@@ -642,7 +702,7 @@ class ModelRunner:
             out[:b, :lq] = x
             return out
 
-        next_tok, logprob, self.kv_cache = self._step(
+        sargs = (
             self.params,
             self.kv_cache,
             jnp.asarray(pad2(plan.token_ids)),
@@ -654,6 +714,19 @@ class ModelRunner:
             jnp.asarray(pad1(plan.logit_idx)),
             samp,
             key,
+        )
+        if self._step_h is not None:
+            next_tok, logprob, hidden, self.kv_cache = self._step_h(
+                *sargs, all_greedy=all_greedy, output_counts=output_counts,
+                vocab_mask=vocab_mask,
+            )
+            next_tok, logprob, hidden = jax.device_get(
+                (next_tok, logprob, hidden)
+            )
+            self.last_hidden = hidden[:b, :lq]
+            return next_tok[:b, None], logprob[:b, None]
+        next_tok, logprob, self.kv_cache = self._step(
+            *sargs,
             all_greedy=all_greedy,
             output_counts=output_counts,
             vocab_mask=vocab_mask,

@@ -43,6 +43,8 @@ from sglang_diffusion_tpu.quant.quantize import dense_maybe_quantized as _dense
 class LlamaFamily:
     """Functional dense-transformer implementation."""
 
+    supports_eagle = True  # implements "all_hidden"/"last+hidden" modes
+
     # ---------------- params ----------------
     @staticmethod
     def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
@@ -162,7 +164,13 @@ class LlamaFamily:
 
         logits_mode "last": logits [B, V] at meta.logit_idx (decode/prefill);
         "all": logits [B, T, V] at every position (speculative verify,
-        reference ForwardMode.TARGET_VERIFY, forward_batch_info.py:74).
+        reference ForwardMode.TARGET_VERIFY, forward_batch_info.py:74);
+        "last+hidden": (logits [B, V], hidden_all [B, T, E]) — prefill under
+        EAGLE (features for the draft model, reference DRAFT_EXTEND mode);
+        "all_hidden": (logits [B, T, V], hidden_all [B, T, E]) — EAGLE verify.
+        Hidden features are pre-final-norm (the last decoder layer's output),
+        matching the reference EAGLE worker's captured hidden_states
+        (srt/speculative/eagle_worker.py:79).
         """
         Hq = cfg.num_attention_heads
         Hkv = cfg.num_key_value_heads
@@ -245,12 +253,13 @@ class LlamaFamily:
             hidden, new_kv = jax.lax.fori_loop(
                 0, cfg.num_hidden_layers, body, (hidden, kv_cache)
             )
+            features = hidden  # pre-final-norm (EAGLE draft features)
             hidden = norm(hidden, params["final_norm"])
             b = hidden.shape[0]
             if logits_mode == "hidden":
                 # embedding/pooling mode: last-token hidden state
                 return hidden[jnp.arange(b), meta.logit_idx], new_kv
-            if logits_mode == "all":
+            if logits_mode in ("all", "all_hidden"):
                 h_out = hidden  # [B, T, E]
             else:
                 # logits only for the selected token of each sequence
@@ -261,6 +270,8 @@ class LlamaFamily:
                 )
             else:
                 logits = _dense(h_out, params["lm_head"]).astype(jnp.float32)
+            if logits_mode in ("all_hidden", "last+hidden"):
+                return (logits, features), new_kv
             return logits, new_kv
 
         return forward

@@ -91,6 +91,9 @@ class Scheduler:
         self.spec_accepted_tokens = 0
 
         # speculative decoding (reference: srt/speculative/)
+        # "eagle": the Engine assigns an EagleDrafter after building the
+        # ModelRunner (the draft head shares the runner's attention backend
+        # and page geometry)
         self.drafter = None
         if args.speculative_algorithm == "ngram":
             from sglang_diffusion_tpu.spec.ngram import NgramDrafter
@@ -417,14 +420,17 @@ class Scheduler:
         reqs = list(self.running)
         if not reqs:
             return None
+        all_drafts = self.drafter.propose_all(reqs)
         drafts = []
-        for r in reqs:
+        for r, d in zip(reqs, all_drafts):
             cap = max(0, r.remaining_new_tokens() - 1)
-            d = self.drafter.propose(r)[: min(self.drafter.k, cap)]
-            drafts.append(d)
+            drafts.append(d[: min(self.drafter.k, cap)])
         t = 1 + max((len(d) for d in drafts), default=0)
-        if t == 1:
-            return None  # nothing drafted; plain decode is cheaper
+        # nothing drafted: plain decode is cheaper — except for EAGLE, which
+        # still runs verify to capture the step's hidden features and keep
+        # the draft state fresh
+        if t == 1 and not getattr(self.drafter, "captures_hidden", False):
+            return None
         b = len(reqs)
         token_ids = np.zeros((b, t), np.int32)
         positions = np.zeros((b, t), np.int32)
@@ -533,15 +539,23 @@ class Scheduler:
             self.radix.dec_lock_ref(req.prefix_node)
             req.prefix_node = None
         req.pages = []
+        if getattr(self.drafter, "captures_hidden", False):
+            self.drafter.drop(req.rid)
 
     # ------------- result processing -------------
     def process_batch_result(
-        self, plan: BatchPlan, next_tokens: np.ndarray, logprobs: Optional[np.ndarray]
+        self, plan: BatchPlan, next_tokens: np.ndarray,
+        logprobs: Optional[np.ndarray], hidden: Optional[np.ndarray] = None,
     ) -> List[Req]:
         """Apply sampled tokens; returns requests that finished this step.
 
         next_tokens: [B, K] (K = plan.horizon; 1 for prefill).
+        hidden: [B, T, E] target features (EAGLE only) for the drafter hooks.
         """
+        eagle = (
+            self.drafter if getattr(self.drafter, "captures_hidden", False)
+            else None
+        )
         finished: List[Req] = []
         for i, req in enumerate(plan.reqs):
             if req.status == ReqStatus.ABORTED:
@@ -565,6 +579,11 @@ class Scheduler:
                     if req not in self.running and not req.finished:
                         self.running.append(req)
                 # else: chunked request continues next round
+                if eagle is not None and hidden is not None and not req.lora_slot:
+                    eagle.on_prefill_chunk(
+                        req, int(plan.q_start[i]), take, hidden[i],
+                        int(next_tokens[i, 0]) if plan.sample_mask[i] else None,
+                    )
             elif plan.kind == "verify":
                 # greedy acceptance: draft j survives iff it equals the
                 # model's prediction at the previous position
@@ -588,6 +607,12 @@ class Scheduler:
                         req, int(next_tokens[i, acc]),
                         float(logprobs[i, acc]) if logprobs is not None else None,
                     )
+                if eagle is not None and hidden is not None and not req.finished:
+                    eagle.on_verify(
+                        req, plan.token_ids[i], acc,
+                        int(next_tokens[i, acc]), hidden[i],
+                        int(plan.q_start[i]),
+                    )
             else:
                 for k in range(plan.horizon):
                     if req.finished:
@@ -597,6 +622,10 @@ class Scheduler:
                         req, int(next_tokens[i, k]),
                         float(logprobs[i, k]) if logprobs is not None else None,
                     )
+                if eagle is not None:
+                    # positions advanced without feature capture; the draft
+                    # state is stale — drop it (rebuilt at the next verify)
+                    eagle.drop(req.rid)
             if req.finished:
                 if req in self.running:
                     self.running.remove(req)

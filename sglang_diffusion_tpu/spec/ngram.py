@@ -20,6 +20,10 @@ class NgramDrafter:
         self.n = ngram
         self.k = num_draft_tokens
 
+    def propose_all(self, reqs: List[Req]) -> List[List[int]]:
+        """Batched interface shared with EagleDrafter."""
+        return [self.propose(r) for r in reqs]
+
     def propose(self, req: Req) -> List[int]:
         """Draft up to k tokens by matching the trailing n-gram against the
         request's history (most recent match wins)."""
