@@ -59,6 +59,9 @@ def main():
                     choices=[None, "none", "int8", "fp8", "w4a16"])
     ap.add_argument("--kv-cache-dtype", default="fp8_e4m3")
     ap.add_argument("--decode-pipelining", action="store_true")
+    ap.add_argument("--speculative-algorithm", default=None,
+                    choices=[None, "ngram", "eagle"])
+    ap.add_argument("--speculative-num-draft-tokens", type=int, default=4)
     ap.add_argument("--num-layers", type=int, default=None, help="override model depth")
     ap.add_argument("--vocab-size", type=int, default=None, help="override vocab")
     ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
@@ -89,6 +92,8 @@ def main():
         enable_decode_pipelining=args.decode_pipelining,
         quantization=None if args.quantization in (None, "none") else args.quantization,
         kv_cache_dtype=args.kv_cache_dtype,
+        speculative_algorithm=args.speculative_algorithm,
+        speculative_num_draft_tokens=args.speculative_num_draft_tokens,
     )
     t0 = time.time()
     eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())
@@ -128,6 +133,14 @@ def main():
         f"total_tok/s={total_tokens/elapsed:.1f}",
         file=sys.stderr,
     )
+    if args.speculative_algorithm:
+        d = eng.scheduler.spec_draft_tokens
+        a = eng.scheduler.spec_accepted_tokens
+        print(
+            f"spec[{args.speculative_algorithm}]: drafted={d} accepted={a} "
+            f"rate={a / max(1, d):.2f}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
