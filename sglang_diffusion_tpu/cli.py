@@ -31,7 +31,38 @@ def main(argv=None):
 
     sub.add_parser("version", help="print version")
 
+    p_router = sub.add_parser(
+        "router", help="launch the native model gateway (C++ sgld-gateway)"
+    )
+    p_router.add_argument("--port", type=int, default=30080)
+    p_router.add_argument("--worker", action="append", default=[],
+                          help="worker base URL (repeatable)")
+    p_router.add_argument("--policy", default="cache_aware",
+                          choices=["cache_aware", "round_robin", "random",
+                                   "shortest_queue", "power_of_two",
+                                   "consistent_hash"])
+    p_router.add_argument("--cache-threshold", type=float, default=0.5)
+    p_router.add_argument("--balance-abs-threshold", type=int, default=32)
+    p_router.add_argument("--balance-rel-threshold", type=float, default=1.0001)
+    p_router.add_argument("--health-interval", type=int, default=5)
+
     args = parser.parse_args(argv)
+    if args.cmd == "router":
+        from sglang_diffusion_tpu.gateway import GatewayProcess
+
+        gw = GatewayProcess(
+            args.port, args.worker, policy=args.policy,
+            cache_threshold=args.cache_threshold,
+            balance_abs_threshold=args.balance_abs_threshold,
+            balance_rel_threshold=args.balance_rel_threshold,
+            health_interval=args.health_interval,
+        )
+        print(f"gateway on :{args.port} -> {args.worker}", file=sys.stderr)
+        try:
+            gw.proc.wait()
+        except KeyboardInterrupt:
+            gw.shutdown()
+        return 0
     if args.cmd == "version":
         import sglang_diffusion_tpu
 
