@@ -4,7 +4,10 @@ TPU-native analog of the reference's RoPE family (srt/layers/rotary_embedding/).
 Numerics match HF transformers' llama implementation (rotate-half convention)
 so that HF checkpoints produce identical outputs.
 
-Supports: default llama/qwen RoPE, llama3 frequency scaling, linear scaling.
+Supports: default llama/qwen RoPE, llama3 frequency scaling, linear scaling,
+YaRN (NTK-by-parts + attention temperature, reference
+srt/layers/rotary_embedding/ YaRNScalingRotaryEmbedding), and M-RoPE
+(multimodal 3D rotary used by Qwen2-VL, reference MRotaryEmbedding).
 Computed on the fly from positions (no precomputed table needed — XLA fuses
 the sin/cos into the surrounding ops; positions are int32 arrays).
 """
@@ -50,10 +53,66 @@ def compute_inv_freq(
         return scaled.astype(np.float32)
     elif rtype == "linear":
         return (inv_freq / rope_scaling["factor"]).astype(np.float32)
-    elif rtype == "default":
+    elif rtype == "yarn":
+        return _yarn_inv_freq(inv_freq, head_dim, rope_theta, rope_scaling)
+    elif rtype in ("default", "mrope"):
+        # mrope uses unscaled frequencies; the 3D section split happens in
+        # apply_mrope, not in the frequency table.
         return inv_freq.astype(np.float32)
     else:
         raise NotImplementedError(f"rope_type {rtype} not supported yet")
+
+
+def _yarn_find_dim(
+    num_rot: float, head_dim: int, base: float, max_pos: int
+) -> float:
+    """Inverse of the wavelength formula: dim index whose rotations == num_rot."""
+    return (head_dim * math.log(max_pos / (num_rot * 2 * math.pi))) / (
+        2 * math.log(base)
+    )
+
+
+def _yarn_inv_freq(
+    inv_freq: np.ndarray,
+    head_dim: int,
+    rope_theta: float,
+    rope_scaling: Dict[str, Any],
+) -> np.ndarray:
+    """YaRN NTK-by-parts interpolation (reference yarn variant in
+    srt/layers/rotary_embedding/): low-frequency dims are position-interpolated
+    by `factor`, high-frequency dims keep extrapolation, with a linear ramp
+    between `beta_fast` and `beta_slow` rotation counts."""
+    factor = float(rope_scaling["factor"])
+    orig_ctx = int(
+        rope_scaling.get("original_max_position_embeddings", 4096)
+    )
+    beta_fast = float(rope_scaling.get("beta_fast", 32))
+    beta_slow = float(rope_scaling.get("beta_slow", 1))
+    low = _yarn_find_dim(beta_fast, head_dim, rope_theta, orig_ctx)
+    high = _yarn_find_dim(beta_slow, head_dim, rope_theta, orig_ctx)
+    low = max(math.floor(low), 0)
+    high = min(math.ceil(high), head_dim // 2 - 1)
+    # ramp: 0 -> pure extrapolation (keep inv_freq), 1 -> pure interpolation
+    dims = np.arange(head_dim // 2, dtype=np.float64)
+    ramp = np.clip((dims - low) / max(high - low, 1e-3), 0.0, 1.0)
+    interp = inv_freq / factor
+    mixed = inv_freq * (1 - ramp) + interp * ramp
+    return mixed.astype(np.float32)
+
+
+def yarn_attention_scale(rope_scaling: Optional[Dict[str, Any]]) -> float:
+    """YaRN mscale: multiply q (or attention logits) by this temperature.
+    Returns 1.0 when not using yarn."""
+    if not rope_scaling:
+        return 1.0
+    rtype = rope_scaling.get("rope_type", rope_scaling.get("type", "default"))
+    if rtype != "yarn":
+        return 1.0
+    factor = float(rope_scaling["factor"])
+    mscale = float(rope_scaling.get("mscale", 1.0))
+    if factor <= 1.0:
+        return 1.0
+    return float(0.1 * mscale * math.log(factor) + 1.0)
 
 
 def apply_rope(
@@ -67,6 +126,46 @@ def apply_rope(
     cos = jnp.cos(freqs)
     sin = jnp.sin(freqs)
     cos = jnp.concatenate([cos, cos], axis=-1)[..., None, :]  # [..., T, 1, D]
+    sin = jnp.concatenate([sin, sin], axis=-1)[..., None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        return (xf * cos + rotated * sin).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+def apply_mrope(
+    q: jax.Array,  # [..., T, H, D]
+    k: jax.Array,
+    positions_3d: jax.Array,  # [3, ..., T] int32: (temporal, height, width)
+    inv_freq: jax.Array,  # [D/2] float32
+    mrope_section: Tuple[int, int, int],  # sums to D/2
+) -> Tuple[jax.Array, jax.Array]:
+    """Qwen2-VL multimodal RoPE (reference MRotaryEmbedding,
+    srt/layers/rotary_embedding/): the D/2 frequency dims are split into
+    three contiguous sections driven by temporal / height / width position
+    streams. Text tokens carry identical values in all three streams, which
+    makes this reduce exactly to standard RoPE for pure-text tokens.
+    """
+    assert sum(mrope_section) == inv_freq.shape[0], (
+        mrope_section,
+        inv_freq.shape,
+    )
+    # freqs per stream: [3, ..., T, D/2]
+    freqs = positions_3d[..., None].astype(jnp.float32) * inv_freq
+    # select section s of the frequency dims from position stream s
+    sec_ids = np.repeat(np.arange(3), np.array(mrope_section))  # [D/2]
+    onehot = (sec_ids[None, :] == np.arange(3)[:, None]).astype(np.float32)
+    onehot = jnp.asarray(onehot)  # [3, D/2]
+    sel = onehot.reshape((3,) + (1,) * (freqs.ndim - 2) + (-1,))
+    freqs = (freqs * sel).sum(axis=0)  # [..., T, D/2]
+    cos = jnp.cos(freqs)
+    sin = jnp.sin(freqs)
+    cos = jnp.concatenate([cos, cos], axis=-1)[..., None, :]
     sin = jnp.concatenate([sin, sin], axis=-1)[..., None, :]
 
     def rot(x):
