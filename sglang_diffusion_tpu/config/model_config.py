@@ -14,6 +14,47 @@ from typing import Any, Dict, List, Optional
 
 
 @dataclass
+class VisionConfig:
+    """Vision tower config (CLIP-ViT style) for VLM architectures.
+
+    Reference analog: the vision_config half of HF Llava/Qwen2-VL configs
+    consumed by srt/configs/model_config.py + srt/multimodal/processors."""
+
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    image_size: int = 336
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "gelu_pytorch_tanh"
+    # llava feature selection: index of the hidden layer whose output feeds
+    # the projector (-2 = penultimate), and whether to drop the CLS token
+    feature_layer: int = -2
+    drop_cls: bool = True
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @classmethod
+    def from_hf(cls, cfg: Dict[str, Any], outer: Dict[str, Any]) -> "VisionConfig":
+        strategy = outer.get("vision_feature_select_strategy", "default")
+        return cls(
+            hidden_size=cfg.get("hidden_size", 1024),
+            intermediate_size=cfg.get("intermediate_size", 4096),
+            num_hidden_layers=cfg.get("num_hidden_layers", 24),
+            num_attention_heads=cfg.get("num_attention_heads", 16),
+            image_size=cfg.get("image_size", 336),
+            patch_size=cfg.get("patch_size", 14),
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            hidden_act=cfg.get("hidden_act", "gelu_pytorch_tanh"),
+            feature_layer=outer.get("vision_feature_layer", -2),
+            drop_cls=strategy == "default",
+        )
+
+
+@dataclass
 class ModelConfig:
     architecture: str = "LlamaForCausalLM"
     vocab_size: int = 32000
@@ -56,6 +97,9 @@ class ModelConfig:
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
     rope_interleave: bool = True
+    # multimodal (VLM) fields
+    vision: Optional[VisionConfig] = None
+    image_token_id: Optional[int] = None
     # misc
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -85,6 +129,21 @@ class ModelConfig:
 
     @classmethod
     def from_hf_config(cls, cfg: Dict[str, Any]) -> "ModelConfig":
+        # VLM configs nest the language model under text_config; hoist it so
+        # the LM fields live at the top level (the runner's KV geometry and
+        # layer loop read them there) and attach the vision half.
+        if "text_config" in cfg and "vision_config" in cfg:
+            outer = cfg
+            inner = dict(cfg["text_config"])
+            inner.setdefault("architectures", ["LlamaForCausalLM"])
+            mc = cls.from_hf_config(inner)
+            mc.architecture = (outer.get("architectures") or [mc.architecture])[0]
+            mc.vision = VisionConfig.from_hf(outer["vision_config"], outer)
+            mc.image_token_id = outer.get(
+                "image_token_index", outer.get("image_token_id")
+            )
+            mc.raw = outer
+            return mc
         archs = cfg.get("architectures")
         if not archs:
             # programmatic HF configs often omit architectures; derive from
@@ -177,3 +236,23 @@ class ModelConfig:
         )
         kw.update(overrides)
         return cls(**kw)
+
+    @classmethod
+    def tiny_llava(cls, **overrides) -> "ModelConfig":
+        kw = dict(
+            architecture="LlavaForConditionalGeneration",
+            vision=VisionConfig(
+                hidden_size=32,
+                intermediate_size=64,
+                num_hidden_layers=2,
+                num_attention_heads=2,
+                image_size=28,
+                patch_size=14,
+            ),
+            image_token_id=500,
+        )
+        kw.update(overrides)
+        base = cls.tiny_llama()
+        for k, v in kw.items():
+            setattr(base, k, v)
+        return base

@@ -164,9 +164,17 @@ class Engine:
         input_ids: Optional[List[int]],
         sp: SamplingParams,
         stream: bool = False,
+        image_data=None,
     ) -> Req:
         if input_ids is None:
             input_ids = self.tokenizer.encode(prompt)
+        mm_embeds, mm_spans = None, []
+        if image_data is not None:
+            if not isinstance(image_data, (list, tuple)):
+                image_data = [image_data]
+            mm_embeds, input_ids, mm_spans = self._process_images(
+                list(input_ids), image_data
+            )
         eos_ids = []
         if self.tokenizer.eos_token_id is not None:
             eos_ids.append(self.tokenizer.eos_token_id)
@@ -177,6 +185,8 @@ class Engine:
             sampling_params=sp,
             eos_token_ids=eos_ids,
             stream=stream,
+            mm_embeds=mm_embeds,
+            mm_spans=mm_spans,
         )
         if sp.lora_path:
             if self.lora_manager is None:
@@ -198,6 +208,33 @@ class Engine:
             req.grammar = self._grammar_manager.create_session(spec)
         self._detoks[req.rid] = IncrementalDetokenizer(self.tokenizer, sp.stop)
         return req
+
+    def _process_images(self, input_ids: List[int], images: List) -> tuple:
+        """Vision-encode images and expand placeholder tokens into
+        content-hash pseudo-ids (reference: srt/multimodal/processors +
+        mm_utils hashing for radix correctness)."""
+        if self.model_config.vision is None:
+            raise ValueError(
+                f"model {self.model_config.architecture} is not multimodal"
+            )
+        if not hasattr(self, "_image_processor"):
+            from sglang_diffusion_tpu.multimodal import ImageProcessor
+
+            v = self.model_config.vision
+            self._image_processor = ImageProcessor(v.image_size, v.patch_size)
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+
+        pixel_values, digests = self._image_processor.preprocess_batch(images)
+        mm_embeds = self.runner.encode_images(pixel_values)
+        n_tok = int(mm_embeds.shape[1])
+        new_ids, spans = expand_mm_prompt(
+            input_ids,
+            self.model_config.image_token_id,
+            n_tok,
+            digests,
+            self.model_config.vocab_size,
+        )
+        return mm_embeds, new_ids, spans
 
     # ---------------- stepping ----------------
     def step(self) -> List[Req]:
@@ -393,6 +430,7 @@ class Engine:
         prompt: Union[str, List[str], None] = None,
         sampling_params: Union[SamplingParams, Dict, None] = None,
         input_ids: Optional[List[List[int]]] = None,
+        image_data=None,
     ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
         single = isinstance(prompt, str) or (
             input_ids is not None and input_ids and isinstance(input_ids[0], int)
@@ -401,14 +439,23 @@ class Engine:
         if input_ids is not None and input_ids and isinstance(input_ids[0], int):
             input_ids = [input_ids]
         sp = self._norm_sp(sampling_params)
+        # image_data: per-request images; for a single request, a plain
+        # image or list of images (reference GenerateReqInput.image_data)
+        n_req = len(input_ids) if input_ids is not None else len(prompts)
+        if image_data is None:
+            per_req_images = [None] * n_req
+        elif single:
+            per_req_images = [image_data]
+        else:
+            per_req_images = list(image_data)
 
         reqs = []
         if input_ids is not None:
-            for ids in input_ids:
-                reqs.append(self._make_req(None, ids, sp))
+            for ids, imgs in zip(input_ids, per_req_images):
+                reqs.append(self._make_req(None, ids, sp, image_data=imgs))
         else:
-            for p in prompts:
-                reqs.append(self._make_req(p, None, sp))
+            for p, imgs in zip(prompts, per_req_images):
+                reqs.append(self._make_req(p, None, sp, image_data=imgs))
         with self._lock:
             for r in reqs:
                 self.scheduler.add_request(r)

@@ -293,6 +293,9 @@ class ModelRunner:
         self.lora_manager = None  # set by the engine when LoRA is enabled
         self._lora_steps = None
         self._attn_fn = attn_fn
+        self._fwd = fwd
+        self._mm_step = None
+        self._encode_images = None
 
     def _auto_kv_tokens(self) -> int:
         """Size the KV pool from free device memory (reference analog:
@@ -496,6 +499,103 @@ class ModelRunner:
         self._rng_counter += 1
         return jax.random.fold_in(self.base_key, self._rng_counter)
 
+    # ------------- multimodal (VLM) -------------
+    def encode_images(self, pixel_values: np.ndarray):
+        """Run the vision tower + projector. Returns a DEVICE array
+        [N, T_img, E] (kept on device: pulling it through the host would
+        cost more than the prefill itself; reference analog: encoder
+        embeddings staying on GPU, srt/managers/mm_utils.py)."""
+        if self._encode_images is None:
+            enc = self.model_cls.make_encode_images(self.cfg)
+            self._encode_images = (
+                enc if self.args.disable_jit else jax.jit(enc)
+            )
+        return self._encode_images(
+            self.params, jnp.asarray(pixel_values, jnp.float32)
+        )
+
+    def _get_mm_step(self):
+        """Prefill step with image-embedding injection (compiled lazily;
+        only batches containing images pay for the extra [B, T, E] input)."""
+        if self._mm_step is None:
+            fwd = self._fwd
+
+            def mm_step(params, kv_cache, token_ids, positions, page_table,
+                        kv_lens, q_start, slots, logit_idx, mm_embeds, mm_mask,
+                        samp_meta, key, all_greedy=False, output_counts=None,
+                        vocab_mask=None):
+                meta = AttentionMetadata(
+                    page_table=page_table, kv_lens=kv_lens,
+                    q_start_pos=q_start, slot_ids=slots, logit_idx=logit_idx,
+                )
+                logits, new_kv = fwd(
+                    params, token_ids, positions, kv_cache, meta,
+                    mm_embeds=mm_embeds, mm_mask=mm_mask,
+                )
+                tok, lp = sample(logits, samp_meta, key, all_greedy,
+                                 output_counts, vocab_mask, nonce=kv_lens)
+                return tok, lp, new_kv
+
+            self._mm_step = (
+                mm_step if self.args.disable_jit
+                else jax.jit(mm_step, donate_argnums=(1,),
+                             static_argnames=("all_greedy",))
+            )
+        return self._mm_step
+
+    def _run_mm_prefill(self, plan, page_table, samp, key, all_greedy,
+                        output_counts, vocab_mask):
+        b = plan.token_ids.shape[0]
+        bb = select_bucket(self.bs_buckets, b)
+        lq = plan.token_ids.shape[1]
+        lb = select_bucket(LQ_BUCKETS, lq)
+        E = self.cfg.hidden_size
+        mm_mask = np.zeros((bb, lb), bool)
+        mm_embeds = jnp.zeros((bb, lb, E), self.dtype)
+        for i, req in enumerate(plan.reqs):
+            start = int(plan.q_start[i])
+            take = int(plan.kv_lens[i]) - start
+            for span in req.mm_spans:
+                o0 = max(span.offset, start)
+                o1 = min(span.offset + span.length, start + take)
+                if o1 <= o0:
+                    continue
+                emb = req.mm_embeds[span.image_index][
+                    o0 - span.offset : o1 - span.offset
+                ]
+                mm_embeds = jax.lax.dynamic_update_slice(
+                    mm_embeds, emb[None].astype(self.dtype), (i, o0 - start, 0)
+                )
+                mm_mask[i, o0 - start : o1 - start] = True
+
+        def pad1(x, fill=0):
+            out = np.full((bb,), fill, x.dtype)
+            out[:b] = x
+            return out
+
+        def pad2(x, fill=0):
+            out = np.full((bb, lb), fill, x.dtype)
+            out[:b, :lq] = x
+            return out
+
+        step = self._get_mm_step()
+        tok, lp, self.kv_cache = step(
+            self.params, self.kv_cache,
+            jnp.asarray(pad2(plan.token_ids)),
+            jnp.asarray(pad2(plan.positions)),
+            jnp.asarray(page_table),
+            jnp.asarray(pad1(plan.kv_lens)),
+            jnp.asarray(pad1(plan.q_start)),
+            jnp.asarray(pad2(plan.slots, fill=-1)),
+            jnp.asarray(pad1(plan.logit_idx)),
+            mm_embeds,
+            jnp.asarray(mm_mask),
+            samp, key, all_greedy=all_greedy,
+            output_counts=output_counts, vocab_mask=vocab_mask,
+        )
+        tok, lp = jax.device_get((tok, lp))
+        return tok[:b, None], lp[:b, None]
+
     # ------------- embeddings -------------
     def run_embedding(self, ids, pages) -> np.ndarray:
         """Hidden-state embedding for one sequence over caller-provided
@@ -693,6 +793,12 @@ class ModelRunner:
             )
             next_tok, logprob = jax.device_get((next_tok, logprob))
             return next_tok[:b], logprob[:b]
+
+        if any(r.mm_spans for r in plan.reqs):
+            return self._run_mm_prefill(
+                plan, page_table, samp, key, all_greedy, output_counts,
+                vocab_mask,
+            )
 
         lq = plan.token_ids.shape[1]
         lb = select_bucket(LQ_BUCKETS, lq)

@@ -1,0 +1,151 @@
+"""Multimodal input processing (images).
+
+TPU-native analog of the reference's multimodal processors
+(srt/multimodal/processors/, srt/managers/mm_utils.py): decode + resize +
+normalize images into pixel tensors, and expand the prompt's image
+placeholder token into one slot per image patch token.
+
+Prefix-cache correctness: the expanded placeholder ids are derived from a
+content hash of the image bytes (the reference hashes mm items into
+input_ids for radix keying, mm_utils.py), so two prompts with different
+images never share a radix prefix, while the same image reuses its KV.
+The pseudo-ids are only radix keys — the embedding lookup at those
+positions is overridden by the projected vision features.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import io
+from dataclasses import dataclass
+from typing import Any, List, Sequence, Tuple
+
+import numpy as np
+
+# CLIP normalization constants (HF CLIPImageProcessor defaults)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+@dataclass
+class MMSpan:
+    """One image's slice of the expanded token sequence."""
+
+    offset: int  # start index in input_ids
+    length: int  # number of image tokens
+    image_index: int  # index into the request's image list
+
+
+class ImageProcessor:
+    """Decode arbitrary image input and produce normalized pixel tensors."""
+
+    def __init__(self, image_size: int, patch_size: int,
+                 mean: np.ndarray = CLIP_MEAN, std: np.ndarray = CLIP_STD):
+        self.image_size = image_size
+        self.patch_size = patch_size
+        self.mean = mean
+        self.std = std
+
+    @property
+    def num_tokens(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    # ------------- decode -------------
+    def load(self, image_data: Any) -> Tuple[np.ndarray, bytes]:
+        """Returns (rgb float32 [H,W,3] in [0,1], content-hash bytes)."""
+        if isinstance(image_data, np.ndarray):
+            arr = image_data
+            if arr.dtype == np.uint8:
+                arr = arr.astype(np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            if arr.shape[-1] == 4:
+                arr = arr[..., :3]
+            digest = hashlib.sha256(np.ascontiguousarray(arr)).digest()
+            return arr.astype(np.float32), digest
+        if isinstance(image_data, str):
+            if image_data.startswith("data:"):
+                image_data = image_data.split(",", 1)[1]
+            try:
+                raw = base64.b64decode(image_data, validate=True)
+            except Exception:
+                with open(image_data, "rb") as f:
+                    raw = f.read()
+        elif isinstance(image_data, (bytes, bytearray)):
+            raw = bytes(image_data)
+        else:
+            raise TypeError(f"unsupported image_data type {type(image_data)}")
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        arr = np.asarray(img, np.float32) / 255.0
+        return arr, hashlib.sha256(raw).digest()
+
+    # ------------- resize + normalize -------------
+    def _resize_bilinear(self, img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+        h, w, _ = img.shape
+        if (h, w) == (out_h, out_w):
+            return img
+        # align_corners=False convention (matches PIL/torch bilinear closely
+        # enough for accuracy-neutral preprocessing)
+        ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+        xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.clip(ys - y0, 0, 1)[:, None, None]
+        wx = np.clip(xs - x0, 0, 1)[None, :, None]
+        top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+        bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+        return top * (1 - wy) + bot * wy
+
+    def preprocess(self, image_data: Any) -> Tuple[np.ndarray, bytes]:
+        """-> (pixel_values [3, S, S] float32 normalized, content hash)."""
+        arr, digest = self.load(image_data)
+        arr = self._resize_bilinear(arr, self.image_size, self.image_size)
+        arr = (arr - self.mean) / self.std
+        return arr.transpose(2, 0, 1), digest
+
+    def preprocess_batch(self, images: Sequence[Any]) -> Tuple[np.ndarray, List[bytes]]:
+        outs, digests = [], []
+        for im in images:
+            px, d = self.preprocess(im)
+            outs.append(px)
+            digests.append(d)
+        return np.stack(outs), digests
+
+
+def expand_mm_prompt(
+    input_ids: List[int],
+    image_token_id: int,
+    num_tokens_per_image: int,
+    digests: List[bytes],
+    vocab_size: int,
+) -> Tuple[List[int], List[MMSpan]]:
+    """Replace each placeholder token with num_tokens_per_image pseudo-ids
+    derived from that image's content hash. Returns (ids, spans)."""
+    out: List[int] = []
+    spans: List[MMSpan] = []
+    img_idx = 0
+    for tok in input_ids:
+        if tok == image_token_id:
+            if img_idx >= len(digests):
+                raise ValueError(
+                    f"prompt has more image tokens than images ({len(digests)})"
+                )
+            seed = int.from_bytes(digests[img_idx][:8], "little")
+            rng = np.random.default_rng(seed)
+            pseudo = rng.integers(0, vocab_size, size=num_tokens_per_image)
+            spans.append(MMSpan(len(out), num_tokens_per_image, img_idx))
+            out.extend(int(t) for t in pseudo)
+            img_idx += 1
+        else:
+            out.append(tok)
+    if img_idx < len(digests):
+        raise ValueError(
+            f"{len(digests)} images provided but only {img_idx} "
+            f"placeholder tokens in prompt"
+        )
+    return out, spans

@@ -50,6 +50,11 @@ class Req:
     is_retracted: bool = False
     finish_reason: FinishReason = FinishReason.NONE
 
+    # multimodal: projected image embeddings (device array [n_img, T_img, E])
+    # and their spans in input_ids (multimodal/processor.py MMSpan)
+    mm_embeds: Optional[object] = None
+    mm_spans: List[object] = field(default_factory=list)
+
     # constrained decoding session (constrained/manager.py GrammarSession)
     grammar: Optional[object] = None
     # LoRA adapter slot (0 = base model; see lora/manager.py)
