@@ -137,7 +137,12 @@ class ModelConfig:
             inner = dict(cfg["text_config"])
             inner.setdefault("architectures", ["LlamaForCausalLM"])
             mc = cls.from_hf_config(inner)
-            mc.architecture = (outer.get("architectures") or [mc.architecture])[0]
+            arch = (outer.get("architectures") or [None])[0]
+            if arch is None:
+                mt = outer.get("model_type", "llava")
+                camel = "".join(p.capitalize() for p in mt.split("_"))
+                arch = camel + "ForConditionalGeneration"
+            mc.architecture = arch
             mc.vision = VisionConfig.from_hf(outer["vision_config"], outer)
             mc.image_token_id = outer.get(
                 "image_token_index", outer.get("image_token_id")

@@ -65,6 +65,30 @@ def _open_shards(model_path: str):
     return get, has
 
 
+# VLM checkpoints exist in two layouts: post-4.52 transformers
+# ("model.language_model.*", top-level lm_head) and legacy llava-1.5
+# ("language_model.model.*"). Maps are written new-style; these prefix
+# rewrites resolve legacy files.
+HF_NAME_ALIASES = [
+    ("model.language_model.", "language_model.model."),
+    ("model.vision_tower.", "vision_tower."),
+    ("model.multi_modal_projector.", "multi_modal_projector."),
+    ("lm_head.", "language_model.lm_head."),
+]
+
+
+def resolve_hf_name(name: str, has) -> str:
+    """Return the stored tensor name for `name`, trying layout aliases."""
+    if has(name):
+        return name
+    for new, old in HF_NAME_ALIASES:
+        if name.startswith(new):
+            cand = old + name[len(new):]
+            if has(cand):
+                return cand
+    raise KeyError(name)
+
+
 def load_hf_params(
     model_path: str, cfg: ModelConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:
@@ -75,12 +99,27 @@ def load_hf_params(
     params: Dict[str, Any] = {}
 
     def fetch(name: str, tf) -> np.ndarray:
-        w = get(name)
+        w = get(resolve_hf_name(name, has))
         if tf == "t":
             w = np.ascontiguousarray(w.T)
+        elif tf == "conv":
+            # patch-conv weight [E, C, p, p] -> dense [C*p*p, E]
+            w = np.ascontiguousarray(w.reshape(w.shape[0], -1).T)
         return w
 
     for path, (tmpl, tf) in wmap.items():
+        if "{j}" in tmpl:
+            # vision-tower layer index (separate depth from the LM)
+            per_layer = [
+                fetch(tmpl.format(j=j), tf)
+                for j in range(cfg.vision.num_hidden_layers)
+            ]
+            leaf = np.stack(per_layer)
+            node = params
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = jnp.asarray(leaf, dtype)
+            continue
         if "{i}" in tmpl:
             per_layer = []
             for i in range(L):

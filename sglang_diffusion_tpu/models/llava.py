@@ -137,14 +137,24 @@ class LlavaFamily:
     # ---------------- HF checkpoint mapping ----------------
     @staticmethod
     def hf_weight_map(cfg: ModelConfig):
+        """New-style HF layout (transformers >= 4.52: model.language_model.*,
+        model.vision_tower.*, top-level lm_head). Legacy llava-1.5
+        checkpoints (language_model.model.*) resolve through the loader's
+        alias rewrites (engine/weight_loader.py HF_NAME_ALIASES)."""
         m: Dict[Any, Any] = {}
         for path, (tmpl, tf) in LlamaFamily.hf_weight_map(cfg).items():
-            # HF llava prefixes the LM with language_model. (lm_head stays
-            # language_model.lm_head in post-4.52 layouts)
-            m[("language",) + path] = ("language_model." + tmpl, tf)
-        m.update(vision_hf_weight_map())
-        m[("projector", "w1")] = ("multi_modal_projector.linear_1.weight", "t")
-        m[("projector", "b1")] = ("multi_modal_projector.linear_1.bias", None)
-        m[("projector", "w2")] = ("multi_modal_projector.linear_2.weight", "t")
-        m[("projector", "b2")] = ("multi_modal_projector.linear_2.bias", None)
+            if tmpl == "lm_head.weight":
+                m[("language",) + path] = (tmpl, tf)  # stays top-level
+            else:
+                # "model.layers.{i}..." -> "model.language_model.layers..."
+                assert tmpl.startswith("model.")
+                m[("language",) + path] = (
+                    "model.language_model." + tmpl[len("model."):], tf,
+                )
+        for path, (tmpl, tf) in vision_hf_weight_map().items():
+            m[path] = ("model." + tmpl, tf)
+        m[("projector", "w1")] = ("model.multi_modal_projector.linear_1.weight", "t")
+        m[("projector", "b1")] = ("model.multi_modal_projector.linear_1.bias", None)
+        m[("projector", "w2")] = ("model.multi_modal_projector.linear_2.weight", "t")
+        m[("projector", "b2")] = ("model.multi_modal_projector.linear_2.bias", None)
         return m
