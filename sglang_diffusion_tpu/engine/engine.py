@@ -236,6 +236,26 @@ class Engine:
         )
         return mm_embeds, new_ids, spans
 
+    def encode_mm_prompt(self, prompt: str) -> List[int]:
+        """Tokenize a prompt containing literal "<image>" markers, inserting
+        the model's image token id at each marker (tokenizer-agnostic —
+        works even when the tokenizer has no special image token)."""
+        tok_id = self.model_config.image_token_id
+        if tok_id is None:
+            return self.tokenizer.encode(prompt)
+        pieces = prompt.split("<image>")
+        ids: List[int] = list(self.tokenizer.encode(pieces[0]))
+        for piece in pieces[1:]:
+            ids.append(tok_id)
+            if piece:
+                # avoid re-adding BOS for continuation pieces
+                cont = self.tokenizer.encode(piece)
+                bos = self.model_config.bos_token_id
+                if bos is not None and cont and cont[0] == bos:
+                    cont = cont[1:]
+                ids.extend(cont)
+        return ids
+
     # ---------------- stepping ----------------
     def step(self) -> List[Req]:
         """Run one scheduler iteration (one forward batch). Returns requests

@@ -89,6 +89,32 @@ class ApiServer:
             if ev["type"] == "error":
                 raise RuntimeError(ev["error"])
 
+    def _extract_images(self, messages: List[Dict[str, Any]]):
+        """OpenAI multimodal chat: content parts of type image_url become a
+        literal "<image>" marker in the text (tokenizer-agnostic; the engine
+        splits on it and inserts the model's image token id). Returns
+        (messages_with_text_content, image_list)."""
+        images: List[Any] = []
+        out = []
+        for m in messages:
+            content = m.get("content")
+            if not isinstance(content, list):
+                out.append(m)
+                continue
+            texts = []
+            for part in content:
+                ptype = part.get("type")
+                if ptype == "text":
+                    texts.append(part.get("text", ""))
+                elif ptype == "image_url":
+                    url = part.get("image_url")
+                    if isinstance(url, dict):
+                        url = url.get("url", "")
+                    images.append(url)
+                    texts.append("<image>")
+            out.append({**m, "content": "".join(texts)})
+        return out, images
+
     def _messages_to_prompt(self, messages: List[Dict[str, str]]) -> str:
         tk = self.engine.tokenizer
         if hasattr(tk, "apply_chat_template"):
@@ -294,7 +320,12 @@ class ApiServer:
             prompt = body.get("text", body.get("prompt"))
             input_ids = body.get("input_ids")
             stream = body.get("stream", False)
-            r = self.engine._make_req(prompt, input_ids, sp, stream=stream)
+            image_data = body.get("image_data")
+            if image_data is not None and prompt is not None and input_ids is None:
+                input_ids, prompt = self.engine.encode_mm_prompt(prompt), None
+            r = self.engine._make_req(
+                prompt, input_ids, sp, stream=stream, image_data=image_data
+            )
             if not stream:
                 out = await self._run_one(r)
                 return Response(out)
@@ -424,9 +455,16 @@ class ApiServer:
                 parser = FunctionCallParser(tools)
                 if tool_choice == "required" or isinstance(tool_choice, dict):
                     sp.json_schema = "{}"  # constrain output to JSON
+            messages, images = self._extract_images(messages)
             prompt = self._messages_to_prompt(messages)
             stream = body.get("stream", False)
-            r = self.engine._make_req(prompt, None, sp, stream=stream)
+            if images:
+                ids = self.engine.encode_mm_prompt(prompt)
+                r = self.engine._make_req(
+                    None, ids, sp, stream=stream, image_data=images
+                )
+            else:
+                r = self.engine._make_req(prompt, None, sp, stream=stream)
             cid = f"chatcmpl-{uuid.uuid4().hex}"
             created = int(time.time())
             if not stream:
