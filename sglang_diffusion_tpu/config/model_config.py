@@ -97,6 +97,12 @@ class ModelConfig:
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
     rope_interleave: bool = True
+    # sliding-window attention (mistral / gemma-2/3-style local layers).
+    # layer_types: optional per-layer "sliding_attention"/"full_attention"
+    # pattern (HF layer_types); None = all layers sliding when sliding_window
+    # is set.
+    sliding_window: Optional[int] = None
+    layer_types: Optional[List[str]] = None
     # multimodal (VLM) fields
     vision: Optional[VisionConfig] = None
     image_token_id: Optional[int] = None
@@ -109,6 +115,23 @@ class ModelConfig:
     @property
     def actual_head_dim(self) -> int:
         return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    def layer_windows(self):
+        """Per-layer attention window, -1 = full attention. Returns None when
+        no layer is sliding (fast path: no window plumbing at all)."""
+        if self.sliding_window is None:
+            return None
+        import numpy as _np
+
+        w = _np.full((self.num_hidden_layers,), int(self.sliding_window),
+                     _np.int32)
+        if self.layer_types is not None:
+            for i, lt in enumerate(self.layer_types[: self.num_hidden_layers]):
+                if lt != "sliding_attention":
+                    w[i] = -1
+        if _np.all(w < 0):
+            return None
+        return w
 
     # ---- KV cache geometry (MLA stores a single shared latent plane) ----
     @property
@@ -212,6 +235,12 @@ class ModelConfig:
             ),
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
             moe_intermediate_size=cfg.get("moe_intermediate_size"),
+            sliding_window=(
+                cfg.get("sliding_window")
+                if cfg.get("use_sliding_window", True)
+                else None
+            ),
+            layer_types=cfg.get("layer_types"),
             bos_token_id=cfg.get("bos_token_id"),
             eos_token_ids=eos_list,
             torch_dtype=cfg.get("torch_dtype", "bfloat16"),

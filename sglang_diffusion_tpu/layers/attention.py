@@ -54,21 +54,23 @@ def get_attention_backend(name: str) -> AttentionFn:
 
 
 @register_attention_backend("xla")
-def _xla_backend(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float):
+def _xla_backend(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
+                 window=None):
     return attention_xla.paged_attention(
         q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
-        meta.q_start_pos, sm_scale,
+        meta.q_start_pos, sm_scale, window=window,
     )
 
 
-def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float):
+def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
+                         window=None):
     # Imported lazily to keep CPU-only environments working.
     from sglang_diffusion_tpu.ops import attention_pallas
 
     if q.shape[-1] % 128 != 0:
         # Mosaic requires 128-lane-aligned head_dim for the page DMA; small
         # head dims (tiny test models) fall back to the XLA path.
-        return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale)
+        return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale, window)
     return attention_pallas.paged_attention(
         q,
         kv_cache,
@@ -78,6 +80,7 @@ def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_sca
         meta.q_start_pos,
         sm_scale,
         interpret=jax.default_backend() != "tpu",
+        window=window,
     )
 
 
@@ -111,15 +114,16 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
     b_spec = P("dp")
     rep = P()
 
-    def fn(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float):
+    def fn(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
+           window=None):
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(q_spec, kv_spec, rep, P("dp", None), b_spec, b_spec),
+            in_specs=(q_spec, kv_spec, rep, P("dp", None), b_spec, b_spec, rep),
             out_specs=q_spec,
             check_vma=False,
         )
-        def inner(q_l, kv_l, li, pt, klens, qstart):
+        def inner(q_l, kv_l, li, pt, klens, qstart, win):
             # slot_ids/logit_idx are not used by attention kernels; fill
             # with placeholders (shard_map operands must be explicit)
             local_meta = AttentionMetadata(
@@ -129,11 +133,12 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
                 slot_ids=pt,
                 logit_idx=klens,
             )
-            return base(q_l, kv_l, li, local_meta, sm_scale)
+            return base(q_l, kv_l, li, local_meta, sm_scale, win)
 
+        win = jnp.asarray(-1 if window is None else window, jnp.int32)
         return inner(
             q, kv_cache, jnp.asarray(layer_idx, jnp.int32),
-            meta.page_table, meta.kv_lens, meta.q_start_pos,
+            meta.page_table, meta.kv_lens, meta.q_start_pos, win,
         )
 
     return fn

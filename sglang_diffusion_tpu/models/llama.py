@@ -188,6 +188,12 @@ class LlamaFamily:
             if cfg.hidden_act in ("gelu", "gelu_pytorch_tanh")
             else jax.nn.silu
         )
+        # sliding-window layers (mistral/gemma-style): per-layer window
+        # constant indexed by the traced layer id inside the fori_loop
+        layer_windows = cfg.layer_windows()
+        windows_arr = (
+            None if layer_windows is None else jnp.asarray(layer_windows)
+        )
 
         def norm(x, w):
             # gemma stores zero-centered norm weights: scale = 1 + w
@@ -219,7 +225,11 @@ class LlamaFamily:
                 k = norm(k, lp["k_norm"])
             q, k = apply_rope(q, k, positions, inv_freq)
             kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
-            attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
+            if windows_arr is None:
+                attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
+            else:
+                attn_out = attn_fn(q, kv_cache, l, meta, sm_scale,
+                                   windows_arr[l])
             attn_flat = attn_out.reshape(b, t, Hq * D)
             o = _dense(attn_flat, lp["wo"])
             if use_lora:

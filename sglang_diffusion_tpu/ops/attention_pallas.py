@@ -35,6 +35,7 @@ DEFAULT_Q_BLOCK = 128
 def _kernel(
     # scalar prefetch
     layer_ref,  # [1] int32: layer index into the stacked cache
+    window_ref,  # [1] int32: sliding window (<0 = full attention)
     page_table_ref,  # [B, PPS] int32 (SMEM)
     kv_lens_ref,  # [B] int32
     q_start_ref,  # [B] int32
@@ -64,9 +65,18 @@ def _kernel(
     kv_len = kv_lens_ref[b]
     q_start = q_start_ref[b] + qb * q_block
 
-    # kv range this q block can see: positions [0, q_start + tq)
+    # kv range this q block can see: positions [lo, q_start + tq)
     kv_limit = jnp.minimum(kv_len, q_start + tq)
     num_pages = pl.cdiv(kv_limit, page_size)
+    window = window_ref[0]
+    # sliding window: pages entirely before the earliest visible position
+    # (first query's pos - window + 1) are skipped, not just masked —
+    # the DMA loop never touches them (HBM traffic scales with the window).
+    # w_eff folds the "no window" case (<0) into a huge window with pure
+    # arithmetic — Mosaic cannot legalize boolean selects.
+    w_eff = jnp.maximum(window, 0) + (window < 0).astype(jnp.int32) * (1 << 30)
+    first_visible = jnp.maximum(q_start - w_eff + 1, 0)
+    page_lo = first_visible // page_size
 
     layer = layer_ref[0]
 
@@ -83,9 +93,9 @@ def _kernel(
     q_pos = q_start + row_ids // g  # absolute position of each row's query
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, page_size), 1)
 
-    @pl.when(num_pages > 0)
+    @pl.when(num_pages > page_lo)
     def _():
-        start_dma(0, 0).start()
+        start_dma(0, page_lo).start()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
@@ -94,11 +104,11 @@ def _kernel(
     q = q_ref[0].reshape(rows, d)  # [(t,g) rows, D]
 
     def body(i, _):
-        slot = i % 2
+        slot = (i - page_lo) % 2
 
         @pl.when(i + 1 < num_pages)
         def _():
-            start_dma((i + 1) % 2, i + 1).start()
+            start_dma((i + 1 - page_lo) % 2, i + 1).start()
 
         start_dma(slot, i).wait()
 
@@ -115,6 +125,7 @@ def _kernel(
         s = s * sm_scale
         kv_pos = i * page_size + col_ids
         mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        mask = mask & (kv_pos > q_pos - w_eff)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]  # [rows, 1]
@@ -134,7 +145,7 @@ def _kernel(
         l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
         return 0
 
-    jax.lax.fori_loop(0, num_pages, body, 0)
+    jax.lax.fori_loop(page_lo, num_pages, body, 0)
 
     l = l_ref[:, 0:1]
     out = jnp.where(l > 0, acc_ref[...] / jnp.maximum(l, 1e-30), 0.0)
@@ -154,6 +165,7 @@ def paged_attention(
     sm_scale: float,
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: bool = False,
+    window=None,  # scalar int32; <0/None = full attention
 ) -> jax.Array:
     b, t, hq, d = q.shape
     nl, p, two_hkv, s, _ = kv_cache.shape
@@ -174,10 +186,12 @@ def paged_attention(
         q_block=tq,
         sm_scale=sm_scale,
     )
+    if window is None:
+        window = -1
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
@@ -204,6 +218,7 @@ def paged_attention(
         interpret=interpret,
     )(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        jnp.asarray(window, jnp.int32).reshape(1),
         page_table,
         kv_lens,
         q_start_pos,

@@ -101,12 +101,19 @@ def paged_attention(
     kv_lens: jax.Array,  # [B] total valid kv length (incl. tokens just written)
     q_start_pos: jax.Array,  # [B] absolute position of q token 0 (=cache_len)
     sm_scale: float,
+    window=None,  # scalar int32 (traced ok): sliding window size; <0/None = full
 ) -> jax.Array:
     """Causal paged attention: query t attends kv positions <= q_start_pos+t.
 
     Works for decode (Tq=1, q_start_pos=kv_lens-1) and chunked prefill
     (Tq=chunk, q_start_pos=prefix_len).  Padding queries are those with
     q_start_pos + t >= kv_lens; their output is zeroed.
+
+    With `window` set, query t additionally only attends kv positions
+    > q_pos - window (sliding-window attention; reference analog:
+    swa layers in srt/layers/attention + swa_memory_pool.py). window may be
+    a traced per-layer scalar so alternating global/local layer patterns
+    (gemma-style) work inside a fori_loop over layers.
     """
     b, tq = q.shape[0], q.shape[1]
     k, v = gather_kv(kv_cache, layer_idx, page_table)
@@ -115,6 +122,10 @@ def paged_attention(
     q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]
     mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
     mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])  # padding queries
+    if window is not None:
+        w = jnp.asarray(window, jnp.int32)
+        in_window = kv_pos > (q_pos[:, :, None] - w)
+        mask = mask & jnp.where(w >= 0, in_window, True)
     return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask, sm_scale)
 
 
