@@ -75,6 +75,14 @@ class ModelConfig:
     # gemma-family quirks: rmsnorm scales by (1 + w); embeddings scaled by
     # sqrt(hidden_size)
     gemma_style: bool = False
+    # gemma2/3: sandwich norms (post-attention/post-ffw norms applied to the
+    # residual branch output), logit softcapping, custom attention scale,
+    # and a second rope base for sliding (local) layers (gemma3)
+    sandwich_norms: bool = False
+    attn_logit_softcapping: Optional[float] = None
+    final_logit_softcapping: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    rope_local_base_freq: Optional[float] = None
     # MoE fields (mixtral/qwen-moe style)
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -189,6 +197,23 @@ class ModelConfig:
             eos_list = list(eos)
         else:
             eos_list = [eos]
+        # synthesize per-layer attention types for gemma families when the
+        # config predates HF layer_types: gemma2 alternates (even layers
+        # sliding), gemma3 is sliding except every Nth (sliding_window_pattern)
+        layer_types = cfg.get("layer_types")
+        n_layers = cfg.get("num_hidden_layers", 32)
+        if layer_types is None and cfg.get("sliding_window"):
+            if archs[0].startswith("Gemma2"):
+                layer_types = [
+                    "sliding_attention" if i % 2 == 0 else "full_attention"
+                    for i in range(n_layers)
+                ]
+            elif archs[0].startswith("Gemma3"):
+                pat = cfg.get("sliding_window_pattern", 6)
+                layer_types = [
+                    "sliding_attention" if (i + 1) % pat else "full_attention"
+                    for i in range(n_layers)
+                ]
         return cls(
             architecture=archs[0],
             vocab_size=cfg.get("vocab_size", 32000),
@@ -226,9 +251,17 @@ class ModelConfig:
                 "attention_bias",
                 archs[0].startswith("Qwen2"),  # qwen2 family defaults to qkv bias
             ),
-            qk_norm=archs[0].startswith("Qwen3"),
-            hidden_act=cfg.get("hidden_act", "silu"),
+            qk_norm=archs[0].startswith("Qwen3")
+            or archs[0].startswith("Gemma3"),
+            hidden_act=cfg.get(
+                "hidden_act", cfg.get("hidden_activation", "silu")
+            ),
             gemma_style=archs[0].startswith("Gemma"),
+            sandwich_norms=archs[0].startswith(("Gemma2", "Gemma3")),
+            attn_logit_softcapping=cfg.get("attn_logit_softcapping"),
+            final_logit_softcapping=cfg.get("final_logit_softcapping"),
+            query_pre_attn_scalar=cfg.get("query_pre_attn_scalar"),
+            rope_local_base_freq=cfg.get("rope_local_base_freq"),
             num_experts=cfg.get(
                 "num_local_experts",
                 cfg.get("num_experts", cfg.get("n_routed_experts", 0)),
@@ -240,7 +273,7 @@ class ModelConfig:
                 if cfg.get("use_sliding_window", True)
                 else None
             ),
-            layer_types=cfg.get("layer_types"),
+            layer_types=layer_types,
             bos_token_id=cfg.get("bos_token_id"),
             eos_token_ids=eos_list,
             torch_dtype=cfg.get("torch_dtype", "bfloat16"),

@@ -55,22 +55,23 @@ def get_attention_backend(name: str) -> AttentionFn:
 
 @register_attention_backend("xla")
 def _xla_backend(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
-                 window=None):
+                 window=None, softcap=None):
     return attention_xla.paged_attention(
         q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
-        meta.q_start_pos, sm_scale, window=window,
+        meta.q_start_pos, sm_scale, window=window, softcap=softcap,
     )
 
 
 def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
-                         window=None):
+                         window=None, softcap=None):
     # Imported lazily to keep CPU-only environments working.
     from sglang_diffusion_tpu.ops import attention_pallas
 
     if q.shape[-1] % 128 != 0:
         # Mosaic requires 128-lane-aligned head_dim for the page DMA; small
         # head dims (tiny test models) fall back to the XLA path.
-        return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale, window)
+        return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale, window,
+                            softcap)
     return attention_pallas.paged_attention(
         q,
         kv_cache,
@@ -81,6 +82,7 @@ def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_sca
         sm_scale,
         interpret=jax.default_backend() != "tpu",
         window=window,
+        softcap=softcap,
     )
 
 
@@ -115,7 +117,7 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
     rep = P()
 
     def fn(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
-           window=None):
+           window=None, softcap=None):
         @functools.partial(
             shard_map,
             mesh=mesh,
@@ -133,7 +135,7 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
                 slot_ids=pt,
                 logit_idx=klens,
             )
-            return base(q_l, kv_l, li, local_meta, sm_scale, win)
+            return base(q_l, kv_l, li, local_meta, sm_scale, win, softcap)
 
         win = jnp.asarray(-1 if window is None else window, jnp.int32)
         return inner(

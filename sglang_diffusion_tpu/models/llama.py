@@ -39,6 +39,8 @@ from sglang_diffusion_tpu.quant.quantize import dense_maybe_quantized as _dense
     "Qwen3ForCausalLM",
     "MistralForCausalLM",
     "GemmaForCausalLM",
+    "Gemma2ForCausalLM",
+    "Gemma3ForCausalLM",
 )
 class LlamaFamily:
     """Functional dense-transformer implementation."""
@@ -79,6 +81,9 @@ class LlamaFamily:
         if cfg.qk_norm:
             layers["q_norm"] = jnp.ones((L, D), dtype)
             layers["k_norm"] = jnp.ones((L, D), dtype)
+        if cfg.sandwich_norms:
+            layers["pre_ffw_norm"] = jnp.ones((L, E), dtype)
+            layers["post_ffw_norm"] = jnp.ones((L, E), dtype)
         params = {
             "embed": init(keys[7], (V, E), scale=0.02),
             "layers": layers,
@@ -111,6 +116,9 @@ class LlamaFamily:
         if cfg.qk_norm:
             layers["q_norm"] = P(None, None)
             layers["k_norm"] = P(None, None)
+        if cfg.sandwich_norms:
+            layers["pre_ffw_norm"] = P(None, None)
+            layers["post_ffw_norm"] = P(None, None)
         specs = {
             "embed": P("tp", None),  # vocab-sharded
             "layers": layers,
@@ -147,9 +155,14 @@ class LlamaFamily:
             w = params["final_norm"]
             h_out = rms_norm(h_out, (1.0 + w) if gemma else w, eps)
             if cfg.tie_word_embeddings:
-                return jnp.dot(h_out, params["embed"].T,
-                               preferred_element_type=jnp.float32)
-            return _dense(h_out, params["lm_head"]).astype(jnp.float32)
+                logits = jnp.dot(h_out, params["embed"].T,
+                                 preferred_element_type=jnp.float32)
+            else:
+                logits = _dense(h_out, params["lm_head"]).astype(jnp.float32)
+            cap = cfg.final_logit_softcapping
+            if cap is not None:
+                logits = cap * jnp.tanh(logits / cap)
+            return logits
 
         return embed, head
 
@@ -176,9 +189,18 @@ class LlamaFamily:
         Hkv = cfg.num_key_value_heads
         D = cfg.actual_head_dim
         eps = cfg.rms_norm_eps
-        sm_scale = 1.0 / float(np.sqrt(D))
+        sm_scale = 1.0 / float(np.sqrt(cfg.query_pre_attn_scalar or D))
+        attn_softcap = cfg.attn_logit_softcapping
+        final_softcap = cfg.final_logit_softcapping
+        sandwich = cfg.sandwich_norms
         inv_freq = jnp.asarray(
             compute_inv_freq(D, cfg.rope_theta, cfg.rope_scaling)
+        )
+        # gemma3: sliding (local) layers use a second rope base
+        inv_freq_local = (
+            jnp.asarray(compute_inv_freq(D, cfg.rope_local_base_freq, None))
+            if cfg.rope_local_base_freq is not None
+            else None
         )
         has_bias = cfg.attention_bias
         has_qk_norm = cfg.qk_norm
@@ -223,19 +245,35 @@ class LlamaFamily:
             if has_qk_norm:
                 q = norm(q, lp["q_norm"])
                 k = norm(k, lp["k_norm"])
-            q, k = apply_rope(q, k, positions, inv_freq)
+            freq = inv_freq
+            if inv_freq_local is not None and windows_arr is not None:
+                # local (sliding) layers rotate with the local base (gemma3)
+                freq = jnp.where(windows_arr[l] >= 0, inv_freq_local, inv_freq)
+            q, k = apply_rope(q, k, positions, freq)
             kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
+            akw = {}
+            if attn_softcap is not None:
+                akw["softcap"] = attn_softcap
             if windows_arr is None:
-                attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
+                attn_out = attn_fn(q, kv_cache, l, meta, sm_scale, **akw)
             else:
                 attn_out = attn_fn(q, kv_cache, l, meta, sm_scale,
-                                   windows_arr[l])
+                                   windows_arr[l], **akw)
             attn_flat = attn_out.reshape(b, t, Hq * D)
             o = _dense(attn_flat, lp["wo"])
             if use_lora:
                 from sglang_diffusion_tpu.lora.manager import apply_lora
 
                 o = apply_lora(attn_flat, o, lora_tree, "wo", lora_ids, l)
+            if sandwich:
+                # gemma2/3: post_attention_layernorm on the branch output
+                hidden = hidden + norm(o, lp["post_norm"])
+                h = norm(hidden, lp["pre_ffw_norm"])
+                gate = _dense(h, lp["w_gate"])
+                up = _dense(h, lp["w_up"])
+                mlp = _dense(act_fn(gate) * up, lp["w_down"])
+                hidden = hidden + norm(mlp, lp["post_ffw_norm"])
+                return hidden, kv_cache
             hidden = hidden + o
 
             h = norm(hidden, lp["post_norm"])
@@ -280,6 +318,8 @@ class LlamaFamily:
                 )
             else:
                 logits = _dense(h_out, params["lm_head"]).astype(jnp.float32)
+            if final_softcap is not None:
+                logits = final_softcap * jnp.tanh(logits / final_softcap)
             if logits_mode in ("all_hidden", "last+hidden"):
                 return (logits, features), new_kv
             return logits, new_kv
@@ -317,6 +357,13 @@ class LlamaFamily:
         if cfg.qk_norm:
             m[("layers", "q_norm")] = ("model.layers.{i}.self_attn.q_norm.weight", None)
             m[("layers", "k_norm")] = ("model.layers.{i}.self_attn.k_norm.weight", None)
+        if cfg.sandwich_norms:
+            m[("layers", "pre_ffw_norm")] = (
+                "model.layers.{i}.pre_feedforward_layernorm.weight", None,
+            )
+            m[("layers", "post_ffw_norm")] = (
+                "model.layers.{i}.post_feedforward_layernorm.weight", None,
+            )
         if not cfg.tie_word_embeddings:
             m[("lm_head",)] = ("lm_head.weight", "t")
         return m

@@ -55,6 +55,7 @@ def _kernel(
     num_kv_heads: int,
     q_block: int,
     sm_scale: float,
+    softcap: float = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -123,6 +124,8 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )  # [rows, S]
         s = s * sm_scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         kv_pos = i * page_size + col_ids
         mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
         mask = mask & (kv_pos > q_pos - w_eff)
@@ -153,7 +156,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "q_block", "interpret")
+    jax.jit, static_argnames=("sm_scale", "q_block", "interpret", "softcap")
 )
 def paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
@@ -166,6 +169,7 @@ def paged_attention(
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: bool = False,
     window=None,  # scalar int32; <0/None = full attention
+    softcap: float = None,  # static: attention logit softcapping (gemma2)
 ) -> jax.Array:
     b, t, hq, d = q.shape
     nl, p, two_hkv, s, _ = kv_cache.shape
@@ -185,6 +189,7 @@ def paged_attention(
         num_kv_heads=hkv,
         q_block=tq,
         sm_scale=sm_scale,
+        softcap=softcap,
     )
     if window is None:
         window = -1

@@ -74,6 +74,7 @@ def _attn_core(
     v: jax.Array,  # [B, Lkv, Hkv, D]
     mask: jax.Array,  # [B, Tq, Lkv] bool, True = attend
     sm_scale: float,
+    softcap: float = None,
 ) -> jax.Array:
     b, tq, hq, d = q.shape
     hkv = k.shape[2]
@@ -83,6 +84,9 @@ def _attn_core(
     vf = v.astype(jnp.float32)
     # scores: [B, Hkv, group, Tq, Lkv]
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * sm_scale
+    if softcap is not None:
+        # gemma2 attention logit softcapping
+        scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     # guard fully-masked rows (padding queries): softmax of all -inf -> uniform;
@@ -102,6 +106,7 @@ def paged_attention(
     q_start_pos: jax.Array,  # [B] absolute position of q token 0 (=cache_len)
     sm_scale: float,
     window=None,  # scalar int32 (traced ok): sliding window size; <0/None = full
+    softcap: float = None,  # static: attention logit softcapping (gemma2)
 ) -> jax.Array:
     """Causal paged attention: query t attends kv positions <= q_start_pos+t.
 
@@ -126,7 +131,8 @@ def paged_attention(
         w = jnp.asarray(window, jnp.int32)
         in_window = kv_pos > (q_pos[:, :, None] - w)
         mask = mask & jnp.where(w >= 0, in_window, True)
-    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask, sm_scale)
+    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask, sm_scale,
+                      softcap)
 
 
 def full_attention(
