@@ -182,7 +182,7 @@ class MMDiT:
         return specs
 
     @staticmethod
-    def make_forward(cfg: DiTConfig, attn_fn=joint_attention):
+    def _make_block_body(cfg: DiTConfig, attn_fn):
         E = cfg.hidden_size
         H = cfg.num_heads
         D = cfg.head_dim
@@ -210,6 +210,15 @@ class MMDiT:
             h = jnp.dot(jax.nn.gelu(jnp.dot(h, bp["w_up"])), bp["w_down"])
             x = x + g2[:, None] * h
             return x
+
+        return block_body
+
+    @staticmethod
+    def make_forward(cfg: DiTConfig, attn_fn=joint_attention):
+        E = cfg.hidden_size
+        D = cfg.head_dim
+        eps = 1e-6
+        block_body = MMDiT._make_block_body(cfg, attn_fn)
 
         def forward(
             params,
@@ -256,6 +265,68 @@ class MMDiT:
             return jnp.dot(x_img, params["final_out"])  # [B, T_img, patch_dim]
 
         return forward
+
+    @staticmethod
+    def make_forward_parts(cfg: DiTConfig, attn_fn=joint_attention,
+                           front_blocks: int = 1):
+        """Split forward for Cache-DiT block caching (reference analog:
+        multimodal_gen/runtime/cache/cache_dit_integration.py:177 — DBCache
+        computes the first F blocks every step and reuses a cached tail
+        residual when the front output barely moved).
+
+        Returns (front, tail, head):
+          front(params, img_tokens, txt_emb, t, grid_hw) -> (x_front, ctx)
+          tail(params, x_front, ctx) -> x_full  (runs blocks F..L)
+          head(params, x_full, ctx) -> velocity tokens [B, T_img, patch_dim]
+        with x_* the combined [txt; img] hidden stream.
+        """
+        E = cfg.hidden_size
+        D = cfg.head_dim
+        eps = 1e-6
+        block_body = MMDiT._make_block_body(cfg, attn_fn)
+        assert 0 < front_blocks < cfg.depth
+
+        def _embed(params, img_tokens, txt_emb, timesteps, grid_hw):
+            t_txt = txt_emb.shape[1]
+            cond = jnp.dot(
+                jax.nn.silu(
+                    jnp.dot(timestep_embedding(timesteps, 256), params["t_mlp1"])
+                ),
+                params["t_mlp2"],
+            )
+            img = jnp.dot(img_tokens, params["img_in"]) + params["img_in_b"]
+            txt = jnp.dot(txt_emb, params["txt_in"]) + params["txt_in_b"]
+            x = jnp.concatenate([txt, img], axis=1)
+            cos, sin = rope_nd(tuple(grid_hw), t_txt, D, cfg.rope_theta)
+            return x, {"cond": cond, "cos": cos, "sin": sin, "t_txt": t_txt}
+
+        def _block(x, bp, ctx):
+            return block_body(x, bp, ctx["cond"], ctx["cos"], ctx["sin"])
+
+        def _slice_blocks(params, lo, hi):
+            return jax.tree.map(lambda a: a[lo:hi], params["blocks"])
+
+        def front(params, img_tokens, txt_emb, timesteps, grid_hw):
+            x, ctx = _embed(params, img_tokens, txt_emb, timesteps, grid_hw)
+            bp = _slice_blocks(params, 0, front_blocks)
+            x, _ = jax.lax.scan(lambda c, b: (_block(c, b, ctx), None), x, bp)
+            return x, ctx
+
+        def tail(params, x, ctx):
+            bp = _slice_blocks(params, front_blocks, cfg.depth)
+            x, _ = jax.lax.scan(lambda c, b: (_block(c, b, ctx), None), x, bp)
+            return x
+
+        def head(params, x, ctx):
+            t_txt = ctx["t_txt"]
+            x_img = x[:, t_txt:]
+            mod = jnp.dot(jax.nn.silu(ctx["cond"]), params["final_mod"])
+            sh, sc = jnp.split(mod, 2, axis=-1)
+            x_img = rms_norm(x_img, jnp.ones((E,), x.dtype), eps)
+            x_img = x_img * (1 + sc[:, None]) + sh[:, None]
+            return jnp.dot(x_img, params["final_out"])
+
+        return front, tail, head
 
 
 def patchify(latents: jax.Array, p: int) -> Tuple[jax.Array, Tuple[int, int]]:

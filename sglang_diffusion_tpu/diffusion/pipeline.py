@@ -240,10 +240,15 @@ class DiffusionPipeline:
         sp_mesh=None,  # Mesh with an "sp" axis -> Ulysses sequence parallel
         cfg_mesh=None,  # Mesh with a "cfg" axis (size 2) -> CFG parallel
         teacache=None,  # TeaCacheConfig
+        cache_dit=None,  # CacheDiTConfig (DBCache/TaylorSeer block caching)
     ):
         self.sp_mesh = sp_mesh
         self.cfg_mesh = cfg_mesh
         self.teacache = teacache
+        self.cache_dit = cache_dit
+        if (teacache is not None and teacache.enabled
+                and cache_dit is not None and cache_dit.enabled):
+            raise ValueError("teacache and cache_dit are mutually exclusive")
         self.last_teacache_skipped = 0
         self.dit_cfg = dit_cfg or DiTConfig()
         self.vae_cfg = vae_cfg or VAEConfig(latent_channels=self.dit_cfg.in_channels)
@@ -317,6 +322,14 @@ class DiffusionPipeline:
         use_cfg = bool(guidance_scale > 1.0)
         tc = self.teacache
         use_tc = bool(tc is not None and tc.enabled)
+        cd = self.cache_dit
+        use_cd = bool(cd is not None and cd.enabled)
+        if use_cd:
+            dit_parts = MMDiT.make_forward_parts(
+                self.dit_cfg,
+                attn_fn=_select_dit_attention(self.dit_cfg, self.sp_mesh),
+                front_blocks=cd.front_blocks,
+            )
         sched = get_scheduler(sampler, use_dynamic_shifting=True)
 
         def loop(dit_params, latents, text_emb, neg_emb, sigmas, gs):
@@ -361,6 +374,89 @@ class DiffusionPipeline:
 
             sched_step = sched.make_step(sigmas)
 
+            def dit_inputs(x, t):
+                """CFG batch doubling (+ optional cfg-mesh sharding)."""
+                if not use_cfg:
+                    return x, text_emb, t
+                x2 = jnp.concatenate([x, x], axis=0)
+                emb2 = jnp.concatenate([text_emb, neg_emb], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                if self.cfg_mesh is not None:
+                    from jax.sharding import NamedSharding
+
+                    sh = NamedSharding(self.cfg_mesh, P("cfg"))
+                    x2 = jax.lax.with_sharding_constraint(x2, sh)
+                    emb2 = jax.lax.with_sharding_constraint(emb2, sh)
+                return x2, emb2, t2
+
+            def cfg_combine(v2):
+                if not use_cfg:
+                    return v2
+                v_cond, v_uncond = jnp.split(v2, 2, axis=0)
+                return v_uncond + gs * (v_cond - v_uncond)
+
+            if use_cd:
+                # DBCache/TaylorSeer: front blocks always run; tail skipped
+                # when the front output barely moved (cache.py CacheDiTConfig)
+                front_fn, tail_fn, head_fn = dit_parts
+
+                def step_cd(carry, i):
+                    x, prev_front, res, res_prev, n_comp, skipped, sstate = carry
+                    sigma = sigmas[i]
+                    t = jnp.full((x.shape[0],), sigma * 1000.0)
+                    x2, emb2, t2 = dit_inputs(x, t)
+                    xf, ctx = front_fn(dit_params, x2, emb2, t2, grid_hw)
+                    rel = jnp.sum(jnp.abs(xf - prev_front)) / jnp.maximum(
+                        jnp.sum(jnp.abs(prev_front)), 1e-6
+                    )
+                    skip = (
+                        (rel < cd.threshold)
+                        & (i >= cd.warmup_steps)
+                        & (n_comp >= 2)
+                    )
+
+                    def do_skip(op):
+                        xf_, res_, res_prev_ = op
+                        res_hat = (
+                            res_ + (res_ - res_prev_)
+                            if cd.taylorseer else res_
+                        )
+                        v = head_fn(dit_params, xf_ + res_hat, ctx)
+                        return v, res_, res_prev_, n_comp
+
+                    def do_full(op):
+                        xf_, res_, res_prev_ = op
+                        xfull = tail_fn(dit_params, xf_, ctx)
+                        v = head_fn(dit_params, xfull, ctx)
+                        return v, xfull - xf_, res_, n_comp + 1
+
+                    v2, res, res_prev, n_comp = jax.lax.cond(
+                        skip, do_skip, do_full, (xf, res, res_prev)
+                    )
+                    v = cfg_combine(v2)
+                    skipped = skipped + skip.astype(jnp.int32)
+                    x, sstate = sched_step(i, x, v, sstate)
+                    return (x, xf, res, res_prev, n_comp, skipped, sstate), None
+
+                b2 = tokens.shape[0] * (2 if use_cfg else 1)
+                t_total = text_emb.shape[1] + tokens.shape[1]
+                e_hid = dit_params["t_mlp2"].shape[-1]
+                zeros_h = jnp.zeros((b2, t_total, e_hid), tokens.dtype)
+                init_cd = (
+                    tokens, zeros_h, zeros_h, zeros_h,
+                    jnp.int32(0), jnp.int32(0), sched.init_state(tokens),
+                )
+                (tokens, _, _, _, _, skipped, _), _ = jax.lax.scan(
+                    step_cd, init_cd, jnp.arange(sigmas.shape[0] - 1)
+                )
+                if video:
+                    out = unpatchify_video(tokens, grid_hw, p,
+                                           self.dit_cfg.in_channels)
+                else:
+                    out = unpatchify(tokens, grid_hw, p,
+                                     self.dit_cfg.in_channels)
+                return out, skipped
+
             def step(carry, i):
                 x, prev_v, prev_sig, accum, skipped, sstate = carry
                 sigma = sigmas[i]
@@ -401,7 +497,7 @@ class DiffusionPipeline:
 
         if self._denoise_jit is None:
             self._denoise_jit = {}
-        jit_key = (use_cfg, sampler)
+        jit_key = (use_cfg, sampler, use_tc, use_cd)
         if jit_key not in self._denoise_jit:
             self._denoise_jit[jit_key] = jax.jit(loop)
         gs = jnp.float32(guidance_scale)
