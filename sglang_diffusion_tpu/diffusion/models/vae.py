@@ -113,6 +113,92 @@ class VAEDecoder:
         return jnp.tanh(x)
 
 
+def make_parallel_decode(cfg: VAEConfig, mesh, axis: str = "sp",
+                         halo: int = 8):
+    """Spatially-tiled VAE decode over a mesh axis (reference analog:
+    multimodal_gen/runtime/models/vaes/parallel/ — each rank decodes one
+    horizontal strip of the latent).
+
+    Exactness: each rank takes its strip plus a `halo` of latent rows
+    (>= the decoder's total receptive radius, ~6 latent px for the default
+    config), so conv outputs in the interior are bit-identical to the
+    serial decode; GroupNorm statistics are computed over interior pixels
+    only and psum'd across the axis, making them exactly the global stats.
+    The returned function must be called under jit with `mesh` visible.
+    """
+    n = mesh.shape[axis]
+
+    def gn_sp(x, gamma, beta, off, interior_rows, scale, groups=8, eps=1e-6):
+        b, h, w, c = x.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h,), 0)
+        lo = off * scale
+        hi = (off + interior_rows) * scale
+        m = ((rows >= lo) & (rows < hi)).astype(jnp.float32)[None, :, None, None]
+        xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+        mf = m[..., None]
+        s1 = (xf * mf).sum(axis=(1, 2, 4), keepdims=True)
+        s2 = (jnp.square(xf) * mf).sum(axis=(1, 2, 4), keepdims=True)
+        s1 = jax.lax.psum(s1, axis)
+        s2 = jax.lax.psum(s2, axis)
+        count = float(n * interior_rows * scale * w * (c // groups))
+        mean = s1 / count
+        var = s2 / count - jnp.square(mean)
+        xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+        return (xf.reshape(b, h, w, c) * gamma + beta).astype(x.dtype)
+
+    def local_decode(params, z):
+        """z: full latents [B, H, W, C] (replicated). Returns this rank's
+        output strip [B, strip*8, W*8, 3]."""
+        b, h, w, c = z.shape
+        strip = h // n
+        tile_h = min(h, strip + 2 * halo)
+        idx = jax.lax.axis_index(axis)
+        start = idx * strip
+        lo = jnp.clip(start - halo, 0, h - tile_h)
+        zt = jax.lax.dynamic_slice(z, (0, lo, 0, 0), (b, tile_h, w, c))
+        off = start - lo  # interior offset inside the tile (latent rows)
+
+        x = zt / cfg.scaling_factor + cfg.shift_factor
+        x = conv2d(x, params["conv_in"], params["conv_in_b"])
+        scale = 1
+        for stage in params["stages"]:
+            for rp in stage["res"]:
+                hdd = gn_sp(x, rp["n1"], rp["n1_b"], off, strip, scale)
+                hdd = conv2d(jax.nn.silu(hdd), rp["c1"], rp["c1_b"])
+                hdd = gn_sp(hdd, rp["n2"], rp["n2_b"], off, strip, scale)
+                hdd = conv2d(jax.nn.silu(hdd), rp["c2"], rp["c2_b"])
+                x = x + hdd
+            bb, hh, ww, cc = x.shape
+            x = jax.image.resize(x, (bb, hh * 2, ww * 2, cc), "nearest")
+            x = conv2d(x, stage["up"], stage["up_b"])
+            scale *= 2
+        x = gn_sp(x, params["norm_out"], params["norm_out_b"], off, strip, scale)
+        x = conv2d(jax.nn.silu(x), params["conv_out"], params["conv_out_b"])
+        x = jnp.tanh(x)
+        # crop the interior strip at the output scale
+        return jax.lax.dynamic_slice(
+            x, (0, off * scale, 0, 0),
+            (b, strip * scale, x.shape[2], 3),
+        )
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def decode(params, z):
+        import functools
+
+        f = functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P()),
+            out_specs=P(None, axis, None, None),
+            check_vma=False,
+        )(local_decode)
+        return f(params, z)
+
+    return decode
+
+
 class VAEEncoder:
     @staticmethod
     def init_params(rng, cfg: VAEConfig, dtype=jnp.float32) -> Dict[str, Any]:
