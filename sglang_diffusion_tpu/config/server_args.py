@@ -91,6 +91,10 @@ class ServerArgs:
     # ---- observability / robustness ----
     log_level: str = "info"
     enable_metrics: bool = False
+    # OTel request tracing (reference: --enable-trace, srt/observability/)
+    enable_trace: bool = False
+    trace_exporter: str = "memory"  # memory | console | otlp
+    otlp_traces_endpoint: Optional[str] = None
     show_time_cost: bool = False
     # abort requests stuck too long (0 = disabled; reference:
     # scheduler._abort_on_waiting_timeout / _abort_on_running_timeout)

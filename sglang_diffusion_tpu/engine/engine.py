@@ -96,6 +96,15 @@ class Engine:
         self._detoks: Dict[str, IncrementalDetokenizer] = {}
         self._pending_deltas: Dict[str, str] = {}
         self._lock = threading.Lock()
+        self._tracing = False
+        if self.args.enable_trace:
+            from sglang_diffusion_tpu.observability import init_tracing
+
+            init_tracing(
+                exporter=self.args.trace_exporter,
+                endpoint=self.args.otlp_traces_endpoint,
+            )
+            self._tracing = True
         # multi-turn sessions: session_id -> token history (reference:
         # srt/managers/session_controller.py; prefix reuse via radix cache)
         self._sessions: Dict[str, List[int]] = {}
@@ -277,7 +286,13 @@ class Engine:
             return finished
         samp_np = self._samp_arrays(plan)
         t0 = time.monotonic()
-        next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
+        if self._tracing:
+            from sglang_diffusion_tpu.observability import step_span
+
+            with step_span(plan.kind, len(plan.reqs)):
+                next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
+        else:
+            next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
         step_s = time.monotonic() - t0
         if step_s > self.args.watchdog_timeout_s:
             logger.error(
@@ -296,6 +311,11 @@ class Engine:
     def _post_process(self, plan, finished) -> None:
         """Incremental detokenization + stop-string scan for requests that
         produced a token this step (streaming or stop-bearing only)."""
+        if self._tracing and finished:
+            from sglang_diffusion_tpu.observability import record_request_trace
+
+            for req in finished:
+                record_request_trace(req)
         for i, req in enumerate(plan.reqs):
             if not plan.sample_mask[i]:
                 continue

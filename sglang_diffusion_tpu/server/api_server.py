@@ -177,6 +177,13 @@ class ApiServer:
                 }
             )
 
+        @http.route("GET", "/v1/traces")
+        async def traces(req: Request) -> Response:
+            from sglang_diffusion_tpu.observability import get_recent_traces
+
+            limit = int(req.query.get("limit", "100"))
+            return Response({"traces": get_recent_traces(limit)})
+
         @http.route("GET", "/metrics")
         async def metrics(_req: Request) -> Response:
             s = self.engine.scheduler
