@@ -96,11 +96,20 @@ class Scheduler:
         # and page geometry)
         self.drafter = None
         if args.speculative_algorithm == "ngram":
-            from sglang_diffusion_tpu.spec.ngram import NgramDrafter
-
-            self.drafter = NgramDrafter(
-                num_draft_tokens=args.speculative_num_draft_tokens
+            from sglang_diffusion_tpu.spec.ngram import (
+                NgramDrafter,
+                NgramTrieDrafter,
             )
+
+            try:
+                # native shared trie (reference: cpp_ngram/ngram.cpp)
+                self.drafter = NgramTrieDrafter(
+                    num_draft_tokens=args.speculative_num_draft_tokens
+                )
+            except Exception:  # toolchain unavailable
+                self.drafter = NgramDrafter(
+                    num_draft_tokens=args.speculative_num_draft_tokens
+                )
 
     # ------------- intake -------------
     def add_request(self, req: Req) -> None:
