@@ -252,6 +252,105 @@ class ApiServer:
             )
             return Response({"scores": scores})
 
+        @http.route("POST", "/v1/rerank")
+        async def rerank(req: Request) -> Response:
+            """Document reranking (reference analog: serving_rerank.py).
+            Relevance = choice-scoring logprob of each document given the
+            query (cross-encoder-style teacher forcing on the LM)."""
+            body = req.json()
+            query = body.get("query", "")
+            docs = body.get("documents", [])
+            if not docs:
+                return Response({"error": "documents required"}, 400)
+            top_n = int(body.get("top_n", len(docs)))
+            loop = asyncio.get_running_loop()
+            scores = await loop.run_in_executor(
+                None, lambda: self.engine.score_choices(query + "\n", docs)
+            )
+            order = sorted(range(len(docs)), key=lambda i: -scores[i])[:top_n]
+            return Response({
+                "model": model_id,
+                "results": [
+                    {
+                        "index": i,
+                        "relevance_score": scores[i],
+                        "document": docs[i] if body.get("return_documents",
+                                                        True) else None,
+                    }
+                    for i in order
+                ],
+            })
+
+        @http.route("POST", "/v1/responses")
+        async def responses(req: Request) -> Response:
+            """OpenAI Responses API, non-streaming core (reference analog:
+            serving_responses.py)."""
+            body = req.json()
+            inp = body.get("input", "")
+            if isinstance(inp, list):
+                messages = [
+                    m if isinstance(m.get("content"), str)
+                    else {**m, "content": "".join(
+                        p.get("text", "") for p in m["content"]
+                        if isinstance(p, dict)
+                    )}
+                    for m in inp
+                ]
+            else:
+                messages = [{"role": "user", "content": str(inp)}]
+            if body.get("instructions"):
+                messages.insert(
+                    0, {"role": "system", "content": body["instructions"]}
+                )
+            sp = SamplingParams(
+                max_new_tokens=body.get(
+                    "max_output_tokens", self.args.max_new_tokens_default
+                ),
+                temperature=body.get("temperature", 1.0),
+                top_p=body.get("top_p", 1.0),
+            )
+            prompt = self._messages_to_prompt(messages)
+            r = self.engine._make_req(prompt, None, sp)
+            out = await self._run_one(r)
+            rid = f"resp_{uuid.uuid4().hex}"
+            return Response({
+                "id": rid,
+                "object": "response",
+                "created_at": int(time.time()),
+                "model": model_id,
+                "status": "completed",
+                "output": [
+                    {
+                        "type": "message",
+                        "id": f"msg_{uuid.uuid4().hex}",
+                        "role": "assistant",
+                        "status": "completed",
+                        "content": [
+                            {"type": "output_text", "text": out["text"],
+                             "annotations": []}
+                        ],
+                    }
+                ],
+                "usage": {
+                    "input_tokens": out["meta_info"]["prompt_tokens"],
+                    "output_tokens": out["meta_info"]["completion_tokens"],
+                    "total_tokens": out["meta_info"]["prompt_tokens"]
+                    + out["meta_info"]["completion_tokens"],
+                },
+            })
+
+        @http.route("POST", "/tokenize")
+        async def tokenize(req: Request) -> Response:
+            body = req.json()
+            ids = self.engine.tokenizer.encode(body.get("text", ""))
+            return Response({"tokens": list(ids), "count": len(ids)})
+
+        @http.route("POST", "/detokenize")
+        async def detokenize(req: Request) -> Response:
+            body = req.json()
+            text = self.engine.tokenizer.decode(body.get("tokens", []))
+            return Response({"text": text})
+
         @http.route("POST", "/open_session")
         async def open_session(req: Request) -> Response:
             body = req.json()
