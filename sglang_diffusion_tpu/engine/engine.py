@@ -177,12 +177,12 @@ class Engine:
     ) -> Req:
         if input_ids is None:
             input_ids = self.tokenizer.encode(prompt)
-        mm_embeds, mm_spans = None, []
+        mm_embeds, mm_spans, mm_positions, rope_delta = None, [], None, 0
         if image_data is not None:
             if not isinstance(image_data, (list, tuple)):
                 image_data = [image_data]
-            mm_embeds, input_ids, mm_spans = self._process_images(
-                list(input_ids), image_data
+            mm_embeds, input_ids, mm_spans, mm_positions, rope_delta = (
+                self._process_images(list(input_ids), image_data)
             )
         eos_ids = []
         if self.tokenizer.eos_token_id is not None:
@@ -196,6 +196,8 @@ class Engine:
             stream=stream,
             mm_embeds=mm_embeds,
             mm_spans=mm_spans,
+            mm_positions=mm_positions,
+            rope_delta=rope_delta,
         )
         if sp.lora_path:
             if self.lora_manager is None:
@@ -221,18 +223,21 @@ class Engine:
     def _process_images(self, input_ids: List[int], images: List) -> tuple:
         """Vision-encode images and expand placeholder tokens into
         content-hash pseudo-ids (reference: srt/multimodal/processors +
-        mm_utils hashing for radix correctness)."""
-        if self.model_config.vision is None:
+        mm_utils hashing for radix correctness). Returns
+        (mm_embeds, new_ids, spans, mm_positions, rope_delta)."""
+        if not getattr(self.runner.model_cls, "is_multimodal", False):
             raise ValueError(
                 f"model {self.model_config.architecture} is not multimodal"
             )
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+
+        if getattr(self.runner.model_cls, "uses_mrope", False):
+            return self._process_images_mrope(input_ids, images)
         if not hasattr(self, "_image_processor"):
             from sglang_diffusion_tpu.multimodal import ImageProcessor
 
             v = self.model_config.vision
             self._image_processor = ImageProcessor(v.image_size, v.patch_size)
-        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
-
         pixel_values, digests = self._image_processor.preprocess_batch(images)
         mm_embeds = self.runner.encode_images(pixel_values)
         n_tok = int(mm_embeds.shape[1])
@@ -243,7 +248,43 @@ class Engine:
             digests,
             self.model_config.vocab_size,
         )
-        return mm_embeds, new_ids, spans
+        return mm_embeds, new_ids, spans, None, 0
+
+    def _process_images_mrope(self, input_ids: List[int], images: List):
+        """Qwen2-VL path: dynamic-resolution patches, per-image vision
+        encode, 3D rope positions + rope_delta (models/qwen2_vl.py)."""
+        from sglang_diffusion_tpu.models.qwen2_vl import (
+            compute_mrope_positions,
+        )
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+        from sglang_diffusion_tpu.multimodal.processor import (
+            Qwen2VLImageProcessor,
+        )
+
+        if not hasattr(self, "_mrope_processor"):
+            vc = self.model_config.raw.get("vision_config", {})
+            self._mrope_processor = Qwen2VLImageProcessor(
+                patch_size=vc.get("patch_size", 14),
+                merge_size=vc.get("spatial_merge_size", 2),
+                temporal_patch_size=vc.get("temporal_patch_size", 2),
+            )
+        proc = self._mrope_processor
+        embeds, grids, digests, counts = [], [], [], []
+        m = proc.merge_size
+        for im in images:
+            patches, (gh, gw), digest = proc.preprocess(im)
+            embeds.append(
+                self.runner.encode_images_mrope(patches, (gh, gw))
+            )
+            grids.append((gh // m, gw // m))  # merged-token grid
+            digests.append(digest)
+            counts.append((gh // m) * (gw // m))
+        new_ids, spans = expand_mm_prompt(
+            input_ids, self.model_config.image_token_id, counts, digests,
+            self.model_config.vocab_size,
+        )
+        pos3, rope_delta = compute_mrope_positions(len(new_ids), spans, grids)
+        return embeds, new_ids, spans, pos3, rope_delta
 
     def encode_mm_prompt(self, prompt: str) -> List[int]:
         """Tokenize a prompt containing literal "<image>" markers, inserting

@@ -141,7 +141,7 @@ class ModelRunner:
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
                  q_start, slots, logit_idx, samp_meta, key, all_greedy=False,
-                 output_counts=None, vocab_mask=None):
+                 output_counts=None, vocab_mask=None, rope_delta=None):
             meta = AttentionMetadata(
                 page_table=page_table,
                 kv_lens=kv_lens,
@@ -149,7 +149,13 @@ class ModelRunner:
                 slot_ids=slots,
                 logit_idx=logit_idx,
             )
-            logits, new_kv = fwd(params, token_ids, positions, kv_cache, meta)
+            # rope positions may lag sequence positions (M-RoPE models;
+            # models/qwen2_vl.py rope_delta) — the attention mask metadata
+            # above always uses sequence positions
+            rpos = positions if rope_delta is None else (
+                positions + rope_delta[:, None]
+            )
+            logits, new_kv = fwd(params, token_ids, rpos, kv_cache, meta)
             next_tok, tok_logprob = sample(
                 logits, samp_meta, key, all_greedy, output_counts, vocab_mask,
                 nonce=kv_lens,
@@ -158,7 +164,7 @@ class ModelRunner:
 
         def decode_multi(params, kv_cache, tokens0, positions0, page_table,
                          slots_km, samp_meta, key, all_greedy=False,
-                         output_counts=None, vocab_mask=None):
+                         output_counts=None, vocab_mask=None, rope_delta=None):
             """K fused decode steps with device-side token feedback
             (lax.scan; the TPU analog of overlap-scheduling + CUDA-graph
             replay — one host dispatch per K tokens).
@@ -176,8 +182,9 @@ class ModelRunner:
                     slot_ids=slots_k[:, None],
                     logit_idx=jnp.zeros_like(pos),
                 )
+                rpos = pos if rope_delta is None else pos + rope_delta
                 logits, kv_cache = fwd(
-                    params, tokens[:, None], pos[:, None], kv_cache, meta
+                    params, tokens[:, None], rpos[:, None], kv_cache, meta
                 )
                 tok, lp = sample(
                     logits,
@@ -453,6 +460,12 @@ class ModelRunner:
             if tokens0_dev is not None
             else jnp.asarray(pad1(plan.token_ids[:, 0]))
         )
+        rope_delta = None
+        if any(getattr(r, "rope_delta", 0) for r in plan.reqs):
+            rd = np.zeros((bb,), np.int32)
+            for i, r in enumerate(plan.reqs):
+                rd[i] = r.rope_delta
+            rope_delta = jnp.asarray(rd)
         toks, lps, self.kv_cache = self._decode_multi(
             self.params,
             self.kv_cache,
@@ -465,6 +478,7 @@ class ModelRunner:
             all_greedy=all_greedy,
             output_counts=output_counts,
             vocab_mask=vocab_mask,
+            rope_delta=rope_delta,
         )
         return toks, lps
 
@@ -514,23 +528,40 @@ class ModelRunner:
             self.params, jnp.asarray(pixel_values, jnp.float32)
         )
 
+    def encode_images_mrope(self, patches: np.ndarray, grid_hw):
+        """Per-image vision encode for dynamic-resolution (mrope) models —
+        one executable per patch grid (grids repeat heavily in practice)."""
+        if self._encode_images is None:
+            enc = self.model_cls.make_encode_images(self.cfg)
+            self._encode_images = (
+                enc if self.args.disable_jit
+                else jax.jit(enc, static_argnums=(2,))
+            )
+        return self._encode_images(
+            self.params, jnp.asarray(patches, jnp.float32), tuple(grid_hw)
+        )
+
     def _get_mm_step(self):
         """Prefill step with image-embedding injection (compiled lazily;
-        only batches containing images pay for the extra [B, T, E] input)."""
+        only batches containing images pay for the extra [B, T, E] input).
+        M-RoPE models additionally take the 3D rope positions."""
         if self._mm_step is None:
             fwd = self._fwd
+            uses_mrope = getattr(self.model_cls, "uses_mrope", False)
 
             def mm_step(params, kv_cache, token_ids, positions, page_table,
                         kv_lens, q_start, slots, logit_idx, mm_embeds, mm_mask,
-                        samp_meta, key, all_greedy=False, output_counts=None,
-                        vocab_mask=None):
+                        samp_meta, key, positions_3d=None, all_greedy=False,
+                        output_counts=None, vocab_mask=None):
                 meta = AttentionMetadata(
                     page_table=page_table, kv_lens=kv_lens,
                     q_start_pos=q_start, slot_ids=slots, logit_idx=logit_idx,
                 )
+                kw = dict(mm_embeds=mm_embeds, mm_mask=mm_mask)
+                if uses_mrope:
+                    kw["positions_3d"] = positions_3d
                 logits, new_kv = fwd(
-                    params, token_ids, positions, kv_cache, meta,
-                    mm_embeds=mm_embeds, mm_mask=mm_mask,
+                    params, token_ids, positions, kv_cache, meta, **kw
                 )
                 tok, lp = sample(logits, samp_meta, key, all_greedy,
                                  output_counts, vocab_mask, nonce=kv_lens)
@@ -578,6 +609,23 @@ class ModelRunner:
             out[:b, :lq] = x
             return out
 
+        positions_3d = None
+        if getattr(self.model_cls, "uses_mrope", False):
+            # 3D rope positions: mm rows use their precomputed streams,
+            # text rows duplicate the scalar positions across all streams
+            p3 = np.zeros((3, bb, lb), np.int32)
+            p3[:, :b, :lq] = plan.positions[None]
+            for i, req in enumerate(plan.reqs):
+                if req.mm_positions is None:
+                    continue
+                start = int(plan.q_start[i])
+                take = int(plan.kv_lens[i]) - start
+                n_prompt = req.mm_positions.shape[1]
+                hi = min(start + take, n_prompt)
+                if hi > start:
+                    p3[:, i, : hi - start] = req.mm_positions[:, start:hi]
+            positions_3d = jnp.asarray(p3)
+
         step = self._get_mm_step()
         tok, lp, self.kv_cache = step(
             self.params, self.kv_cache,
@@ -590,7 +638,7 @@ class ModelRunner:
             jnp.asarray(pad1(plan.logit_idx)),
             mm_embeds,
             jnp.asarray(mm_mask),
-            samp, key, all_greedy=all_greedy,
+            samp, key, positions_3d=positions_3d, all_greedy=all_greedy,
             output_counts=output_counts, vocab_mask=vocab_mask,
         )
         tok, lp = jax.device_get((tok, lp))

@@ -120,12 +120,17 @@ class ImageProcessor:
 def expand_mm_prompt(
     input_ids: List[int],
     image_token_id: int,
-    num_tokens_per_image: int,
+    num_tokens_per_image,  # int, or per-image List[int] (dynamic-res models)
     digests: List[bytes],
     vocab_size: int,
 ) -> Tuple[List[int], List[MMSpan]]:
-    """Replace each placeholder token with num_tokens_per_image pseudo-ids
-    derived from that image's content hash. Returns (ids, spans)."""
+    """Replace each placeholder token with that image's token count of
+    pseudo-ids derived from its content hash. Returns (ids, spans)."""
+    counts = (
+        num_tokens_per_image
+        if isinstance(num_tokens_per_image, (list, tuple))
+        else [num_tokens_per_image] * len(digests)
+    )
     out: List[int] = []
     spans: List[MMSpan] = []
     img_idx = 0
@@ -135,10 +140,11 @@ def expand_mm_prompt(
                 raise ValueError(
                     f"prompt has more image tokens than images ({len(digests)})"
                 )
+            n = counts[img_idx]
             seed = int.from_bytes(digests[img_idx][:8], "little")
             rng = np.random.default_rng(seed)
-            pseudo = rng.integers(0, vocab_size, size=num_tokens_per_image)
-            spans.append(MMSpan(len(out), num_tokens_per_image, img_idx))
+            pseudo = rng.integers(0, vocab_size, size=n)
+            spans.append(MMSpan(len(out), n, img_idx))
             out.extend(int(t) for t in pseudo)
             img_idx += 1
         else:
@@ -149,3 +155,59 @@ def expand_mm_prompt(
             f"placeholder tokens in prompt"
         )
     return out, spans
+
+
+class Qwen2VLImageProcessor(ImageProcessor):
+    """Dynamic-resolution processor for Qwen2-VL-family models (reference:
+    srt/multimodal/processors/qwen_vl.py + HF Qwen2VLImageProcessor):
+    smart-resize to multiples of patch*merge within a pixel budget, then
+    serialize patches in spatial-merge order with (channel, temporal,
+    ph, pw) per-patch layout — exactly the order the vision tower's rotary
+    and PatchMerger expect."""
+
+    def __init__(self, patch_size: int = 14, merge_size: int = 2,
+                 temporal_patch_size: int = 2,
+                 min_pixels: int = 56 * 56, max_pixels: int = 1024 * 1024,
+                 mean: np.ndarray = CLIP_MEAN, std: np.ndarray = CLIP_STD):
+        self.patch_size = patch_size
+        self.merge_size = merge_size
+        self.temporal = temporal_patch_size
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+        self.mean = mean
+        self.std = std
+
+    def smart_resize(self, h: int, w: int) -> Tuple[int, int]:
+        unit = self.patch_size * self.merge_size
+        import math
+
+        hr = max(unit, round(h / unit) * unit)
+        wr = max(unit, round(w / unit) * unit)
+        if hr * wr > self.max_pixels:
+            beta = math.sqrt(h * w / self.max_pixels)
+            hr = max(unit, (int(h / beta) // unit) * unit)
+            wr = max(unit, (int(w / beta) // unit) * unit)
+        elif hr * wr < self.min_pixels:
+            beta = math.sqrt(self.min_pixels / (h * w))
+            hr = -(-int(h * beta) // unit) * unit
+            wr = -(-int(w * beta) // unit) * unit
+        return hr, wr
+
+    def preprocess(self, image_data: Any):
+        """-> (patches [gh*gw, C*temporal*p*p] float32 in merge order,
+        (gh, gw) patch grid, content hash)."""
+        arr, digest = self.load(image_data)
+        h, w, _ = arr.shape
+        hr, wr = self.smart_resize(h, w)
+        arr = self._resize_bilinear(arr, hr, wr)
+        arr = (arr - self.mean) / self.std
+        p, m, tp = self.patch_size, self.merge_size, self.temporal
+        gh, gw = hr // p, wr // p
+        x = arr.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
+        x = np.repeat(x, tp, axis=1)  # static image -> repeated frames
+        c = x.shape[0]
+        x = x.reshape(c, tp, gh // m, m, p, gw // m, m, p)
+        # -> [gh/m, gw/m, m, m, C, tp, p, p]
+        x = x.transpose(2, 5, 3, 6, 0, 1, 4, 7)
+        patches = x.reshape(gh * gw, c * tp * p * p).astype(np.float32)
+        return patches, (gh, gw), digest

@@ -50,10 +50,15 @@ class Req:
     is_retracted: bool = False
     finish_reason: FinishReason = FinishReason.NONE
 
-    # multimodal: projected image embeddings (device array [n_img, T_img, E])
+    # multimodal: projected image embeddings (device array [n_img, T_img, E]
+    # or a list of per-image [T_i, E] arrays for dynamic-resolution models)
     # and their spans in input_ids (multimodal/processor.py MMSpan)
     mm_embeds: Optional[object] = None
     mm_spans: List[object] = field(default_factory=list)
+    # M-RoPE (qwen2-vl): 3D rope positions for the prompt [3, T_prompt] and
+    # the rope-vs-sequence offset applied to decode positions
+    mm_positions: Optional[object] = None
+    rope_delta: int = 0
 
     # constrained decoding session (constrained/manager.py GrammarSession)
     grammar: Optional[object] = None
