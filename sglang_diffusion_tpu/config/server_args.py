@@ -55,6 +55,10 @@ class ServerArgs:
     # restored on prefix hits (reference: HiCache, managers/cache_controller)
     enable_hierarchical_cache: bool = False
     hicache_host_size_mb: int = 4096
+    # tier-3 KV storage (reference: --hicache-storage-backend, kv/storage.py)
+    hicache_storage_backend: Optional[str] = None  # None | "file"
+    hicache_storage_path: str = "/tmp/sgld_kv_storage"
+    hicache_storage_size_mb: int = 16384
 
     # ---- scheduling ----
     schedule_policy: str = "lpm"  # lpm | fcfs | lof | random

@@ -166,6 +166,30 @@ class Engine:
             self.args.hicache_host_size_mb * 1024 * 1024,
         )
 
+        if self.args.hicache_storage_backend:
+            from sglang_diffusion_tpu.kv.storage import get_storage_backend
+
+            storage = get_storage_backend(
+                self.args.hicache_storage_backend,
+                self.args.hicache_storage_path,
+                self.args.hicache_storage_size_mb * 1024 * 1024,
+            )
+            blob_shape = (
+                cfg.num_hidden_layers,
+                2 * cfg.num_key_value_heads,
+                self.args.page_size,
+                cfg.actual_head_dim,
+            )
+            def blob_to_bytes(blob) -> bytes:
+                return np.ascontiguousarray(blob).tobytes()
+
+            def bytes_to_blob(data: bytes):
+                # dt is a numpy dtype (ml_dtypes covers bf16/fp8)
+                return np.frombuffer(data, dt).reshape(blob_shape)
+
+            self.radix.enable_storage(storage, blob_to_bytes, bytes_to_blob)
+            self.kv_storage = storage
+
     # ---------------- request intake ----------------
     def _make_req(
         self,

@@ -74,6 +74,11 @@ class RadixCache:
         self.host_bytes = 0
         self.host_tokens = 0
         self.hicache_hits = 0
+        # storage tier (kv/storage.py) — disabled until enable_storage()
+        self._storage = None
+        self._blob_to_bytes = None
+        self._bytes_to_blob = None
+        self.storage_hits = 0
 
     def enable_hicache(
         self,
@@ -89,6 +94,70 @@ class RadixCache:
         self._restore_fn = restore_fn
         self._bytes_per_page = bytes_per_page
         self._host_limit_bytes = host_limit_bytes
+
+    def enable_storage(self, storage, blob_to_bytes, bytes_to_blob) -> None:
+        """Turn on the storage tier (reference analog: HiCache storage
+        backends, mem_cache/hicache_storage.py): pages that fall out of the
+        host tier are written through to content-addressed storage and can
+        be re-fetched on a later prefix miss — including across restarts."""
+        self._storage = storage
+        self._blob_to_bytes = blob_to_bytes
+        self._bytes_to_blob = bytes_to_blob
+
+    def _node_prefix(self, node: TreeNode) -> List[int]:
+        """Token prefix from root through `node` (exclusive of children)."""
+        parts = []
+        while node is not None and node is not self.root:
+            parts.append(node.tokens)
+            node = node.parent
+        out: List[int] = []
+        for p in reversed(parts):
+            out.extend(p)
+        return out
+
+    def _spill_to_storage(self, prefix: List[int], tokens: List[int],
+                          host_blobs) -> None:
+        """Write per-page blobs keyed by the chained prefix hash."""
+        if self._storage is None or host_blobs is None:
+            return
+        from sglang_diffusion_tpu.kv.storage import prefix_page_key
+
+        for j, blob in enumerate(host_blobs):
+            upto = prefix + tokens[: (j + 1) * self.page_size]
+            self._storage.set(prefix_page_key(upto), self._blob_to_bytes(blob))
+
+    def _fetch_from_storage(self, node: TreeNode, tokens: List[int],
+                            pos: int) -> Optional[TreeNode]:
+        """On a device+host miss, probe storage for consecutive pages of
+        tokens[pos:]; on hits, restore them to device and graft a new node."""
+        if self._storage is None:
+            return None
+        from sglang_diffusion_tpu.kv.storage import prefix_page_key
+
+        prefix = self._node_prefix(node)
+        blobs = []
+        n = 0
+        while pos + (n + 1) * self.page_size <= len(tokens):
+            upto = (
+                prefix + tokens[pos : pos + (n + 1) * self.page_size]
+            )
+            data = self._storage.get(prefix_page_key(upto))
+            if data is None:
+                break
+            blobs.append(self._bytes_to_blob(data))
+            n += 1
+        if not blobs:
+            return None
+        new_pages = self._restore_fn(blobs) if self._restore_fn else None
+        if new_pages is None:
+            return None
+        child = TreeNode(node)
+        child.tokens = list(tokens[pos : pos + n * self.page_size])
+        child.pages = list(new_pages)
+        node.children[self._edge_key(child.tokens)] = child
+        self._evictable_tokens += len(child.tokens)
+        self.storage_hits += len(child.tokens)
+        return child
 
     # ------------- helpers -------------
     def _edge_key(self, tokens: List[int]) -> Tuple[int, ...]:
@@ -120,7 +189,14 @@ class RadixCache:
             key = self._edge_key(tokens[pos:])
             child = node.children.get(key)
             if child is None:
-                break
+                child = self._fetch_from_storage(node, tokens, pos)
+                if child is None:
+                    break
+                child.last_access = time.monotonic()
+                pages.extend(child.pages)
+                pos += len(child.tokens)
+                node = child
+                break  # storage probe already consumed the longest run
             # count matching pages along this edge
             n_match = 0
             et = child.tokens
@@ -270,6 +346,12 @@ class RadixCache:
             ):
                 leaf.host_data = self._offload_fn(leaf.pages)
                 offloaded = leaf.host_data is not None
+            elif self._storage is not None and self._offload_fn is not None:
+                # host tier full: write through to the storage tier instead
+                blobs = self._offload_fn(leaf.pages)
+                self._spill_to_storage(
+                    self._node_prefix(leaf.parent), leaf.tokens, blobs
+                )
             self.free_pages_fn(leaf.pages)
             evicted += n_pages
             self._evictable_tokens -= len(leaf.tokens)
@@ -293,6 +375,10 @@ class RadixCache:
             n = stack.pop()
             stack.extend(n.children.values())
             if n.on_host:
+                # demote to the storage tier rather than losing the KV
+                self._spill_to_storage(
+                    self._node_prefix(n.parent), n.tokens, n.host_data
+                )
                 self.host_bytes -= (
                     len(n.host_data) * self._bytes_per_page if n.host_data else 0
                 )
