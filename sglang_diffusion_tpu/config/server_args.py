@@ -37,6 +37,13 @@ class ServerArgs:
     pp_size: int = 1  # pipeline parallel (mesh axis "pp"; GPipe in-step)
     pp_microbatches: int = 0  # microbatches per batch (0 -> pp_size)
     ep_size: int = 1  # expert parallel for MoE (reuses "tp" axis slice)
+    # DeepSeek-style DP attention (reference: --enable-dp-attention,
+    # srt/layers/dp_attention.py): attention runs batch-sharded over ALL
+    # devices with replicated attention weights (no KV duplication across
+    # TP ranks — the point for MLA's single latent plane), while MoE/dense
+    # FFNs stay tensor/expert-sharded; GSPMD inserts the gather/scatter
+    # the reference hand-codes in layers/communicator.py
+    enable_dp_attention: bool = False
     # diffusion-only sequence parallel degrees (Ulysses x ring), see
     # reference multimodal_gen/runtime/server_args.py:219-231
     ulysses_degree: int = 1

@@ -76,7 +76,15 @@ class ModelRunner:
             params = self.model_cls.init_params(
                 jax.random.PRNGKey(args.random_seed), model_config, dtype
             )
-        specs = self.model_cls.partition_specs(model_config)
+        self.dp_attention = bool(
+            args.enable_dp_attention and mesh_ctx.mesh.size > 1
+        )
+        if self.dp_attention and hasattr(
+            self.model_cls, "partition_specs_dp_attention"
+        ):
+            specs = self.model_cls.partition_specs_dp_attention(model_config)
+        else:
+            specs = self.model_cls.partition_specs(model_config)
         if args.quantization in ("int8", "w8a8_int8", "fp8", "w4a16", "awq", "gptq"):
             from sglang_diffusion_tpu.quant.quantize import (
                 quant_partition_specs,
@@ -121,14 +129,48 @@ class ModelRunner:
             args.page_size,
             model_config.kv_cache_head_dim,
         )
+        kv_sharding = mesh_ctx.kv_sharding_for(
+            model_config.kv_cache_heads, self.num_pages,
+            dp_attention=self.dp_attention,
+        )
         self.kv_cache = jax.device_put(
-            jnp.zeros(kv_shape, _kv_dtype(args)), mesh_ctx.kv_sharding
+            jnp.zeros(kv_shape, _kv_dtype(args)), kv_sharding
         )
 
         # ---- compiled step ----
-        from sglang_diffusion_tpu.layers.attention import make_sharded_attention
+        from sglang_diffusion_tpu.layers.attention import (
+            get_attention_backend,
+            make_sharded_attention,
+        )
 
-        attn_fn = make_sharded_attention(args.attention_backend, mesh_ctx.mesh)
+        if self.dp_attention:
+            # GSPMD-partitioned attention: the batch-sharding constraint
+            # below seeds rows over ALL devices; the shard_map pallas
+            # wrapper assumes head-sharded KV and does not apply here
+            attn_fn = get_attention_backend("xla")
+        else:
+            attn_fn = make_sharded_attention(
+                args.attention_backend, mesh_ctx.mesh
+            )
+        from jax.sharding import NamedSharding as _NS
+        from jax.sharding import PartitionSpec as _P
+
+        _n_all = mesh_ctx.mesh.size
+        _mesh = mesh_ctx.mesh
+        _dp_attn = self.dp_attention
+
+        def seed_dp(*arrays):
+            """with_sharding_constraint batch rows over every device
+            (dp-attention); no-op otherwise or for indivisible batches."""
+            if not _dp_attn or arrays[0].shape[0] % _n_all:
+                return arrays
+            out = []
+            for x in arrays:
+                spec = _P(("dp", "tp"), *([None] * (x.ndim - 1)))
+                out.append(
+                    jax.lax.with_sharding_constraint(x, _NS(_mesh, spec))
+                )
+            return tuple(out)
         if mesh_ctx.pp_size > 1:
             from sglang_diffusion_tpu.parallel.pipeline import make_pp_forward
 
@@ -155,6 +197,7 @@ class ModelRunner:
             rpos = positions if rope_delta is None else (
                 positions + rope_delta[:, None]
             )
+            token_ids, rpos = seed_dp(token_ids, rpos)
             logits, new_kv = fwd(params, token_ids, rpos, kv_cache, meta)
             next_tok, tok_logprob = sample(
                 logits, samp_meta, key, all_greedy, output_counts, vocab_mask,
@@ -183,8 +226,9 @@ class ModelRunner:
                     logit_idx=jnp.zeros_like(pos),
                 )
                 rpos = pos if rope_delta is None else pos + rope_delta
+                toks_in, rpos = seed_dp(tokens[:, None], rpos[:, None])
                 logits, kv_cache = fwd(
-                    params, tokens[:, None], rpos[:, None], kv_cache, meta
+                    params, toks_in, rpos, kv_cache, meta
                 )
                 tok, lp = sample(
                     logits,

@@ -245,6 +245,29 @@ class DeepseekFamily:
         return specs
 
     @staticmethod
+    def partition_specs_dp_attention(cfg: ModelConfig) -> Dict[str, Any]:
+        """DP-attention layout (reference: enable_dp_attention +
+        srt/layers/dp_attention.py): MLA attention weights REPLICATED (the
+        batch is sharded over every device instead — each rank attends its
+        own rows with full heads and a local KV slice), while the MoE
+        expert stacks and shared experts stay sharded over tp. GSPMD
+        inserts the row-gather before the expert GEMMs that the reference
+        implements as explicit attn-DP gather/scatter."""
+        specs = DeepseekFamily.partition_specs(cfg)
+
+        def relax_attn(s):
+            for k in ("wq", "wq_a", "wq_b", "wkv_a", "wkv_b", "wo"):
+                if k in s:
+                    nd = len(s[k])
+                    s[k] = P(*([None] * nd))
+            return s
+
+        relax_attn(specs["moe_layers"])
+        if "dense_layers" in specs:
+            relax_attn(specs["dense_layers"])
+        return specs
+
+    @staticmethod
     def make_forward(cfg: ModelConfig, attn_fn: Callable,
                      logits_mode: str = "last", moe_impl: str = "grouped"):
         """attn_fn is unused: MLA runs its own latent attention (the paged

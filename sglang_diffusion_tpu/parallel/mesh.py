@@ -60,6 +60,26 @@ class MeshContext:
         layer_axis = PP_AXIS if self.pp_size > 1 else None
         return NamedSharding(self.mesh, P(layer_axis, None, TP_AXIS, None, None))
 
+    def kv_sharding_for(self, kv_heads: int, num_pages: int,
+                        dp_attention: bool = False) -> NamedSharding:
+        """KV sharding that accounts for the model's cache geometry:
+
+        - dp_attention: shard the PAGE axis over every device — each rank
+          holds a slice of the pool with FULL heads (reference analog: one
+          KV pool per attn-DP rank, srt/layers/dp_attention.py).
+        - MLA (kv_heads == 1) or head count not divisible by tp: the head
+          axis cannot shard; replicate (motivates dp_attention for MLA).
+        - otherwise the default head-sharded layout."""
+        layer_axis = PP_AXIS if self.pp_size > 1 else None
+        n_dev = self.dp_size * self.tp_size
+        if dp_attention and num_pages % n_dev == 0:
+            return NamedSharding(
+                self.mesh, P(layer_axis, (DP_AXIS, TP_AXIS), None, None, None)
+            )
+        if kv_heads % self.tp_size != 0:
+            return NamedSharding(self.mesh, P(layer_axis, None, None, None, None))
+        return self.kv_sharding
+
 
 def create_mesh(
     tp_size: int = 1,
