@@ -278,6 +278,16 @@ class DiffusionPipeline:
         self._denoise_jit = None
         self._decode_jit = None
         self._encode_jit = None
+        self._lora = None
+
+    @property
+    def lora(self):
+        """Runtime LoRA merge/unmerge controller (diffusion/lora.py)."""
+        if self._lora is None:
+            from sglang_diffusion_tpu.diffusion.lora import LoRAController
+
+            self._lora = LoRAController(self)
+        return self._lora
 
     # ------------- component calls -------------
     def tokenize(self, text: str) -> List[int]:

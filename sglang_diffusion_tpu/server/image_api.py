@@ -113,3 +113,38 @@ def register_image_routes(http: HTTPServer, generator: DiffGenerator) -> None:
         )
         data = [{"b64_json": png_b64(im)} for im in out["images"]]
         return Response({"created": int(time.time()), "data": data})
+
+    @http.route("GET", "/v1/loras")
+    async def list_loras(_req: Request) -> Response:
+        return Response({"data": generator.pipeline.lora.list()})
+
+    @http.route("POST", "/v1/loras")
+    async def manage_lora(req: Request) -> Response:
+        """LoRA control requests (reference analog: the diffusion runtime's
+        merge/unmerge/set control reqs). Body:
+        {action: load|unload|set_scale, name, path (npz with X.A/X.B keys),
+        scale}."""
+        body = req.json()
+        action = body.get("action", "load")
+        name = body.get("name", "")
+        ctl = generator.pipeline.lora
+        if action == "unload":
+            return Response({"ok": ctl.unload(name)})
+        if action == "set_scale":
+            return Response({"ok": ctl.set_scale(name,
+                                                 float(body.get("scale", 1.0)))})
+        path = body.get("path", "")
+        try:
+            flat = {}
+            data = np.load(path)
+            for key in data.files:
+                if key.endswith(".A"):
+                    base = key[:-2]
+                    flat[base] = (data[base + ".A"], data[base + ".B"])
+        except Exception as e:  # noqa: BLE001
+            return Response({"error": f"cannot load lora: {e}"}, 400)
+        from sglang_diffusion_tpu.diffusion.lora import LoRAAdapter
+
+        ctl.load(LoRAAdapter.from_flat(name, flat,
+                                       float(body.get("scale", 1.0))))
+        return Response({"ok": True, "tensors": len(flat)})
