@@ -102,6 +102,8 @@ class ServerArgs:
     # ---- observability / robustness ----
     log_level: str = "info"
     enable_metrics: bool = False
+    # model-family tool-call format (reference: --tool-call-parser)
+    tool_call_parser: Optional[str] = None
     # OTel request tracing (reference: --enable-trace, srt/observability/)
     enable_trace: bool = False
     trace_exporter: str = "memory"  # memory | console | otlp

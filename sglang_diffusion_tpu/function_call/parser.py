@@ -40,13 +40,31 @@ def tools_system_prompt(tools: List[Dict[str, Any]]) -> str:
 
 
 class FunctionCallParser:
-    def __init__(self, tools: List[Dict[str, Any]]):
+    def __init__(self, tools: List[Dict[str, Any]], fmt: Optional[str] = None):
+        """fmt: model-family tool-call format (detectors.py: hermes/llama3/
+        mistral/deepseek), "json", or None = auto-detect then JSON."""
         self.names = {
             (t.get("function", t)).get("name") for t in tools
         }
+        self.fmt = fmt
 
     def parse(self, text: str) -> Tuple[Optional[str], List[Dict[str, Any]]]:
         """Returns (normal_text or None, tool_calls in OpenAI format)."""
+        from sglang_diffusion_tpu.function_call.detectors import (
+            auto_detect,
+            get_detector,
+        )
+
+        if self.fmt and self.fmt != "json":
+            normal, calls = get_detector(self.fmt).detect(text, self.names)
+            if calls:
+                return normal, calls
+        elif self.fmt is None:
+            det = auto_detect(text)
+            if det is not None:
+                normal, calls = det.detect(text, self.names)
+                if calls:
+                    return normal, calls
         candidates = self._json_candidates(text)
         calls = []
         for obj in candidates:

@@ -558,7 +558,9 @@ class ApiServer:
                 messages.insert(
                     0, {"role": "system", "content": tools_system_prompt(tools)}
                 )
-                parser = FunctionCallParser(tools)
+                parser = FunctionCallParser(
+                    tools, fmt=self.args.tool_call_parser
+                )
                 if tool_choice == "required" or isinstance(tool_choice, dict):
                     sp.json_schema = "{}"  # constrain output to JSON
             messages, images = self._extract_images(messages)
