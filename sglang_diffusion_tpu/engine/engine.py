@@ -52,17 +52,36 @@ class Engine:
             tp_size=self.args.tp_size, dp_size=self.args.dp_size,
             pp_size=self.args.pp_size,
         )
+        is_gguf = self.args.model_path.endswith(".gguf")
         if model_config is None:
-            model_config = ModelConfig.from_pretrained(self.args.model_path)
+            if is_gguf:
+                from sglang_diffusion_tpu.engine.gguf_loader import (
+                    config_from_gguf,
+                    read_gguf,
+                )
+
+                meta, _ = read_gguf(self.args.model_path)
+                model_config = config_from_gguf(meta)
+            else:
+                model_config = ModelConfig.from_pretrained(self.args.model_path)
         self.model_config = model_config
         self.tokenizer = tokenizer or get_tokenizer(self.args.tokenizer_path)
 
         if params is None and self.args.model_path:
-            from sglang_diffusion_tpu.engine.weight_loader import load_hf_params
+            if is_gguf:
+                from sglang_diffusion_tpu.engine.gguf_loader import (
+                    load_gguf_params,
+                )
 
-            params = load_hf_params(
-                self.args.model_path, model_config, dtype=jnp.bfloat16
-            )
+                params = load_gguf_params(self.args.model_path, model_config)
+            else:
+                from sglang_diffusion_tpu.engine.weight_loader import (
+                    load_hf_params,
+                )
+
+                params = load_hf_params(
+                    self.args.model_path, model_config, dtype=jnp.bfloat16
+                )
 
         self.runner = ModelRunner(
             self.args, model_config, self.mesh_ctx, params=params
