@@ -226,7 +226,9 @@ class ModelConfig:
             ),
             head_dim=cfg.get("head_dim"),
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
-            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rms_norm_eps=cfg.get(
+                "rms_norm_eps", cfg.get("layer_norm_epsilon", 1e-6)
+            ),
             rope_theta=cfg.get("rope_theta", 10000.0),
             rope_scaling=cfg.get("rope_scaling"),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
