@@ -123,6 +123,9 @@ class ServerArgs:
     speculative_num_draft_tokens: int = 4
     # EAGLE draft head checkpoint (safetensors dir); random-init if unset
     speculative_draft_model_path: Optional[str] = None
+    # EAGLE tree drafting: keep the top-K first-step candidates as sibling
+    # branches in the verify tree (1 = chain drafting)
+    speculative_eagle_topk: int = 1
 
     # ---- LoRA ----
     lora_paths: List[str] = field(default_factory=list)

@@ -111,7 +111,10 @@ class Engine:
                 self.runner,
                 k=self.args.speculative_num_draft_tokens,
                 draft_path=self.args.speculative_draft_model_path,
+                topk=self.args.speculative_eagle_topk,
             )
+            if self.args.speculative_eagle_topk > 1:
+                self.scheduler.kv_copy_fn = self.runner.copy_kv_slot
         self._detoks: Dict[str, IncrementalDetokenizer] = {}
         self._pending_deltas: Dict[str, str] = {}
         self._lock = threading.Lock()

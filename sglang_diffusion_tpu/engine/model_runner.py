@@ -557,6 +557,64 @@ class ModelRunner:
         self._rng_counter += 1
         return jax.random.fold_in(self.base_key, self._rng_counter)
 
+    # ------------- speculative tree verify -------------
+    def _run_tree_verify(self, vargs, tree_mask, b):
+        """Verify with an in-batch ancestor mask (EAGLE topk>1). Uses the
+        XLA attention backend (tree masks aren't lowered to the Pallas
+        kernel yet) and returns hidden features for the draft head."""
+        if not hasattr(self, "_verify_tree"):
+            from sglang_diffusion_tpu.layers.attention import (
+                get_attention_backend,
+            )
+
+            attn = get_attention_backend("xla")
+            fwd_ah = self.model_cls.make_forward(
+                self.cfg, attn, logits_mode="all_hidden"
+            )
+
+            def verify_tree(params, kv_cache, token_ids, positions,
+                            page_table, kv_lens, q_start, slots, tm):
+                meta = AttentionMetadata(
+                    page_table=page_table, kv_lens=kv_lens,
+                    q_start_pos=q_start, slot_ids=slots,
+                    logit_idx=jnp.zeros_like(kv_lens), tree_mask=tm,
+                )
+                (logits, hidden), new_kv = fwd_ah(
+                    params, token_ids, positions, kv_cache, meta
+                )
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                lps = jax.nn.log_softmax(logits, axis=-1)
+                glp = jnp.take_along_axis(
+                    lps, greedy[..., None], axis=-1
+                )[..., 0]
+                return greedy, glp, hidden, new_kv
+
+            self._verify_tree = (
+                verify_tree if self.args.disable_jit
+                else jax.jit(verify_tree, donate_argnums=(1,))
+            )
+        greedy, glp, hidden, self.kv_cache = self._verify_tree(
+            *vargs, tree_mask
+        )
+        greedy, glp, hidden = jax.device_get((greedy, glp, hidden))
+        self.last_hidden = hidden[:b]
+        return greedy[:b], glp[:b]
+
+    def copy_kv_slot(self, src_slot: int, dst_slot: int) -> None:
+        """Move one token's KV (all layers) between flat cache slots."""
+        from sglang_diffusion_tpu.ops.attention_xla import copy_kv_slots
+
+        if not hasattr(self, "_copy_kv"):
+            self._copy_kv = (
+                copy_kv_slots if self.args.disable_jit
+                else jax.jit(copy_kv_slots, donate_argnums=(0,))
+            )
+        self.kv_cache = self._copy_kv(
+            self.kv_cache,
+            jnp.asarray([src_slot], jnp.int32),
+            jnp.asarray([dst_slot], jnp.int32),
+        )
+
     # ------------- multimodal (VLM) -------------
     def encode_images(self, pixel_values: np.ndarray):
         """Run the vision tower + projector. Returns a DEVICE array
@@ -869,6 +927,10 @@ class ModelRunner:
                 jnp.asarray(pad1(plan.q_start)),
                 jnp.asarray(pad2t(plan.slots, fill=-1)),
             )
+            if plan.tree_mask is not None:
+                tm = np.zeros((bb, t, t), bool)
+                tm[:b] = plan.tree_mask
+                return self._run_tree_verify(vargs, jnp.asarray(tm), b)
             if self._verify_h is not None:
                 greedy, glp, hidden, self.kv_cache = self._verify_h(*vargs)
                 greedy, glp, hidden = jax.device_get((greedy, glp, hidden))

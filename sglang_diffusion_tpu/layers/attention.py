@@ -13,7 +13,7 @@ Backends:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,12 @@ class AttentionMetadata(NamedTuple):
     q_start_pos: jax.Array  # [B] absolute position of the first query token
     slot_ids: jax.Array  # [B, T] flat cache slots for new tokens (-1 pad)
     logit_idx: jax.Array  # [B] index in T of the token to produce logits for
+    # speculative tree verify (reference: TARGET_VERIFY tree masks,
+    # sgl-kernel speculative/eagle_utils.cu): [B, T, T] bool attendance for
+    # the in-batch token region; None = plain causal. With a tree mask the
+    # in-batch kv index j maps to slot row q_start + j (node-indexed), not
+    # to a sequential position.
+    tree_mask: Optional[jax.Array] = None
 
 
 AttentionFn = Callable[..., jax.Array]
@@ -59,6 +65,7 @@ def _xla_backend(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: floa
     return attention_xla.paged_attention(
         q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
         meta.q_start_pos, sm_scale, window=window, softcap=softcap,
+        tree_mask=meta.tree_mask,
     )
 
 

@@ -49,6 +49,39 @@ def write_kv_pages(
     return flat.reshape(nl, num_pages, two_hkv, page_size, d)
 
 
+def copy_kv_slots(
+    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    src_slots: jax.Array,  # [M] flat slots (page*page_size+off); -1 = skip
+    dst_slots: jax.Array,  # [M]
+) -> jax.Array:
+    """Copy token KV across ALL layers from src slots to dst slots (used by
+    speculative tree verify to move an accepted branch's KV into the
+    sequential positions; reference analog: eagle_utils.cu tree reorder)."""
+    nl, num_pages, two_hkv, page_size, d = kv_cache.shape
+    per_layer = num_pages * two_hkv * page_size
+    flat = kv_cache.reshape(nl * per_layer, d)
+    sp, so = src_slots // page_size, src_slots % page_size
+    dp, do = dst_slots // page_size, dst_slots % page_size
+    l = jnp.arange(nl)[:, None]  # [L, 1]
+    h = jnp.arange(two_hkv)[None, :]  # [1, 2Hkv]
+
+    def rows(pid, off):
+        # [M] -> [L, M, 2Hkv]
+        base = (l[:, :, None] * num_pages + pid[None, :, None]) * two_hkv + h[None]
+        return base * page_size + off[None, :, None]
+
+    src_rows = rows(sp, so).reshape(-1)
+    dst_rows = rows(dp, do).reshape(-1)
+    vals = jnp.take(flat, src_rows, axis=0, mode="clip")
+    valid = jnp.broadcast_to(
+        src_slots[None, :, None] >= 0,
+        (nl, src_slots.shape[0], two_hkv),
+    ).reshape(-1)
+    dst_rows = jnp.where(valid, dst_rows, flat.shape[0])
+    flat = flat.at[dst_rows].set(vals, mode="drop")
+    return flat.reshape(nl, num_pages, two_hkv, page_size, d)
+
+
 def gather_kv(
     kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
     layer_idx,  # scalar int
@@ -107,6 +140,8 @@ def paged_attention(
     sm_scale: float,
     window=None,  # scalar int32 (traced ok): sliding window size; <0/None = full
     softcap: float = None,  # static: attention logit softcapping (gemma2)
+    tree_mask=None,  # [B, Tq, Tq] bool: speculative-tree attendance for the
+    # in-batch region (kv index j <-> slot row q_start + j); None = causal
 ) -> jax.Array:
     """Causal paged attention: query t attends kv positions <= q_start_pos+t.
 
@@ -124,6 +159,21 @@ def paged_attention(
     k, v = gather_kv(kv_cache, layer_idx, page_table)
     lkv = k.shape[1]
     kv_pos = jnp.arange(lkv)[None, None, :]  # [1,1,Lkv]
+    if tree_mask is not None:
+        # speculative tree verify: every query attends the full committed
+        # prefix (kv_pos < q_start); the in-batch node region follows the
+        # explicit ancestor mask (reference: tree masks in TARGET_VERIFY)
+        base = q_start_pos[:, None, None]  # [B,1,1]
+        prefix = (kv_pos < base) & (kv_pos < kv_lens[:, None, None])
+        j = kv_pos - base  # in-batch node index of each kv slot row
+        jc = jnp.clip(j, 0, tq - 1)
+        node = jnp.take_along_axis(
+            tree_mask, jnp.broadcast_to(jc, (b, tq, lkv)), axis=2
+        )
+        in_batch = (j >= 0) & (j < tq) & (kv_pos < kv_lens[:, None, None])
+        mask = prefix | (in_batch & node)
+        return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask,
+                          sm_scale, softcap)
     q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]
     mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
     mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])  # padding queries

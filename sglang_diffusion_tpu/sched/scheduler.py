@@ -56,6 +56,11 @@ class BatchPlan:
     horizon: int = 1
     # verify only: per-request draft lengths (ngram speculative decoding)
     draft_lens: Optional[np.ndarray] = None
+    # tree verify (EAGLE topk>1): per-request alternate-first-token counts
+    # and the in-batch ancestor mask [B, T, T] (reference analog: tree
+    # masks in TARGET_VERIFY, sgl-kernel speculative/eagle_utils.cu)
+    alt_lens: Optional[np.ndarray] = None
+    tree_mask: Optional[np.ndarray] = None
 
 
 class Scheduler:
@@ -95,6 +100,9 @@ class Scheduler:
         # ModelRunner (the draft head shares the runner's attention backend
         # and page geometry)
         self.drafter = None
+        # set by the engine: copies one token's KV between flat slots (tree
+        # verify acceptance of an alternate branch)
+        self.kv_copy_fn = None
         if args.speculative_algorithm == "ngram":
             from sglang_diffusion_tpu.spec.ngram import (
                 NgramDrafter,
@@ -425,7 +433,8 @@ class Scheduler:
         device returns greedy predictions at every position and acceptance
         happens in process_batch_result (reference: eagle/ngram verify,
         srt/speculative/; greedy-only in round 1)."""
-        self._retract_if_needed(self.drafter.k + 1)
+        topk = getattr(self.drafter, "topk", 1)
+        self._retract_if_needed(self.drafter.k + topk)
         reqs = list(self.running)
         if not reqs:
             return None
@@ -434,7 +443,14 @@ class Scheduler:
         for r, d in zip(reqs, all_drafts):
             cap = max(0, r.remaining_new_tokens() - 1)
             drafts.append(d[: min(self.drafter.k, cap)])
-        t = 1 + max((len(d) for d in drafts), default=0)
+        use_tree = topk > 1
+        alt_map = getattr(self.drafter, "last_alts", {}) if use_tree else {}
+        alts = [
+            alt_map.get(r.rid, []) if d else [] for r, d in zip(reqs, drafts)
+        ]
+        t = 1 + max(
+            (len(d) + len(a) for d, a in zip(drafts, alts)), default=0
+        )
         # nothing drafted: plain decode is cheaper — except for EAGLE, which
         # still runs verify to capture the step's hidden features and keep
         # the draft state fresh
@@ -448,22 +464,42 @@ class Scheduler:
         kv_lens = np.zeros((b,), np.int32)
         q_start = np.zeros((b,), np.int32)
         draft_lens = np.zeros((b,), np.int32)
-        for i, (req, d) in enumerate(zip(reqs, drafts)):
+        alt_lens = np.zeros((b,), np.int32)
+        tree_mask = (
+            np.zeros((b, t, t), bool) if use_tree else None
+        )
+        for i, (req, d, a) in enumerate(zip(reqs, drafts, alts)):
             pos = req.num_computed
             m = len(d)
+            na = len(a)
             token_ids[i, 0] = req.output_ids[-1]
             token_ids[i, 1 : 1 + m] = d
-            positions[i, : 1 + m] = np.arange(pos, pos + 1 + m)
             pv = np.asarray(req.pages, np.int32)
             page_table[i, : len(pv)] = pv
-            steps = np.arange(pos, pos + 1 + m)
-            slots[i, : 1 + m] = pv[steps // self.page_size] * self.page_size + (
+            n_nodes = 1 + m + na
+            # slots are node-indexed: node j lives at sequential slot pos+j
+            steps = np.arange(pos, pos + n_nodes)
+            slots[i, :n_nodes] = pv[steps // self.page_size] * self.page_size + (
                 steps % self.page_size
             )
-            kv_lens[i] = pos + 1 + m
+            positions[i, : 1 + m] = np.arange(pos, pos + 1 + m)
+            kv_lens[i] = pos + n_nodes
             q_start[i] = pos
             draft_lens[i] = m
             self.spec_draft_tokens += m
+            if use_tree:
+                # rope positions: alternates sit at depth 1 (same as d[0])
+                token_ids[i, 1 + m : n_nodes] = a
+                positions[i, 1 + m : n_nodes] = pos + 1
+                alt_lens[i] = na
+                self.spec_draft_tokens += na
+                # ancestor mask: root+chain causal; alts attend {root, self}
+                for qi in range(1 + m):
+                    tree_mask[i, qi, : qi + 1] = True
+                for ai in range(na):
+                    idx = 1 + m + ai
+                    tree_mask[i, idx, 0] = True
+                    tree_mask[i, idx, idx] = True
         return BatchPlan(
             kind="verify",
             reqs=list(reqs),
@@ -476,6 +512,8 @@ class Scheduler:
             logit_idx=np.zeros((b,), np.int32),
             sample_mask=np.ones((b,), bool),
             draft_lens=draft_lens,
+            alt_lens=alt_lens if use_tree else None,
+            tree_mask=tree_mask,
         )
 
     def _retract_if_needed(self, horizon: int = 1) -> None:
@@ -610,18 +648,62 @@ class Scheduler:
                     req.num_computed += 1
                     acc += 1
                     self.spec_accepted_tokens += 1
+                alt_hit = -1
+                if (
+                    acc == 0
+                    and not req.finished
+                    and plan.alt_lens is not None
+                    and plan.alt_lens[i] > 0
+                ):
+                    # tree fallback: the chain's first token was rejected —
+                    # an alternate first token may match the target's greedy
+                    root_greedy = int(next_tokens[i, 0])
+                    for ai in range(int(plan.alt_lens[i])):
+                        idx = 1 + m + ai
+                        if int(plan.token_ids[i, idx]) == root_greedy:
+                            alt_hit = idx
+                            break
+                    if alt_hit >= 0:
+                        self._append_token(
+                            req, root_greedy,
+                            float(logprobs[i, 0]) if logprobs is not None else None,
+                        )
+                        req.num_computed += 1
+                        acc = 1
+                        self.spec_accepted_tokens += 1
+                        # the accepted node's KV sits at its node slot; move
+                        # it to the sequential position pos+1 (reference:
+                        # eagle_utils.cu tree KV reorder)
+                        if self.kv_copy_fn is not None:
+                            self.kv_copy_fn(
+                                int(plan.slots[i, alt_hit]),
+                                int(plan.slots[i, 1]),
+                            )
+                bonus_idx = alt_hit if alt_hit >= 0 else acc
                 if not req.finished:
                     # correction / bonus token from the first mismatch
                     self._append_token(
-                        req, int(next_tokens[i, acc]),
-                        float(logprobs[i, acc]) if logprobs is not None else None,
+                        req, int(next_tokens[i, bonus_idx]),
+                        float(logprobs[i, bonus_idx]) if logprobs is not None else None,
                     )
                 if eagle is not None and hidden is not None and not req.finished:
-                    eagle.on_verify(
-                        req, plan.token_ids[i], acc,
-                        int(next_tokens[i, acc]), hidden[i],
-                        int(plan.q_start[i]),
-                    )
+                    if alt_hit >= 0:
+                        # synthesize the chain-layout row for the alt path
+                        tok_row = np.array(
+                            [plan.token_ids[i, 0], plan.token_ids[i, alt_hit]],
+                            np.int32,
+                        )
+                        hid_row = np.stack([hidden[i][0], hidden[i][alt_hit]])
+                        eagle.on_verify(
+                            req, tok_row, 1, int(next_tokens[i, alt_hit]),
+                            hid_row, int(plan.q_start[i]),
+                        )
+                    else:
+                        eagle.on_verify(
+                            req, plan.token_ids[i], acc,
+                            int(next_tokens[i, acc]), hidden[i],
+                            int(plan.q_start[i]),
+                        )
             else:
                 for k in range(plan.horizon):
                     if req.finished:

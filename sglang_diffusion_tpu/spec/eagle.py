@@ -130,7 +130,8 @@ class EagleDrafter:
 
     captures_hidden = True  # scheduler runs verify even with 0 drafts
 
-    def __init__(self, runner, k: int = 4, draft_path: Optional[str] = None):
+    def __init__(self, runner, k: int = 4, draft_path: Optional[str] = None,
+                 topk: int = 1):
         if not getattr(runner.model_cls, "supports_eagle", False):
             raise ValueError(
                 f"EAGLE draft head not supported for "
@@ -138,6 +139,11 @@ class EagleDrafter:
             )
         self.runner = runner
         self.k = k
+        # tree drafting: first draft step keeps the top-`topk` candidates;
+        # the chain continues from top-1, the alternates become single-node
+        # sibling branches in the verify tree (reference analog: EAGLE tree
+        # drafts, srt/speculative/eagle_worker.py draft trees)
+        self.topk = max(1, topk)
         self.cfg = runner.cfg
         self.page_size = runner.args.page_size
         self.state: Dict[str, _ReqState] = {}
@@ -151,6 +157,7 @@ class EagleDrafter:
         tgt = runner.kv_cache
         self.draft_kv = jnp.zeros((1,) + tgt.shape[1:], tgt.dtype)
         self._draft_fn = None
+        self.last_alts: Dict[str, List[int]] = {}
         self._embed_scale = float(np.sqrt(self.cfg.hidden_size)) \
             if self.cfg.gemma_style else 1.0
 
@@ -169,19 +176,24 @@ class EagleDrafter:
         def embed(tparams, toks):
             return jnp.take(tparams["embed"], toks, axis=0)
 
-        def head(tparams, dparams, g):  # g [B, E] -> token ids [B]
+        def head_logits(tparams, dparams, g):  # g [B, E] -> logits f32
             from sglang_diffusion_tpu.quant.quantize import (
                 dense_maybe_quantized,
             )
 
             g = rms_norm(g, dparams["final_norm"], eps)
             if tie:
-                logits = jnp.dot(g, tparams["embed"].T,
-                                 preferred_element_type=jnp.float32)
-            else:
-                # lm_head may be a quantized leaf (shared with the target)
-                logits = dense_maybe_quantized(g, tparams["lm_head"])
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return jnp.dot(g, tparams["embed"].T,
+                               preferred_element_type=jnp.float32)
+            # lm_head may be a quantized leaf (shared with the target)
+            return dense_maybe_quantized(g, tparams["lm_head"])
+
+        def head(tparams, dparams, g):  # g [B, E] -> token ids [B]
+            return jnp.argmax(
+                head_logits(tparams, dparams, g), axis=-1
+            ).astype(jnp.int32)
+
+        n_alt = self.topk  # top-k ids returned for the FIRST chain step
 
         def draft_fn(tparams, dparams, draft_kv,
                      ext_tokens, ext_feats, ext_pos, ext_slots, ext_kv_lens,
@@ -204,8 +216,7 @@ class EagleDrafter:
             )
 
             # ---- K-step chain draft (feature feedback on device) ----
-            def body(carry, j):
-                tok, feat, draft_kv = carry
+            def chain_step(tok, feat, draft_kv, j):
                 pos = chain_pos + j
                 meta = AttentionMetadata(
                     page_table=page_table,
@@ -221,13 +232,28 @@ class EagleDrafter:
                 g, draft_kv = layer_body(
                     0, h, draft_kv, dparams["layers"], pos[:, None], meta
                 )
-                nxt = head(tparams, dparams, g[:, 0])
-                return (nxt, g[:, 0].astype(feat.dtype), draft_kv), nxt
+                return g[:, 0], draft_kv
 
-            (_, _, draft_kv), drafts = jax.lax.scan(
-                body, (chain_tok, chain_feat, draft_kv), jnp.arange(k_steps)
+            # first step separately: keep the top-n_alt candidate ids for
+            # the verify tree (chain continues from top-1)
+            g0, draft_kv = chain_step(chain_tok, chain_feat, draft_kv, 0)
+            logits0 = head_logits(tparams, dparams, g0)
+            _, top_ids = jax.lax.top_k(logits0, n_alt)
+            first = top_ids[:, 0].astype(jnp.int32)
+
+            def body(carry, j):
+                tok, feat, draft_kv = carry
+                g, draft_kv = chain_step(tok, feat, draft_kv, j)
+                nxt = head(tparams, dparams, g)
+                return (nxt, g.astype(feat.dtype), draft_kv), nxt
+
+            (_, _, draft_kv), rest = jax.lax.scan(
+                body,
+                (first, g0.astype(chain_feat.dtype), draft_kv),
+                jnp.arange(1, k_steps),
             )
-            return drafts.T, draft_kv  # [B, K]
+            drafts = jnp.concatenate([first[None], rest], axis=0)  # [K, B]
+            return drafts.T, top_ids.astype(jnp.int32), draft_kv
 
         if self.runner.args.disable_jit:
             return draft_fn
@@ -372,7 +398,7 @@ class EagleDrafter:
             return [[] for _ in reqs]
 
         # chain slots order: draft_fn takes [B, K]
-        drafts_dev, self.draft_kv = self._draft_fn(
+        drafts_dev, alts_dev, self.draft_kv = self._draft_fn(
             self.runner.params, self.draft_params, self.draft_kv,
             jnp.asarray(ext_tokens), jnp.asarray(ext_feats),
             jnp.asarray(ext_pos), jnp.asarray(ext_slots),
@@ -381,12 +407,20 @@ class EagleDrafter:
             jnp.asarray(chain_tok), jnp.asarray(chain_feat),
             jnp.asarray(chain_pos), jnp.asarray(chain_slots.T),
         )
-        drafts = np.asarray(jax.device_get(drafts_dev))
+        drafts, alts = jax.device_get((drafts_dev, alts_dev))
+        drafts, alts = np.asarray(drafts), np.asarray(alts)
         out: List[List[int]] = []
+        self.last_alts = {}
         for i, req in enumerate(reqs):
             if not active[i]:
                 out.append([])
                 continue
             cap = max(0, req.remaining_new_tokens() - 1)
-            out.append([int(t) for t in drafts[i, : min(k, cap)]])
+            chain = [int(t) for t in drafts[i, : min(k, cap)]]
+            out.append(chain)
+            if self.topk > 1 and chain:
+                # alternates to the first chain token (dedup vs chain[0])
+                self.last_alts[req.rid] = [
+                    int(t) for t in alts[i, 1:] if int(t) != chain[0]
+                ]
         return out

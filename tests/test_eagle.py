@@ -104,7 +104,7 @@ def test_eagle_draft_chain_matches_reference():
     chain_slots[0] = pv[cp // page_size] * page_size + cp % page_size
 
     draft_kv0 = jnp.zeros_like(drafter.draft_kv)
-    drafts, _ = drafter._draft_fn(
+    drafts, _alts, _ = drafter._draft_fn(
         runner.params, drafter.draft_params, draft_kv0,
         jnp.asarray(ext_tok_a), jnp.asarray(ext_f_a),
         jnp.asarray(ext_pos_a), jnp.asarray(ext_slots_a),

@@ -1,0 +1,85 @@
+"""Speculative tree-verify attention primitives
+(reference analog: sgl-kernel speculative/eagle_utils.cu tree masks +
+KV reorder)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sglang_diffusion_tpu.ops import attention_xla
+
+PAGE = 8
+
+
+def _setup(t_nodes, ctx, hq=2, hkv=2, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    total = ctx + t_nodes
+    pps = -(-total // PAGE)
+    kv = jnp.asarray(rng.standard_normal((1, pps + 1, 2 * hkv, PAGE, d)),
+                     jnp.float32)
+    q = jnp.asarray(rng.standard_normal((1, t_nodes, hq, d)), jnp.float32)
+    pt = jnp.asarray(np.arange(1, pps + 1)[None], jnp.int32)
+    return q, kv, pt
+
+
+def test_tree_mask_chain_equals_causal():
+    """A pure-chain tree mask must reproduce standard causal attention."""
+    ctx, t = 10, 4
+    q, kv, pt = _setup(t, ctx)
+    klens = jnp.asarray([ctx + t], jnp.int32)
+    qstart = jnp.asarray([ctx], jnp.int32)
+    causal = attention_xla.paged_attention(q, kv, 0, pt, klens, qstart, 0.25)
+    chain = np.tril(np.ones((t, t), bool))[None]
+    tree = attention_xla.paged_attention(
+        q, kv, 0, pt, klens, qstart, 0.25, tree_mask=jnp.asarray(chain)
+    )
+    np.testing.assert_allclose(np.asarray(tree), np.asarray(causal),
+                               atol=1e-6)
+
+
+def test_tree_mask_siblings_do_not_attend_each_other():
+    """Two sibling branches: node outputs must equal running each branch
+    separately as a chain."""
+    ctx = 8
+    # nodes: 0=root-child-a, 1=root-child-b, 2=child of a, 3=child of b
+    parents = [-1, -1, 0, 1]
+    t = 4
+    q, kv, pt = _setup(t, ctx, seed=1)
+    klens = jnp.asarray([ctx + t], jnp.int32)
+    qstart = jnp.asarray([ctx], jnp.int32)
+    mask = np.zeros((t, t), bool)
+    for i in range(t):
+        n = i
+        while n != -1:
+            mask[i, n] = True
+            n = parents[n]
+    out = np.asarray(attention_xla.paged_attention(
+        q, kv, 0, pt, klens, qstart, 0.25, tree_mask=jnp.asarray(mask[None])
+    ))
+    # branch A (nodes 0,2) as a standalone chain occupying the same slots:
+    # emulate by masking only those nodes
+    for branch in ([0, 2], [1, 3]):
+        bmask = np.zeros((t, t), bool)
+        for bi, i in enumerate(branch):
+            for j in branch[: bi + 1]:
+                bmask[i, j] = True
+        ref = np.asarray(attention_xla.paged_attention(
+            q, kv, 0, pt, klens, qstart, 0.25,
+            tree_mask=jnp.asarray(bmask[None]),
+        ))
+        for i in branch:
+            np.testing.assert_allclose(out[0, i], ref[0, i], atol=1e-6)
+
+
+def test_copy_kv_slots():
+    rng = np.random.default_rng(2)
+    kv = jnp.asarray(rng.standard_normal((2, 3, 4, PAGE, 5)), jnp.float32)
+    src = jnp.asarray([2 * PAGE + 3, 1 * PAGE + 7, -1], jnp.int32)
+    dst = jnp.asarray([0 * PAGE + 1, 0 * PAGE + 2, 0 * PAGE + 3], jnp.int32)
+    out = np.asarray(attention_xla.copy_kv_slots(kv, src, dst))
+    ref = np.asarray(kv).copy()
+    ref[:, 0, :, 1] = ref[:, 2, :, 3]
+    ref[:, 0, :, 2] = ref[:, 1, :, 7]
+    # src=-1 skipped: dst slot 3 unchanged
+    np.testing.assert_allclose(out, ref, atol=0)
