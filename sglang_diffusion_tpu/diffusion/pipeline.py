@@ -178,13 +178,29 @@ class LatentPreparationStage(Stage):
         else:
             shape = (b, lat_h, lat_w, pipe.vae_cfg.latent_channels)
         noise = jax.random.normal(key, shape, jnp.float32)
-        if p.image is not None and p.num_frames == 0:
-            # i2i: encode the input image and noise it to the start sigma
+        if p.image is not None:
             img = jnp.asarray(p.image, jnp.float32) / 127.5 - 1.0
             if img.ndim == 3:
                 img = img[None]
             img = jnp.broadcast_to(img, (b,) + img.shape[1:])
             z = pipe.vae_encode(img)
+            if p.num_frames > 0:
+                # image-to-video (reference analog: Wan-I2V pipelines):
+                # every frame starts from the conditioning image's latent
+                # noised to the start sigma with per-frame independent
+                # noise. The schedule is strength-trimmed like i2i — at the
+                # full schedule's sigma=1 a flow-match init latent carries
+                # no signal (latents = pure noise).
+                z = jnp.broadcast_to(z[:, None], shape)
+                start = int(round((1.0 - p.strength) * p.num_inference_steps))
+                start = min(start, p.num_inference_steps - 1)
+                batch.sigmas = batch.sigmas[start:]
+                sigma0 = float(batch.sigmas[0])
+                batch.latents = FlowMatchEulerScheduler.scale_noise(
+                    z, sigma0, noise
+                )
+                return
+            # i2i: encode the input image and noise it to the start sigma
             start = int(round((1.0 - p.strength) * p.num_inference_steps))
             start = min(start, p.num_inference_steps - 1)
             batch.sigmas = batch.sigmas[start:]

@@ -76,13 +76,32 @@ def register_video_routes(http: HTTPServer, generator: DiffGenerator) -> None:
             return Response({"error": "num_frames must be >= 1"}, 400)
         if kw["sampler"] not in ("euler", "unipc"):
             return Response({"error": f"unknown sampler {kw['sampler']!r}"}, 400)
+        if body.get("image"):
+            # image-to-video: base64 conditioning image (reference analog:
+            # Wan-I2V; the reference accepts input_reference uploads)
+            import base64
+            import io
+
+            import numpy as _np
+            from PIL import Image
+
+            try:
+                raw = base64.b64decode(body["image"])
+                img = Image.open(io.BytesIO(raw)).convert("RGB")
+                img = img.resize((w, h))
+                kw["image"] = _np.asarray(img)
+            except Exception:
+                return Response({"error": "invalid base64 image"}, 400)
         job_id = "video_" + uuid.uuid4().hex[:12]
+        public_kw = {k: v for k, v in kw.items() if k != "image"}
+        if "image" in kw:
+            public_kw["image"] = "<conditioning image>"
         jobs[job_id] = {
             "id": job_id,
             "object": "video.generation",
             "status": "queued",
             "created_at": int(time.time()),
-            "params": kw,
+            "params": public_kw,
         }
         loop = asyncio.get_running_loop()
         loop.run_in_executor(None, _run_job, job_id, kw)
