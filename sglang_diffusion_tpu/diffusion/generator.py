@@ -83,6 +83,9 @@ class DiffGenerator:
         batch = self.pipeline.forward(gp)
         elapsed = time.perf_counter() - t0
         denoise_t = batch.stage_timings.get("denoising", 0.0)
+        meta_params = asdict(gp)
+        if meta_params.get("image") is not None:
+            meta_params["image"] = "<conditioning image>"  # keep JSON-safe
         out: Dict[str, Any] = {
             "meta_info": {
                 "e2e_s": elapsed,
@@ -90,7 +93,7 @@ class DiffGenerator:
                 "avg_denoise_step_ms": 1000.0
                 * denoise_t
                 / max(1, gp.num_inference_steps),
-                "params": asdict(gp),
+                "params": meta_params,
             },
         }
         if num_frames > 0:
