@@ -818,6 +818,22 @@ class Engine:
         except Exception as e:  # noqa: BLE001
             return {"success": False, "message": str(e)}
 
+    def update_weights_from_bucket(self, blob: bytes, metas) -> Dict[str, Any]:
+        """Apply a FlattenedTensorBucket (engine/weight_sync.py): one flat
+        buffer carrying many named leaves (reference: tensor_bucket.py +
+        bucketed RL weight transport)."""
+        from sglang_diffusion_tpu.engine.weight_sync import (
+            FlattenedTensorBucket,
+        )
+
+        try:
+            bucket = FlattenedTensorBucket.from_wire(blob, metas)
+            named = bucket.unpack()
+            self.runner.update_param_leaves(named)
+            return {"success": True, "message": f"updated {len(named)} leaves"}
+        except Exception as e:  # noqa: BLE001
+            return {"success": False, "message": str(e)}
+
     # ---------------- admin ----------------
     def get_server_info(self) -> Dict[str, Any]:
         return {

@@ -401,6 +401,19 @@ class ApiServer:
             out = self.engine.update_weights_from_disk(body.get("model_path", ""))
             return Response(out, 200 if out["success"] else 400)
 
+        @http.route("POST", "/update_weights_from_bucket")
+        async def update_weights_bucket(req: Request) -> Response:
+            """Bucketed weight sync (reference: tensor_bucket RL transport):
+            {"metas": [...], "blob_b64": ...}."""
+            import base64 as _b64
+
+            body = req.json()
+            blob = _b64.b64decode(body.get("blob_b64", ""))
+            out = self.engine.update_weights_from_bucket(
+                blob, body.get("metas", [])
+            )
+            return Response(out, 200 if out["success"] else 400)
+
         @http.route("POST", "/flush_cache")
         async def flush_cache(req: Request) -> Response:
             s = self.engine.scheduler
