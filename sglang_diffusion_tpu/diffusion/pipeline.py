@@ -257,11 +257,14 @@ class DiffusionPipeline:
         cfg_mesh=None,  # Mesh with a "cfg" axis (size 2) -> CFG parallel
         teacache=None,  # TeaCacheConfig
         cache_dit=None,  # CacheDiTConfig (DBCache/TaylorSeer block caching)
+        sta=None,  # {"tile": (tf,th,tw), "window": (rf,rh,rw)} sliding tile
+        # attention for video denoising (diffusion/sparse_attention.py)
     ):
         self.sp_mesh = sp_mesh
         self.cfg_mesh = cfg_mesh
         self.teacache = teacache
         self.cache_dit = cache_dit
+        self.sta = sta
         if (teacache is not None and teacache.enabled
                 and cache_dit is not None and cache_dit.enabled):
             raise ValueError("teacache and cache_dit are mutually exclusive")
@@ -364,6 +367,28 @@ class DiffusionPipeline:
                 tokens, grid_hw = patchify_video(latents, p)
             else:
                 tokens, grid_hw = patchify(latents, p)
+            dit_forward = self.dit_forward
+            if self.sta is not None and video:
+                # sliding-tile attention for this generation's token grid
+                # (trace-time rebuild: one executable per grid shape anyway)
+                tile = tuple(self.sta["tile"])
+                win = tuple(self.sta["window"])
+                if all(g % tt == 0 for g, tt in zip(grid_hw, tile)):
+                    from sglang_diffusion_tpu.diffusion.sparse_attention import (
+                        make_sta_attention,
+                    )
+
+                    sta_attn = make_sta_attention(
+                        grid_hw, tile, win, text_len=text_emb.shape[1]
+                    )
+                    dit_forward = MMDiT.make_forward(
+                        self.dit_cfg, attn_fn=sta_attn
+                    )
+                else:
+                    logger.warning(
+                        "STA tile %s does not divide grid %s; dense attention",
+                        tile, grid_hw,
+                    )
 
             def cond_signal(t):
                 """Timestep-conditioning proxy (same signal modulating the
@@ -393,10 +418,10 @@ class DiffusionPipeline:
                         sh = NamedSharding(self.cfg_mesh, P("cfg"))
                         x2 = jax.lax.with_sharding_constraint(x2, sh)
                         emb2 = jax.lax.with_sharding_constraint(emb2, sh)
-                    v2 = self.dit_forward(dit_params, x2, emb2, t2, grid_hw)
+                    v2 = dit_forward(dit_params, x2, emb2, t2, grid_hw)
                     v_cond, v_uncond = jnp.split(v2, 2, axis=0)
                     return v_uncond + gs * (v_cond - v_uncond)
-                return self.dit_forward(dit_params, x, text_emb, t, grid_hw)
+                return dit_forward(dit_params, x, text_emb, t, grid_hw)
 
             sched_step = sched.make_step(sigmas)
 

@@ -77,3 +77,28 @@ def test_sta_flops_scale_with_window():
     b = np.asarray(sta_big(q, k, v, 0.3))
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert not np.allclose(a, b)
+
+
+def test_sta_pipeline_video_generation():
+    """STA wired into the video denoise path: runs e2e, differs from dense,
+    deterministic."""
+    import jax.numpy as jnp
+
+    from sglang_diffusion_tpu.diffusion.pipeline import (
+        DiffusionPipeline,
+        GenerationParams,
+    )
+
+    dense = DiffusionPipeline(dtype=jnp.float32)
+    sta = DiffusionPipeline(
+        dtype=jnp.float32, params=dense.params,
+        sta={"tile": (1, 2, 2), "window": (0, 1, 1)},
+    )
+    gp = dict(prompt="v", height=32, width=32, num_frames=2,
+              num_inference_steps=2, seed=0)
+    a = dense.forward(GenerationParams(**gp)).images
+    b = sta.forward(GenerationParams(**gp)).images
+    b2 = sta.forward(GenerationParams(**gp)).images
+    assert a.shape == b.shape == (1, 2, 32, 32, 3)
+    assert np.array_equal(b, b2)
+    assert not np.array_equal(a, b)  # sparse window changes attention
