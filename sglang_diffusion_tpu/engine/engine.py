@@ -104,6 +104,10 @@ class Engine:
         self.scheduler = Scheduler(
             self.args, self.allocator, self.radix, self.runner.max_pages_per_seq
         )
+        lw = model_config.layer_windows()
+        if lw is not None and (lw >= 0).all():
+            # every layer is sliding: KV behind the window is reclaimable
+            self.scheduler.swa_window = int(lw.max())
         if self.args.speculative_algorithm == "eagle":
             from sglang_diffusion_tpu.spec.eagle import EagleDrafter
 

@@ -48,6 +48,9 @@ class Req:
     prefix_node: Optional[object] = None  # radix TreeNode, locked while running
 
     is_retracted: bool = False
+    # SWA window reclamation: leading pages already returned to the
+    # allocator (sched/scheduler.py _reclaim_swa_pages)
+    swa_freed: int = 0
     finish_reason: FinishReason = FinishReason.NONE
 
     # multimodal: projected image embeddings (device array [n_img, T_img, E]

@@ -103,6 +103,10 @@ class Scheduler:
         # set by the engine: copies one token's KV between flat slots (tree
         # verify acceptance of an alternate branch)
         self.kv_copy_fn = None
+        # set by the engine for all-sliding-window models: enables
+        # mid-flight reclamation of pages behind the attention window
+        self.swa_window = None
+        self.swa_reclaimed_pages = 0
         if args.speculative_algorithm == "ngram":
             from sglang_diffusion_tpu.spec.ngram import (
                 NgramDrafter,
@@ -560,6 +564,32 @@ class Scheduler:
             self.new_token_ratio + 0.2, self.max_new_token_ratio
         )
 
+    def _reclaim_swa_pages(self, req: Req) -> int:
+        """SWA models (every layer windowed): pages whose tokens all lie
+        before the attention window can be returned to the allocator while
+        the request is still running (reference analog: swa_memory_pool.py /
+        swa_radix_cache.py window-bounded KV). The page-table entries stay
+        (slot math needs the indices) — windowed attention never reads
+        those positions, and the Pallas kernel's page-skip never DMAs them.
+        Returns pages freed."""
+        if self.swa_window is None:
+            return 0
+        # pages shared with the radix tree are not ours to free
+        shared = req.cached_prefix_len // self.page_size
+        if req.swa_freed < shared:
+            req.swa_freed = shared
+        # margin: the fused decode horizon may advance q positions before
+        # the next reclaim point; keep one extra page of history
+        keep_from = req.num_computed - self.swa_window - self.page_size
+        n_freeable = max(0, keep_from // self.page_size)
+        n_freeable = min(n_freeable, len(req.pages))
+        freed = 0
+        while req.swa_freed < n_freeable:
+            self.allocator.free([req.pages[req.swa_freed]])
+            req.swa_freed += 1
+            freed += 1
+        return freed
+
     def _release_pages(self, req: Req, insert_to_cache: bool) -> None:
         """Give back req's pages; optionally publish KV into the radix tree.
         Ownership: the first cached_prefix_len/page pages belong to the tree
@@ -567,6 +597,19 @@ class Scheduler:
         shared_pages = req.cached_prefix_len // self.page_size
         if req.lora_slot:
             insert_to_cache = False
+        if req.swa_freed > shared_pages:
+            # leading pages already reclaimed mid-flight: nothing before
+            # swa_freed is ours anymore, and the KV is incomplete -> no
+            # radix publication
+            self.allocator.free(req.pages[req.swa_freed :])
+            req.pages = []
+            req.swa_freed = 0
+            if req.prefix_node is not None:
+                self.radix.dec_lock_ref(req.prefix_node)
+                req.prefix_node = None
+            if getattr(self.drafter, "captures_hidden", False):
+                self.drafter.drop(req.rid)
+            return
         if self.radix is not None and insert_to_cache:
             toks = req.all_ids()
             computed = toks[: req.num_computed]
@@ -728,6 +771,10 @@ class Scheduler:
                 self.new_token_ratio * self.new_token_ratio_decay,
                 self.min_new_token_ratio,
             )
+        if self.swa_window is not None and plan.kind in ("decode", "verify"):
+            for req in plan.reqs:
+                if not req.finished:
+                    self.swa_reclaimed_pages += self._reclaim_swa_pages(req)
         return finished
 
     def _append_token(self, req: Req, token: int, logprob: Optional[float]) -> None:
