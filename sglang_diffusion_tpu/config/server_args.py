@@ -44,6 +44,11 @@ class ServerArgs:
     # FFNs stay tensor/expert-sharded; GSPMD inserts the gather/scatter
     # the reference hand-codes in layers/communicator.py
     enable_dp_attention: bool = False
+    # context parallelism for long prefill (reference: attn-CP groups,
+    # parallel_state.py:1503 + NSA seq-split prefill): the prefill chunk's
+    # token axis is sharded over every device; GSPMD partitions the QKV/FFN
+    # matmuls by sequence and gathers KV for attention
+    enable_context_parallel: bool = False
     # diffusion-only sequence parallel degrees (Ulysses x ring), see
     # reference multimodal_gen/runtime/server_args.py:219-231
     ulysses_degree: int = 1

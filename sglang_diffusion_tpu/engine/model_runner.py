@@ -159,6 +159,9 @@ class ModelRunner:
         _mesh = mesh_ctx.mesh
         _dp_attn = self.dp_attention
 
+        _cp = bool(args.enable_context_parallel and mesh_ctx.mesh.size > 1
+                   and not self.dp_attention)
+
         def seed_dp(*arrays):
             """with_sharding_constraint batch rows over every device
             (dp-attention); no-op otherwise or for indivisible batches."""
@@ -167,6 +170,23 @@ class ModelRunner:
             out = []
             for x in arrays:
                 spec = _P(("dp", "tp"), *([None] * (x.ndim - 1)))
+                out.append(
+                    jax.lax.with_sharding_constraint(x, _NS(_mesh, spec))
+                )
+            return tuple(out)
+
+        def seed_cp(*arrays):
+            """Context parallelism: shard the prefill TOKEN axis over every
+            device (reference analog: attn-CP seq-split prefill). Applies
+            when the padded chunk length divides the mesh; GSPMD partitions
+            the projections/FFN by sequence and inserts the KV gather for
+            attention."""
+            if (not _cp or arrays[0].ndim < 2
+                    or arrays[0].shape[1] % _n_all):
+                return arrays
+            out = []
+            for x in arrays:
+                spec = _P(None, ("dp", "tp"), *([None] * (x.ndim - 2)))
                 out.append(
                     jax.lax.with_sharding_constraint(x, _NS(_mesh, spec))
                 )
@@ -198,6 +218,7 @@ class ModelRunner:
                 positions + rope_delta[:, None]
             )
             token_ids, rpos = seed_dp(token_ids, rpos)
+            token_ids, rpos = seed_cp(token_ids, rpos)
             logits, new_kv = fwd(params, token_ids, rpos, kv_cache, meta)
             next_tok, tok_logprob = sample(
                 logits, samp_meta, key, all_greedy, output_counts, vocab_mask,
