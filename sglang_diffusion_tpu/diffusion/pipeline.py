@@ -43,16 +43,23 @@ from sglang_diffusion_tpu.utils.common import get_logger
 logger = get_logger("diffusion")
 
 
-def _select_dit_attention(cfg: DiTConfig, sp_mesh=None):
+def _select_dit_attention(cfg: DiTConfig, sp_mesh=None, backend: str = "auto"):
     """Backend selection (reference analog: layers/attention/selector.py):
-    Ulysses sequence-parallel attention when an "sp" mesh is given, Pallas
-    flash attention on TPU when head_dim is lane-aligned, einsum otherwise."""
+    Ulysses sequence-parallel attention when an "sp" mesh is given, "sage"
+    INT8 attention on request, Pallas flash attention on TPU when head_dim
+    is lane-aligned, einsum otherwise."""
     import jax as _jax
 
     if sp_mesh is not None and sp_mesh.shape.get("sp", 1) > 1:
         from sglang_diffusion_tpu.diffusion.usp import ulysses_attention
 
         return lambda q, k, v, s: ulysses_attention(q, k, v, s, sp_mesh)
+    if backend == "sage":
+        from sglang_diffusion_tpu.diffusion.sage_attention import (
+            sage_attention,
+        )
+
+        return sage_attention
     if _jax.default_backend() == "tpu" and cfg.head_dim % 128 == 0:
         from sglang_diffusion_tpu.ops.flash_pallas import flash_attention
 
@@ -259,12 +266,14 @@ class DiffusionPipeline:
         cache_dit=None,  # CacheDiTConfig (DBCache/TaylorSeer block caching)
         sta=None,  # {"tile": (tf,th,tw), "window": (rf,rh,rw)} sliding tile
         # attention for video denoising (diffusion/sparse_attention.py)
+        attention_backend: str = "auto",  # auto | sage (INT8 attention)
     ):
         self.sp_mesh = sp_mesh
         self.cfg_mesh = cfg_mesh
         self.teacache = teacache
         self.cache_dit = cache_dit
         self.sta = sta
+        self.attention_backend = attention_backend
         if (teacache is not None and teacache.enabled
                 and cache_dit is not None and cache_dit.enabled):
             raise ValueError("teacache and cache_dit are mutually exclusive")
@@ -284,7 +293,9 @@ class DiffusionPipeline:
             }
         self.params = params
         self.dit_forward = MMDiT.make_forward(
-            self.dit_cfg, attn_fn=_select_dit_attention(self.dit_cfg, sp_mesh)
+            self.dit_cfg,
+            attn_fn=_select_dit_attention(self.dit_cfg, sp_mesh,
+                                          attention_backend)
         )
         self.stages: List[Stage] = [
             InputValidationStage(),
@@ -356,7 +367,8 @@ class DiffusionPipeline:
         if use_cd:
             dit_parts = MMDiT.make_forward_parts(
                 self.dit_cfg,
-                attn_fn=_select_dit_attention(self.dit_cfg, self.sp_mesh),
+                attn_fn=_select_dit_attention(self.dit_cfg, self.sp_mesh,
+                                              self.attention_backend),
                 front_blocks=cd.front_blocks,
             )
         sched = get_scheduler(sampler, use_dynamic_shifting=True)
