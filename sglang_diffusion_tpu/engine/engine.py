@@ -224,11 +224,17 @@ class Engine:
         sp: SamplingParams,
         stream: bool = False,
         image_data=None,
+        image_embeds=None,  # precomputed (encoder-disagg): list of
+        # ([T_i, E] array, digest bytes, grid-or-None) tuples
     ) -> Req:
         if input_ids is None:
             input_ids = self.tokenizer.encode(prompt)
         mm_embeds, mm_spans, mm_positions, rope_delta = None, [], None, 0
-        if image_data is not None:
+        if image_embeds is not None:
+            mm_embeds, input_ids, mm_spans, mm_positions, rope_delta = (
+                self._inject_precomputed(list(input_ids), image_embeds)
+            )
+        elif image_data is not None:
             if not isinstance(image_data, (list, tuple)):
                 image_data = [image_data]
             mm_embeds, input_ids, mm_spans, mm_positions, rope_delta = (
@@ -334,6 +340,32 @@ class Engine:
             self.model_config.vocab_size,
         )
         pos3, rope_delta = compute_mrope_positions(len(new_ids), spans, grids)
+        return embeds, new_ids, spans, pos3, rope_delta
+
+    def _inject_precomputed(self, input_ids: List[int], items) -> tuple:
+        """Encoder disaggregation receive path (reference:
+        srt/disaggregation/encode_receiver.py): precomputed projected
+        embeddings arrive with their content digests (and merged grids for
+        mrope models); the local vision tower is skipped entirely."""
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+
+        embeds = [jnp.asarray(e) for e, _, _ in items]
+        digests = [d for _, d, _ in items]
+        grids = [g for _, _, g in items]
+        counts = [int(e.shape[0]) for e in embeds]
+        new_ids, spans = expand_mm_prompt(
+            input_ids, self.model_config.image_token_id, counts, digests,
+            self.model_config.vocab_size,
+        )
+        pos3, rope_delta = None, 0
+        if getattr(self.runner.model_cls, "uses_mrope", False):
+            from sglang_diffusion_tpu.models.qwen2_vl import (
+                compute_mrope_positions,
+            )
+
+            pos3, rope_delta = compute_mrope_positions(
+                len(new_ids), spans, grids
+            )
         return embeds, new_ids, spans, pos3, rope_delta
 
     def encode_mm_prompt(self, prompt: str) -> List[int]:
@@ -562,6 +594,7 @@ class Engine:
         sampling_params: Union[SamplingParams, Dict, None] = None,
         input_ids: Optional[List[List[int]]] = None,
         image_data=None,
+        image_embeds=None,  # single-request: [( [T,E] array, digest, grid )]
     ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
         single = isinstance(prompt, str) or (
             input_ids is not None and input_ids and isinstance(input_ids[0], int)
@@ -583,10 +616,12 @@ class Engine:
         reqs = []
         if input_ids is not None:
             for ids, imgs in zip(input_ids, per_req_images):
-                reqs.append(self._make_req(None, ids, sp, image_data=imgs))
+                reqs.append(self._make_req(None, ids, sp, image_data=imgs,
+                                           image_embeds=image_embeds))
         else:
             for p, imgs in zip(prompts, per_req_images):
-                reqs.append(self._make_req(p, None, sp, image_data=imgs))
+                reqs.append(self._make_req(p, None, sp, image_data=imgs,
+                                           image_embeds=image_embeds))
         with self._lock:
             for r in reqs:
                 self.scheduler.add_request(r)
