@@ -254,6 +254,7 @@ class Engine:
             mm_spans=mm_spans,
             mm_positions=mm_positions,
             rope_delta=rope_delta,
+            priority=sp.priority,
         )
         if sp.lora_path:
             if self.lora_manager is None:

@@ -31,6 +31,8 @@ class SamplingParams:
     top_logprobs_num: int = 0
     # LoRA adapter name for this request (reference: lora_path)
     lora_path: Optional[str] = None
+    # scheduling priority: higher = served first (reference: Req.priority)
+    priority: int = 0
     # constrained decoding (reference: sampling_params.py regex/json_schema)
     regex: Optional[str] = None
     json_schema: Optional[str] = None  # any value enables JSON-mode grammar

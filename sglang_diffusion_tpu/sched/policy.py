@@ -28,24 +28,35 @@ LPM_FALLBACK_THRESHOLD = 128
 def sort_waiting_queue(
     policy: str, queue: List[Req], radix: Optional[RadixCache]
 ) -> List[Req]:
+    # explicit request priority dominates every policy (reference:
+    # Req.priority, schedule_batch.py:489-560 + priority scheduling in
+    # schedule_policy.py); higher value = served first, FIFO within a tier
+    if any(getattr(r, "priority", 0) for r in queue):
+        order = {id(r): i for i, r in enumerate(queue)}
+        queue = sorted(
+            queue, key=lambda r: (-getattr(r, "priority", 0), order[id(r)])
+        )
     if policy == "fcfs" or radix is None:
         return queue
     if policy == "lpm":
         if len(queue) > LPM_FALLBACK_THRESHOLD:
             return queue
-        scored: List[Tuple[int, int, Req]] = []
+        scored: List[Tuple[int, int, int, Req]] = []
         for i, r in enumerate(queue):
             pages, _ = radix.match_prefix(r.input_ids)
-            scored.append((-len(pages), i, r))
-        scored.sort(key=lambda t: (t[0], t[1]))
-        return [r for _, _, r in scored]
+            scored.append((-getattr(r, "priority", 0), -len(pages), i, r))
+        scored.sort(key=lambda t: (t[0], t[1], t[2]))
+        return [r for _, _, _, r in scored]
     if policy == "lof":  # longest output first
         return sorted(
-            queue, key=lambda r: -r.sampling_params.max_new_tokens
+            queue, key=lambda r: (-getattr(r, "priority", 0),
+                                  -r.sampling_params.max_new_tokens)
         )
     if policy == "random":
         q = list(queue)
         random.shuffle(q)
+        if any(getattr(r, "priority", 0) for r in q):
+            q.sort(key=lambda r: -getattr(r, "priority", 0))
         return q
     raise ValueError(f"unknown policy {policy}")
 

@@ -63,6 +63,8 @@ class Req:
     mm_positions: Optional[object] = None
     rope_delta: int = 0
 
+    # scheduling priority (higher first; reference schedule_batch.py Req)
+    priority: int = 0
     # constrained decoding session (constrained/manager.py GrammarSession)
     grammar: Optional[object] = None
     # LoRA adapter slot (0 = base model; see lora/manager.py)

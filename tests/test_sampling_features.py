@@ -142,3 +142,23 @@ def test_per_request_seed_reproducible(engine):
     sp2 = SamplingParams(temperature=0.9, max_new_tokens=8, seed=7, ignore_eos=True)
     c = engine.generate("seeded sampling", sp2)
     assert c["output_ids"] != a["output_ids"]
+
+
+def test_priority_scheduling_order():
+    """Higher-priority requests are admitted first (reference: Req.priority
+    + priority-aware schedule policy)."""
+    from sglang_diffusion_tpu.sched.policy import sort_waiting_queue
+    from sglang_diffusion_tpu.sched.req import Req
+    from sglang_diffusion_tpu.sampling.params import SamplingParams
+
+    def mk(rid, prio):
+        r = Req(rid=rid, input_ids=[1, 2, 3],
+                sampling_params=SamplingParams(max_new_tokens=4))
+        r.priority = prio
+        return r
+
+    q = [mk("a", 0), mk("b", 5), mk("c", 0), mk("d", 5)]
+    out = sort_waiting_queue("fcfs", q, None)
+    assert [r.rid for r in out] == ["b", "d", "a", "c"]  # FIFO within tier
+    out = sort_waiting_queue("lof", q, None)
+    assert {out[0].rid, out[1].rid} == {"b", "d"}
