@@ -122,6 +122,9 @@ class Engine:
         self._detoks: Dict[str, IncrementalDetokenizer] = {}
         self._pending_deltas: Dict[str, str] = {}
         self._lock = threading.Lock()
+        from sglang_diffusion_tpu.observability.metrics import LatencyMetrics
+
+        self.latency_metrics = LatencyMetrics()
         self._tracing = False
         if self.args.enable_trace:
             from sglang_diffusion_tpu.observability import init_tracing
@@ -435,6 +438,8 @@ class Engine:
     def _post_process(self, plan, finished) -> None:
         """Incremental detokenization + stop-string scan for requests that
         produced a token this step (streaming or stop-bearing only)."""
+        for req in finished:
+            self.latency_metrics.observe_request(req)
         if self._tracing and finished:
             from sglang_diffusion_tpu.observability import record_request_trace
 

@@ -200,7 +200,12 @@ class ApiServer:
                 f"sgld_free_kv_pages {self.engine.allocator.free_pages}",
                 "# TYPE sgld_cached_tokens_served_total counter",
                 f"sgld_cached_tokens_served_total {s.cached_tokens_served}",
+                "# TYPE sgld_spec_draft_tokens_total counter",
+                f"sgld_spec_draft_tokens_total {s.spec_draft_tokens}",
+                "# TYPE sgld_spec_accepted_tokens_total counter",
+                f"sgld_spec_accepted_tokens_total {s.spec_accepted_tokens}",
             ]
+            lines.extend(self.engine.latency_metrics.expose())
             return Response("\n".join(lines) + "\n", content_type="text/plain")
 
         @http.route("POST", "/abort_request")

@@ -76,3 +76,30 @@ def test_tracing_off_is_noop():
 
     with step_span("decode", 4):
         pass  # must not raise even when tracing was never initialized
+
+
+def test_latency_histograms_on_metrics():
+    """TTFT/TPOT/E2E histograms (reference: tokenizer-side collectors,
+    metrics_collector.py:1019+)."""
+    from sglang_diffusion_tpu.server.api_server import ApiServer
+    from tests.test_http_server import http_request, make_server
+
+    server = make_server()
+
+    async def scenario():
+        await server.start()
+        port = server.http.port
+        await http_request(
+            port, "POST", "/generate",
+            {"text": "histo", "sampling_params": {"max_new_tokens": 4,
+                                                  "temperature": 0.0}},
+        )
+        st, _, data = await http_request(port, "GET", "/metrics")
+        assert st == 200
+        text = data.decode()
+        assert "sgld_ttft_seconds_bucket" in text
+        assert "sgld_e2e_seconds_count 1" in text
+        assert "sgld_tpot_seconds_sum" in text
+        await server.stop()
+
+    asyncio.run(asyncio.wait_for(scenario(), timeout=300))
