@@ -144,7 +144,14 @@ class Function:
 
     def run(self, *args, engine=None, **kwargs) -> ProgramState:
         if engine is None:
-            raise ValueError("pass engine=<Engine> to .run()")
+            from sglang_diffusion_tpu.lang.backend import get_default_backend
+
+            engine = get_default_backend()
+        if engine is None:
+            raise ValueError(
+                "pass engine=<Engine|RuntimeEndpoint> to .run() or call "
+                "set_default_backend()"
+            )
         state = ProgramState(engine)
         self.fn(state, *args, **kwargs)
         return state

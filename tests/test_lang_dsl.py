@@ -92,3 +92,47 @@ def test_gen_with_regex(engine):
 
     st = prog.run(engine=engine)
     assert st["v"] in ("true", "false")
+
+
+def test_runtime_endpoint_backend():
+    """@function programs run against a LIVE server over HTTP (reference:
+    lang/backend RuntimeEndpoint)."""
+    import asyncio
+    import threading
+
+    from sglang_diffusion_tpu.lang import (
+        RuntimeEndpoint,
+        function,
+        gen,
+        select,
+        set_default_backend,
+    )
+    from tests.test_http_server import make_server
+
+    server = make_server()
+    loop = asyncio.new_event_loop()
+
+    async def _start():
+        await server.start()
+
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(_start(), loop).result(timeout=60)
+    try:
+        ep = RuntimeEndpoint(f"http://127.0.0.1:{server.http.port}")
+        set_default_backend(ep)
+
+        @function
+        def prog(s):
+            s += "pick: "
+            s += select("c", ["aa", "bb"])
+            s += gen("out", max_tokens=4, temperature=0.0)
+
+        st = prog.run()  # default backend
+        assert st["c"] in ("aa", "bb")
+        assert len(st["out"]) > 0
+        assert st.text.startswith("pick: " + st["c"])
+    finally:
+        set_default_backend(None)
+        asyncio.run_coroutine_threadsafe(server.stop(), loop).result(timeout=30)
+        loop.call_soon_threadsafe(loop.stop)
