@@ -156,11 +156,21 @@ def make_ep_moe(mesh, top_k: int, num_experts: int, ep_axis: str = "tp",
     assert num_experts % S == 0, (num_experts, S)
     local_x = num_experts // S
 
-    def local_fn(h, w_router, w_gate, w_up, w_down):
+    def local_fn(h, w_router, w_gate, w_up, w_down, active_ranks):
         b, t, e = h.shape  # local batch rows
         n = b * t
         h2 = h.reshape(n, e)
-        ids, weights = _route(h2, w_router, top_k)  # [n,k]
+        # elastic EP (reference: srt/elastic_ep/ + active-ranks tensors,
+        # scheduler.py:2458-2470): experts on dead ranks are removed from
+        # routing by masking their logits before top-k, so traffic flows
+        # around the failure without a recompile (same routing math as
+        # _route otherwise: top-k then softmax over the kept logits)
+        logits = jnp.dot(h2, w_router).astype(jnp.float32)
+        expert_alive = jnp.repeat(active_ranks, local_x)  # [num_experts]
+        logits = jnp.where(expert_alive[None, :], logits, -1e30)
+        topv, topi = jax.lax.top_k(logits, top_k)
+        ids = topi.astype(jnp.int32)
+        weights = jax.nn.softmax(topv, axis=-1)
         flat_ids = ids.reshape(-1)  # [n*k]
         dest = flat_ids // local_x  # destination shard per replica
         cap = int(np.ceil(n * top_k / S * capacity_factor))
@@ -216,11 +226,18 @@ def make_ep_moe(mesh, top_k: int, num_experts: int, ep_axis: str = "tp",
     batch_spec = P(batch_axis) if batch_axis in axes else P()
     expert_spec = P(ep_axis)
 
-    fn = shard_map(
+    inner = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(batch_spec, P(), expert_spec, expert_spec, expert_spec),
+        in_specs=(batch_spec, P(), expert_spec, expert_spec, expert_spec,
+                  P()),
         out_specs=batch_spec,
         check_vma=False,
     )
+
+    def fn(h, w_router, w_gate, w_up, w_down, active_ranks=None):
+        if active_ranks is None:
+            active_ranks = jnp.ones((S,), bool)
+        return inner(h, w_router, w_gate, w_up, w_down, active_ranks)
+
     return fn
