@@ -215,7 +215,63 @@ class MMLUEval(_EvalBase):
         return bool(s) and s[0].upper() == ex["gt"]
 
 
-_EVALS = {"gsm8k": GSM8KEval, "mgsm": MGSMEval, "mmlu": MMLUEval}
+class HumanEvalEval(_EvalBase):
+    """HumanEval (reference: simple_eval_humaneval.py): completions are
+    executed against the task's unit tests in an isolated subprocess with a
+    timeout. Dataset: JSONL rows {task_id, prompt, test, entry_point}."""
+
+    name = "humaneval"
+    exec_timeout_s = 10.0
+
+    def _load(self, path: str):
+        out = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    d = json.loads(line)
+                    out.append({
+                        "task_id": d.get("task_id", ""),
+                        "prompt": d["prompt"],
+                        "test": d["test"],
+                        "entry_point": d["entry_point"],
+                    })
+        return out
+
+    def sampling_params(self):
+        return {"temperature": 0.0, "max_new_tokens": 512,
+                "stop": ["\ndef ", "\nclass ", "\nif __name__"]}
+
+    def build_prompt(self, ex):
+        return ex["prompt"]
+
+    def grade(self, ex, response):
+        import subprocess
+        import sys
+        import tempfile
+
+        program = (
+            ex["prompt"] + response + "\n\n" + ex["test"] + "\n"
+            + f"check({ex['entry_point']})\n"
+        )
+        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+            f.write(program)
+            path = f.name
+        try:
+            r = subprocess.run(
+                [sys.executable, "-I", path], capture_output=True,
+                timeout=self.exec_timeout_s,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+        finally:
+            import os as _os
+
+            _os.unlink(path)
+
+
+_EVALS = {"gsm8k": GSM8KEval, "mgsm": MGSMEval, "mmlu": MMLUEval,
+          "humaneval": HumanEvalEval}
 
 
 def get_eval(name: str):

@@ -107,3 +107,40 @@ def test_engine_sampler_smoke(tmp_path):
 def test_unknown_eval():
     with pytest.raises(KeyError):
         get_eval("nope")
+
+
+def test_humaneval_exec_grading(tmp_path):
+    """HumanEval grading executes completions in a sandboxed subprocess
+    (reference: simple_eval_humaneval.py)."""
+    p = tmp_path / "he.jsonl"
+    task = {
+        "task_id": "T/0",
+        "prompt": "def add(a, b):\n",
+        "test": (
+            "def check(candidate):\n"
+            "    assert candidate(1, 2) == 3\n"
+            "    assert candidate(-1, 1) == 0\n"
+        ),
+        "entry_point": "add",
+    }
+    with open(p, "w") as f:
+        f.write(json.dumps(task) + "\n")
+
+    good = CannedSampler(lambda pr: "    return a + b\n")
+    res = run_eval(good, "humaneval", str(p))
+    assert res.num_correct == 1
+
+    bad = CannedSampler(lambda pr: "    return a - b\n")
+    assert run_eval(bad, "humaneval", str(p)).num_correct == 0
+
+    hang = CannedSampler(
+        lambda pr: "    while True:\n        pass\n"
+    )
+    from sglang_diffusion_tpu.eval.simple_evals import HumanEvalEval
+
+    old = HumanEvalEval.exec_timeout_s
+    HumanEvalEval.exec_timeout_s = 2.0
+    try:
+        assert run_eval(hang, "humaneval", str(p)).num_correct == 0
+    finally:
+        HumanEvalEval.exec_timeout_s = old
