@@ -64,6 +64,7 @@ class DiffGenerator:
         image=None,
         strength: float = 0.6,
         sampler: str = "euler",
+        causal_chunk_frames: int = 0,  # >0: streaming/AR chunked video
     ) -> Dict[str, Any]:
         gp = GenerationParams(
             prompt=prompt,
@@ -80,6 +81,8 @@ class DiffGenerator:
             sampler=sampler,
         )
         t0 = time.perf_counter()
+        if num_frames > 0 and causal_chunk_frames > 0:
+            return self._generate_causal(gp, causal_chunk_frames, t0)
         batch = self.pipeline.forward(gp)
         elapsed = time.perf_counter() - t0
         denoise_t = batch.stage_timings.get("denoising", 0.0)
@@ -101,6 +104,50 @@ class DiffGenerator:
         else:
             out["images"] = batch.images  # [B, H, W, 3] uint8
         return out
+
+    def _generate_causal(self, gp: GenerationParams, chunk: int,
+                         t0: float) -> Dict[str, Any]:
+        """Causal / streaming video (reference analog: self-forcing
+        causal_denoising.py + causal Wan pipelines): frames are generated in
+        temporal chunks; each chunk is conditioned on the previous chunk's
+        last decoded frame (image-to-video chaining), so video length is
+        unbounded by the per-call frame window and chunks can stream out as
+        they finish."""
+        import dataclasses
+
+        total = gp.num_frames
+        frames_out = []
+        cond_img = gp.image
+        done = 0
+        chunk_idx = 0
+        while done < total:
+            n = min(chunk, total - done)
+            cgp = dataclasses.replace(
+                gp, num_frames=n, image=cond_img,
+                seed=gp.seed + chunk_idx,
+                # conditioned chunks re-noise from the context frame
+                strength=gp.strength if cond_img is not None else 1.0,
+            )
+            batch = self.pipeline.forward(cgp)
+            frames_out.append(batch.images)  # [B, n, H, W, 3]
+            cond_img = batch.images[0, -1]  # last decoded frame conditions next
+            done += n
+            chunk_idx += 1
+        import numpy as _np
+
+        frames = _np.concatenate(frames_out, axis=1)
+        elapsed = time.perf_counter() - t0
+        return {
+            "frames": frames,
+            "meta_info": {
+                "e2e_s": elapsed,
+                "causal_chunks": chunk_idx,
+                "params": {
+                    **{k: v for k, v in asdict(gp).items() if k != "image"},
+                    "causal_chunk_frames": chunk,
+                },
+            },
+        }
 
     @staticmethod
     def save_video(frames, path: str, fps: int = 8) -> None:

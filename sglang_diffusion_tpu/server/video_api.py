@@ -71,6 +71,7 @@ def register_video_routes(http: HTTPServer, generator: DiffGenerator) -> None:
             guidance_scale=float(body.get("guidance_scale", 1.0)),
             seed=int(body.get("seed", int(time.time()) & 0xFFFF)),
             sampler=body.get("sampler", "unipc"),  # Wan's default scheduler
+            causal_chunk_frames=int(body.get("causal_chunk_frames", 0)),
         )
         if kw["num_frames"] < 1:
             return Response({"error": "num_frames must be >= 1"}, 400)
