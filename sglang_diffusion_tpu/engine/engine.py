@@ -108,6 +108,34 @@ class Engine:
         if lw is not None and (lw >= 0).all():
             # every layer is sliding: KV behind the window is reclaimable
             self.scheduler.swa_window = int(lw.max())
+        if self.args.speculative_algorithm == "draft_model":
+            # standalone small-model drafter (reference: srt/speculative/
+            # standalone draft path)
+            from sglang_diffusion_tpu.spec.draft_model import DraftModelDrafter
+
+            dpath = self.args.speculative_draft_model_path
+            if dpath:
+                dcfg = ModelConfig.from_pretrained(dpath)
+                from sglang_diffusion_tpu.engine.weight_loader import (
+                    load_hf_params,
+                )
+
+                dparams = load_hf_params(dpath, dcfg, dtype=jnp.bfloat16)
+            else:
+                import dataclasses as _dc
+
+                dcfg = _dc.replace(
+                    model_config,
+                    num_hidden_layers=max(
+                        1, model_config.num_hidden_layers // 2
+                    ),
+                )
+                dparams = None
+            self.scheduler.drafter = DraftModelDrafter(
+                self.runner, dcfg,
+                k=self.args.speculative_num_draft_tokens,
+                draft_params=dparams,
+            )
         if self.args.speculative_algorithm == "eagle":
             from sglang_diffusion_tpu.spec.eagle import EagleDrafter
 

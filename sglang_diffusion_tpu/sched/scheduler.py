@@ -629,7 +629,8 @@ class Scheduler:
             self.radix.dec_lock_ref(req.prefix_node)
             req.prefix_node = None
         req.pages = []
-        if getattr(self.drafter, "captures_hidden", False):
+        if self.drafter is not None and hasattr(self.drafter, "drop"):
+            # draft KV / feature state is tied to the released pages
             self.drafter.drop(req.rid)
 
     # ------------- result processing -------------

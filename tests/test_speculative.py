@@ -67,3 +67,16 @@ def test_spec_with_radix_cache_roundtrip():
     out2 = eng.generate(p, sp)
     assert out1["output_ids"] == out2["output_ids"]
     assert out2["meta_info"]["cached_tokens"] > 0
+
+
+def test_draft_model_lossless():
+    """Standalone draft-model speculation must be lossless vs plain greedy
+    (reference: srt/speculative/ standalone draft path)."""
+    plain = make_engine()
+    spec = make_engine(spec="draft_model")
+    sp = SamplingParams(max_new_tokens=20, temperature=0.0)
+    prompts = ["the quick brown fox " * 3, "abc abc abc abc"]
+    ref = [r["output_ids"] for r in plain.generate(prompts, sp)]
+    out = [r["output_ids"] for r in spec.generate(prompts, sp)]
+    assert ref == out
+    assert spec.scheduler.spec_draft_tokens > 0
