@@ -161,6 +161,10 @@ class ServerArgs:
     # -- CLI integration ------------------------------------------------
     @classmethod
     def add_cli_args(cls, parser: argparse.ArgumentParser) -> None:
+        parser.add_argument(
+            "--config", default=None,
+            help="YAML/JSON config file of flag values (CLI overrides)",
+        )
         for f in dataclasses.fields(cls):
             name = "--" + f.name.replace("_", "-")
             default = f.default if f.default is not dataclasses.MISSING else None
@@ -181,7 +185,36 @@ class ServerArgs:
     @classmethod
     def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
         names = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in vars(args).items() if k in names})
+        kw = {k: v for k, v in vars(args).items() if k in names}
+        cfg_path = getattr(args, "config", None)
+        if cfg_path:
+            file_kw = cls.load_config_file(cfg_path)
+            # CLI flags that differ from the dataclass default override the
+            # file (reference: server_args_config_parser.py precedence)
+            defaults = {}
+            for f in dataclasses.fields(cls):
+                if f.default is not dataclasses.MISSING:
+                    defaults[f.name] = f.default
+                elif f.default_factory is not dataclasses.MISSING:  # type: ignore
+                    defaults[f.name] = f.default_factory()  # type: ignore
+            for k, v in file_kw.items():
+                if k in names and kw.get(k) == defaults.get(k):
+                    kw[k] = v
+        return cls(**kw)
+
+    @staticmethod
+    def load_config_file(path: str) -> dict:
+        """YAML or JSON config file with flag names as keys (dashes or
+        underscores; reference: srt/server_args_config_parser.py)."""
+        with open(path) as f:
+            text = f.read()
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            data = yaml.safe_load(text) or {}
+        else:
+            data = json.loads(text or "{}")
+        return {k.replace("-", "_"): v for k, v in data.items()}
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
