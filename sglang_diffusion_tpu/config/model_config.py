@@ -114,6 +114,8 @@ class ModelConfig:
     # multimodal (VLM) fields
     vision: Optional[VisionConfig] = None
     image_token_id: Optional[int] = None
+    # multimodal (audio) fields (models/qwen2_audio.py reads raw audio_config)
+    audio_token_id: Optional[int] = None
     # misc
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -160,6 +162,24 @@ class ModelConfig:
 
     @classmethod
     def from_hf_config(cls, cfg: Dict[str, Any]) -> "ModelConfig":
+        # audio-LLM configs (qwen2-audio style): hoist text_config, keep the
+        # audio tower config in raw (models/qwen2_audio.py reads it)
+        if "text_config" in cfg and "audio_config" in cfg:
+            outer = cfg
+            inner = dict(cfg["text_config"])
+            inner.setdefault("architectures", ["Qwen2ForCausalLM"])
+            mc = cls.from_hf_config(inner)
+            arch = (outer.get("architectures") or [None])[0]
+            if arch is None:
+                mt = outer.get("model_type", "qwen2_audio")
+                camel = "".join(p.capitalize() for p in mt.split("_"))
+                arch = camel + "ForConditionalGeneration"
+            mc.architecture = arch
+            mc.audio_token_id = outer.get(
+                "audio_token_index", outer.get("audio_token_id")
+            )
+            mc.raw = outer
+            return mc
         # VLM configs nest the language model under text_config; hoist it so
         # the LM fields live at the top level (the runner's KV geometry and
         # layer loop read them there) and attach the vision half.

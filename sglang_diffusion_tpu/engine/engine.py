@@ -257,11 +257,18 @@ class Engine:
         image_data=None,
         image_embeds=None,  # precomputed (encoder-disagg): list of
         # ([T_i, E] array, digest bytes, grid-or-None) tuples
+        audio_data=None,  # waveform(s) at 16 kHz (np arrays)
     ) -> Req:
         if input_ids is None:
             input_ids = self.tokenizer.encode(prompt)
         mm_embeds, mm_spans, mm_positions, rope_delta = None, [], None, 0
-        if image_embeds is not None:
+        if audio_data is not None:
+            if not isinstance(audio_data, (list, tuple)):
+                audio_data = [audio_data]
+            mm_embeds, input_ids, mm_spans = self._process_audio(
+                list(input_ids), audio_data
+            )
+        elif image_embeds is not None:
             mm_embeds, input_ids, mm_spans, mm_positions, rope_delta = (
                 self._inject_precomputed(list(input_ids), image_embeds)
             )
@@ -399,6 +406,35 @@ class Engine:
                 len(new_ids), spans, grids
             )
         return embeds, new_ids, spans, pos3, rope_delta
+
+    def _process_audio(self, input_ids: List[int], audios: List) -> tuple:
+        """Audio-LLM path (reference analog: the audio processors of
+        srt/multimodal/processors): log-mel -> whisper tower -> projector
+        embeddings injected at audio placeholder tokens."""
+        if self.model_config.audio_token_id is None:
+            raise ValueError(
+                f"model {self.model_config.architecture} takes no audio"
+            )
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+        from sglang_diffusion_tpu.multimodal.audio import AudioProcessor
+
+        if not hasattr(self, "_audio_processor"):
+            n_frames = 2 * self.model_config.raw.get("audio_config", {}).get(
+                "max_source_positions", 1500
+            )
+            self._audio_processor = AudioProcessor(n_frames=n_frames)
+        embeds, digests, counts = [], [], []
+        for wav in audios:
+            feats, digest = self._audio_processor.preprocess(wav)
+            emb = self.runner.encode_audio(feats[None])[0]
+            embeds.append(emb)
+            digests.append(digest)
+            counts.append(int(emb.shape[0]))
+        new_ids, spans = expand_mm_prompt(
+            input_ids, self.model_config.audio_token_id, counts, digests,
+            self.model_config.vocab_size,
+        )
+        return embeds, new_ids, spans
 
     def encode_mm_prompt(self, prompt: str) -> List[int]:
         """Tokenize a prompt containing literal "<image>" markers, inserting
@@ -629,6 +665,7 @@ class Engine:
         input_ids: Optional[List[List[int]]] = None,
         image_data=None,
         image_embeds=None,  # single-request: [( [T,E] array, digest, grid )]
+        audio_data=None,  # single-request waveform(s) at 16 kHz
     ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
         single = isinstance(prompt, str) or (
             input_ids is not None and input_ids and isinstance(input_ids[0], int)
@@ -651,11 +688,13 @@ class Engine:
         if input_ids is not None:
             for ids, imgs in zip(input_ids, per_req_images):
                 reqs.append(self._make_req(None, ids, sp, image_data=imgs,
-                                           image_embeds=image_embeds))
+                                           image_embeds=image_embeds,
+                                           audio_data=audio_data))
         else:
             for p, imgs in zip(prompts, per_req_images):
                 reqs.append(self._make_req(p, None, sp, image_data=imgs,
-                                           image_embeds=image_embeds))
+                                           image_embeds=image_embeds,
+                                           audio_data=audio_data))
         with self._lock:
             for r in reqs:
                 self.scheduler.add_request(r)

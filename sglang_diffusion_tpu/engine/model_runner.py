@@ -664,6 +664,15 @@ class ModelRunner:
             self.params, jnp.asarray(patches, jnp.float32), tuple(grid_hw)
         )
 
+    def encode_audio(self, feats: np.ndarray):
+        """Audio tower + projector (jitted; [N, mel, frames] -> [N, T, E])."""
+        if not hasattr(self, "_encode_audio"):
+            enc = self.model_cls.make_encode_audio(self.cfg)
+            self._encode_audio = (
+                enc if self.args.disable_jit else jax.jit(enc)
+            )
+        return self._encode_audio(self.params, jnp.asarray(feats, jnp.float32))
+
     def _get_mm_step(self):
         """Prefill step with image-embedding injection (compiled lazily;
         only batches containing images pay for the extra [B, T, E] input).

@@ -72,6 +72,7 @@ def _open_shards(model_path: str):
 HF_NAME_ALIASES = [
     ("model.language_model.", "language_model.model."),
     ("model.encoder.", "encoder."),  # WhisperModel vs ForConditionalGeneration
+    ("model.audio_tower.", "audio_tower."),  # qwen2-audio legacy layout
     ("model.vision_tower.", "vision_tower."),
     ("model.multi_modal_projector.", "multi_modal_projector."),
     ("lm_head.", "language_model.lm_head."),

@@ -30,6 +30,9 @@ class AudioEncoderConfig:
     encoder_ffn_dim: int = 1536
     max_source_positions: int = 1500
     lm_hidden: int = 0  # adapter output width (0 = no adapter)
+    # qwen2-audio: AvgPool1d(2,2) before the final layer norm (halves the
+    # audio token count)
+    avg_pool: bool = False
 
     @classmethod
     def from_hf(cls, cfg: Dict[str, Any], lm_hidden: int = 0):
@@ -89,6 +92,11 @@ class WhisperEncoder:
             },
             "ln_post_w": jnp.ones((E,), dtype),
             "ln_post_b": jnp.zeros((E,), dtype),
+            # positional table: real whisper checkpoints store the sinusoid
+            # table; loaded from the checkpoint to match exactly
+            "pos_embed": jnp.asarray(
+                sinusoids(cfg.max_source_positions, E), dtype
+            ),
         }
         if cfg.lm_hidden:
             p["adapter_w"] = init(ks[8], (E, cfg.lm_hidden))
@@ -118,12 +126,13 @@ class WhisperEncoder:
             return out + b
 
         x = input_features.transpose(0, 2, 1)  # [B, T, M]
+        x = x.astype(params["conv1_w"].dtype)
         x = jax.nn.gelu(conv1d(x, params["conv1_w"], params["conv1_b"], 1),
                         approximate=False)
         x = jax.nn.gelu(conv1d(x, params["conv2_w"], params["conv2_b"], 2),
                         approximate=False)
         t = x.shape[1]
-        x = x + jnp.asarray(sinusoids(cfg.max_source_positions, E))[None, :t]
+        x = x + params["pos_embed"][None, :t].astype(x.dtype)
 
         def body(x, bp):
             b, tt, _ = x.shape
@@ -143,6 +152,9 @@ class WhisperEncoder:
             return x, None
 
         x, _ = jax.lax.scan(body, x, params["blocks"])
+        if cfg.avg_pool:
+            b, tt, e = x.shape
+            x = x.reshape(b, tt // 2, 2, e).mean(axis=2)
         x = ln(x, params["ln_post_w"], params["ln_post_b"])
         if "adapter_w" in params:
             x = x @ params["adapter_w"] + params["adapter_b"]
@@ -161,6 +173,7 @@ class WhisperEncoder:
             ("conv2_b",): (enc + ".conv2.bias", None),
             ("ln_post_w",): (enc + ".layer_norm.weight", None),
             ("ln_post_b",): (enc + ".layer_norm.bias", None),
+            ("pos_embed",): (enc + ".embed_positions.weight", None),
             ("blocks", "ln1_w"): (lyr + ".self_attn_layer_norm.weight", None),
             ("blocks", "ln1_b"): (lyr + ".self_attn_layer_norm.bias", None),
             ("blocks", "wq"): (lyr + ".self_attn.q_proj.weight", "t"),
