@@ -344,6 +344,47 @@ class ApiServer:
                 },
             })
 
+        @http.route("POST", "/v1/audio/transcriptions")
+        async def transcriptions(req: Request) -> Response:
+            """OpenAI transcriptions (reference analog:
+            serving_transcriptions.py). JSON body: {"file_b64": <wav/pcm>,
+            "prompt": optional} — requires an audio-capable model."""
+            if self.engine.model_config.audio_token_id is None:
+                return Response({"error": "model takes no audio input"}, 400)
+            import base64 as _b64
+            import io as _io
+            import wave as _wave
+
+            import numpy as _np
+
+            body = req.json()
+            try:
+                raw = _b64.b64decode(body.get("file_b64", ""))
+                with _wave.open(_io.BytesIO(raw)) as w:
+                    n = w.getnframes()
+                    pcm = _np.frombuffer(w.readframes(n), _np.int16)
+                    if w.getnchannels() > 1:
+                        pcm = pcm.reshape(-1, w.getnchannels()).mean(axis=1)
+                    wav = (pcm.astype(_np.float32) / 32768.0)
+            except Exception as e:  # noqa: BLE001
+                return Response({"error": f"invalid wav: {e}"}, 400)
+            prompt = body.get("prompt", "Transcribe: <audio>")
+            if "<audio>" not in prompt:
+                prompt += " <audio>"
+            ids: List[int] = []
+            for piece_i, piece in enumerate(prompt.split("<audio>")):
+                if piece_i:
+                    ids.append(self.engine.model_config.audio_token_id)
+                ids.extend(self.engine.tokenizer.encode(piece))
+            sp = SamplingParams(
+                max_new_tokens=body.get("max_tokens",
+                                        self.args.max_new_tokens_default),
+                temperature=body.get("temperature", 0.0),
+            )
+            r = self.engine._make_req(None, ids, sp, audio_data=wav)
+            out = await self._run_one(r)
+            return Response({"text": out["text"]})
+
         @http.route("POST", "/tokenize")
         async def tokenize(req: Request) -> Response:
             body = req.json()

@@ -175,3 +175,70 @@ def test_qwen2_audio_engine_e2e():
     # -> identical (content-hash radix keying)
     out2 = eng.generate(input_ids=ids, sampling_params=sp, audio_data=wav)
     assert out["output_ids"] == out2["output_ids"]
+
+
+def test_transcriptions_route():
+    """OpenAI /v1/audio/transcriptions (reference analog:
+    serving_transcriptions.py)."""
+    import asyncio
+    import base64
+    import io
+    import json
+    import wave
+
+    from sglang_diffusion_tpu.config.server_args import ServerArgs
+    from sglang_diffusion_tpu.engine.engine import Engine
+    from sglang_diffusion_tpu.engine.tokenizer import ByteTokenizer
+    from sglang_diffusion_tpu.server.api_server import ApiServer
+    from tests.test_http_server import http_request
+
+    cfg = ModelConfig.from_hf_config({
+        "architectures": ["Qwen2AudioForConditionalGeneration"],
+        "audio_token_index": 400,
+        "text_config": {
+            "architectures": ["Qwen2ForCausalLM"],
+            "vocab_size": 512, "hidden_size": 64, "intermediate_size": 128,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 2, "max_position_embeddings": 512,
+        },
+        "audio_config": {
+            "num_mel_bins": 80, "d_model": 32, "encoder_layers": 1,
+            "encoder_attention_heads": 2, "encoder_ffn_dim": 64,
+            "max_source_positions": 8,
+        },
+    })
+    args = ServerArgs(
+        model_path="", tokenizer_path="byte", page_size=8,
+        max_total_tokens=4096, attention_backend="xla", context_length=256,
+        host="127.0.0.1", port=0, max_new_tokens_default=4,
+    )
+    eng = Engine(server_args=args, model_config=cfg, tokenizer=ByteTokenizer())
+    server = ApiServer(eng, args)
+
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal(16 * 160) * 3000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    async def scenario():
+        await server.start()
+        port = server.http.port
+        st, _, data = await http_request(
+            port, "POST", "/v1/audio/transcriptions",
+            {"file_b64": b64, "max_tokens": 4},
+        )
+        assert st == 200, data
+        assert "text" in json.loads(data)
+        st, _, _ = await http_request(
+            port, "POST", "/v1/audio/transcriptions",
+            {"file_b64": "!!!"},
+        )
+        assert st == 400
+        await server.stop()
+
+    asyncio.run(asyncio.wait_for(scenario(), timeout=300))
