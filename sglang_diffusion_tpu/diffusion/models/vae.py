@@ -97,6 +97,7 @@ class VAEDecoder:
     def apply(params, latents: jax.Array, cfg: VAEConfig) -> jax.Array:
         """latents [B, h, w, C_lat] -> images [B, 8h, 8w, 3] in [-1, 1]."""
         z = latents / cfg.scaling_factor + cfg.shift_factor
+        z = z.astype(params["conv_in"].dtype)  # bf16 params take bf16 input
         x = conv2d(z, params["conv_in"], params["conv_in_b"])
         for stage in params["stages"]:
             for rp in stage["res"]:
@@ -224,6 +225,7 @@ class VAEEncoder:
 
     @staticmethod
     def apply(params, images: jax.Array, cfg: VAEConfig) -> jax.Array:
+        images = images.astype(params["conv_in"].dtype)
         x = conv2d(images, params["conv_in"], params["conv_in_b"])
         for dp in params["downs"]:
             x = conv2d(jax.nn.silu(x), dp["c"], dp["c_b"], stride=2)

@@ -477,6 +477,66 @@ void health_loop() {
     }
 }
 
+// ---------------- service discovery ----------------
+// Reference analog: sgl-model-gateway/src/service_discovery.rs (k8s
+// endpoint watching). File-based: a sidecar (or operator) maintains a text
+// file of worker URLs, one per line; the gateway polls it and reconciles
+// the worker set — adds appear, removals drain. '#' lines are comments.
+
+std::string g_discovery_file;
+int g_discovery_interval_s = 2;
+
+void discovery_loop() {
+    std::string last_contents;
+    while (true) {
+        FILE* f = fopen(g_discovery_file.c_str(), "r");
+        if (f) {
+            std::string contents;
+            char buf[4096];
+            size_t n;
+            while ((n = fread(buf, 1, sizeof(buf), f)) > 0)
+                contents.append(buf, n);
+            fclose(f);
+            if (contents != last_contents) {
+                last_contents = contents;
+                std::vector<std::string> want;
+                std::istringstream ss(contents);
+                std::string line;
+                while (std::getline(ss, line)) {
+                    while (!line.empty() &&
+                           (line.back() == '\r' || line.back() == ' '))
+                        line.pop_back();
+                    if (line.empty() || line[0] == '#') continue;
+                    want.push_back(line);
+                }
+                // reconcile
+                std::vector<std::string> current;
+                for (auto& w : snapshot_workers()) current.push_back(w->url);
+                for (auto& u : want) {
+                    bool have = false;
+                    for (auto& c : current)
+                        if (c == u) have = true;
+                    if (!have) {
+                        add_worker(u);
+                        fprintf(stderr, "discovery: +%s\n", u.c_str());
+                    }
+                }
+                for (auto& c : current) {
+                    bool keep = false;
+                    for (auto& u : want)
+                        if (u == c) keep = true;
+                    if (!keep) {
+                        remove_worker(c);
+                        fprintf(stderr, "discovery: -%s\n", c.c_str());
+                    }
+                }
+            }
+        }
+        std::this_thread::sleep_for(
+            std::chrono::seconds(g_discovery_interval_s));
+    }
+}
+
 // ---------------- connection handling ----------------
 
 void handle_conn(int cfd) {
@@ -567,6 +627,10 @@ int main(int argc, char** argv) {
             g_cfg.cb_cooldown_s = atoi(next().c_str());
         else if (a == "--max-retries")
             g_cfg.max_retries = atoi(next().c_str());
+        else if (a == "--discovery-file")
+            g_discovery_file = next();
+        else if (a == "--discovery-interval")
+            g_discovery_interval_s = atoi(next().c_str());
     }
     for (auto& u : worker_urls) add_worker(u);
 
@@ -586,6 +650,7 @@ int main(int argc, char** argv) {
     fprintf(stderr, "sgld-gateway listening on :%d policy=%s workers=%zu\n",
             g_cfg.port, g_cfg.policy.c_str(), worker_urls.size());
     std::thread(health_loop).detach();
+    if (!g_discovery_file.empty()) std::thread(discovery_loop).detach();
     while (true) {
         int cfd = accept(sfd, nullptr, nullptr);
         if (cfd < 0) continue;

@@ -27,10 +27,10 @@ NEG_INF = -1e30
 
 def _kernel(
     len_ref,  # [1] i32 scalar prefetch: valid sequence length
-    q_ref,  # [1, bq, 1, D]
-    k_ref,  # [1, bkv, 1, D]
-    v_ref,  # [1, bkv, 1, D]
-    o_ref,  # [1, bq, 1, D]
+    q_ref,  # [1, 1, bq, D]  (inputs laid out [B, H, T, D]: Mosaic requires
+    k_ref,  # [1, 1, bkv, D]  the trailing two block dims be (8k, 128k))
+    v_ref,  # [1, 1, bkv, D]
+    o_ref,  # [1, 1, bq, D]
     m_scr,  # [bq, 128] f32
     l_scr,  # [bq, 128] f32
     acc_scr,  # [bq, D] f32
@@ -50,9 +50,9 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, :, 0, :]  # [bq, D]
-    k = k_ref[0, :, 0, :]  # [bkv, D]
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0, 0]  # [bq, D]
+    k = k_ref[0, 0]  # [bkv, D]
+    v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * sm_scale  # [bq, bkv]
@@ -81,7 +81,7 @@ def _kernel(
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
         l = jnp.maximum(l_scr[:, 0:1], 1e-30)
-        o_ref[0, :, 0, :] = (acc_scr[...] / l).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -111,6 +111,10 @@ def flash_attention(
     if valid_len is None:
         valid_len = jnp.int32(t)
     valid_arr = jnp.asarray(valid_len, jnp.int32).reshape(1)
+    # [B, T, H, D] -> [B, H, T, D] so blocks end in (seq, head_dim)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
 
     grid = (b, h, t_pad // bq, t_pad // bkv)
     out = pl.pallas_call(
@@ -122,24 +126,24 @@ def flash_attention(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, bq, 1, d),
-                    lambda b_, h_, qi, ki, *refs: (b_, qi, h_, 0),
+                    (1, 1, bq, d),
+                    lambda b_, h_, qi, ki, *refs: (b_, h_, qi, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, bkv, 1, d),
-                    lambda b_, h_, qi, ki, *refs: (b_, ki, h_, 0),
+                    (1, 1, bkv, d),
+                    lambda b_, h_, qi, ki, *refs: (b_, h_, ki, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, bkv, 1, d),
-                    lambda b_, h_, qi, ki, *refs: (b_, ki, h_, 0),
+                    (1, 1, bkv, d),
+                    lambda b_, h_, qi, ki, *refs: (b_, h_, ki, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, bq, 1, d),
-                lambda b_, h_, qi, ki, *refs: (b_, qi, h_, 0),
+                (1, 1, bq, d),
+                lambda b_, h_, qi, ki, *refs: (b_, h_, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -148,7 +152,7 @@ def flash_attention(
                 pltpu.VMEM((bq, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
         interpret=interpret,
     )(valid_arr, q, k, v)
-    return out[:, :t]
+    return out.transpose(0, 2, 1, 3)[:, :t]

@@ -228,3 +228,55 @@ def test_gateway_metrics_and_admin(gateway_two_workers):
         )
     )
     assert len(out["workers"]) == 2
+
+
+def test_gateway_discovery_file(tmp_path):
+    """File-based service discovery (reference analog:
+    sgl-model-gateway/src/service_discovery.rs k8s endpoint watching):
+    worker set reconciles to the discovery file's contents."""
+    s1, p1 = _start_worker("w1")
+    s2, p2 = _start_worker("w2")
+    disc = tmp_path / "workers.txt"
+    disc.write_text(f"http://127.0.0.1:{p1}\n")
+    gport = _free_port()
+    gw = GatewayProcess(
+        gport, [], policy="round_robin", health_interval=1,
+        discovery_file=str(disc), discovery_interval=1,
+    )
+    try:
+        assert gw.wait_ready()
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            ws = json.loads(_get(f"http://127.0.0.1:{gport}/gateway/workers"))
+            if len(ws["workers"]) == 1:
+                break
+            time.sleep(0.3)
+        assert len(ws["workers"]) == 1
+        # add the second worker via the file
+        disc.write_text(
+            f"# fleet\nhttp://127.0.0.1:{p1}\nhttp://127.0.0.1:{p2}\n"
+        )
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            ws = json.loads(_get(f"http://127.0.0.1:{gport}/gateway/workers"))
+            if len(ws["workers"]) == 2:
+                break
+            time.sleep(0.3)
+        assert len(ws["workers"]) == 2
+        # remove the first
+        disc.write_text(f"http://127.0.0.1:{p2}\n")
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            ws = json.loads(_get(f"http://127.0.0.1:{gport}/gateway/workers"))
+            if len(ws["workers"]) == 1:
+                break
+            time.sleep(0.3)
+        assert len(ws["workers"]) == 1
+        assert str(p2) in ws["workers"][0]["url"]
+        # traffic still flows
+        out = _post(f"http://127.0.0.1:{gport}/generate", {"text": "x"})
+        assert out["worker"] == "w2"
+    finally:
+        gw.shutdown()
+        s1.shutdown()
+        s2.shutdown()
