@@ -114,6 +114,9 @@ class ServerArgs:
     trace_exporter: str = "memory"  # memory | console | otlp
     otlp_traces_endpoint: Optional[str] = None
     show_time_cost: bool = False
+    # dump each step's tokens/logprobs to npz for the cross-run comparator
+    # (reference: srt/debug_utils/dumper.py + comparator/)
+    debug_dump_dir: Optional[str] = None
     # abort requests stuck too long (0 = disabled; reference:
     # scheduler._abort_on_waiting_timeout / _abort_on_running_timeout)
     waiting_timeout_s: float = 0.0

@@ -153,6 +153,11 @@ class Engine:
         from sglang_diffusion_tpu.observability.metrics import LatencyMetrics
 
         self.latency_metrics = LatencyMetrics()
+        self._dumper = None
+        if self.args.debug_dump_dir:
+            from sglang_diffusion_tpu.utils.comparator import Dumper
+
+            self._dumper = Dumper(self.args.debug_dump_dir)
         self._tracing = False
         if self.args.enable_trace:
             from sglang_diffusion_tpu.observability import init_tracing
@@ -489,6 +494,11 @@ class Engine:
             logger.error(
                 "watchdog: %s step took %.1fs (batch=%d)",
                 plan.kind, step_s, len(plan.reqs),
+            )
+        if self._dumper is not None:
+            self._dumper.dump(
+                plan.kind, token_ids=plan.token_ids,
+                next_tokens=next_tokens, logprobs=logprobs,
             )
         hidden = self.runner.last_hidden
         self.runner.last_hidden = None
