@@ -57,6 +57,82 @@ class FakeTransferBackend:
         return self._store.pop(rid, None)
 
 
+def handoff_to_bytes(h: KVHandoff) -> bytes:
+    """Wire format: one npz blob (metadata JSON + raw page tensor)."""
+    import io
+    import json as _json
+
+    buf = io.BytesIO()
+    meta = {
+        "rid": h.rid,
+        "input_ids": h.input_ids,
+        "first_token": h.first_token,
+        "num_computed": h.num_computed,
+        "sampling_params": {
+            k: v for k, v in h.sampling_params.__dict__.items()
+            if not k.startswith("_")
+        },
+        "has_kv": h.kv_pages is not None,
+        "kv_dtype": str(h.kv_pages.dtype) if h.kv_pages is not None else "",
+    }
+    arrays = {"meta": np.frombuffer(_json.dumps(meta).encode(), np.uint8)}
+    if h.kv_pages is not None:
+        # view as uint8 so bf16/fp8 page tensors survive npz
+        arrays["kv"] = np.ascontiguousarray(h.kv_pages).view(np.uint8)
+        arrays["kv_shape"] = np.asarray(h.kv_pages.shape, np.int64)
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def handoff_from_bytes(data: bytes) -> KVHandoff:
+    import io
+    import json as _json
+
+    z = np.load(io.BytesIO(data))
+    meta = _json.loads(bytes(z["meta"]).decode())
+    kv = None
+    if meta["has_kv"]:
+        import ml_dtypes  # noqa: F401  (registers bf16/fp8 dtypes)
+
+        kv = z["kv"].view(np.dtype(meta["kv_dtype"])).reshape(
+            tuple(z["kv_shape"])
+        )
+    sp = SamplingParams(**{
+        k: v for k, v in meta["sampling_params"].items()
+        if k in SamplingParams.__dataclass_fields__
+    })
+    return KVHandoff(
+        rid=meta["rid"],
+        input_ids=meta["input_ids"],
+        first_token=meta["first_token"],
+        num_computed=meta["num_computed"],
+        kv_pages=kv,
+        sampling_params=sp,
+    )
+
+
+class HttpTransferBackend:
+    """Networked page transfer: the prefill host POSTs the handoff blob to
+    the decode server's /disagg/kv route (reference analog: the RDMA/TCP
+    transfer engines under srt/disaggregation/{mooncake,nixl,common}/ —
+    same state machine, commodity transport)."""
+
+    def __init__(self, decode_base_url: str, timeout: float = 600.0):
+        self.base_url = decode_base_url.rstrip("/")
+        self.timeout = timeout
+
+    def send(self, handoff: KVHandoff) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + "/disagg/kv",
+            data=handoff_to_bytes(handoff),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            assert r.status == 200
+
+
 # ------------- prefill side -------------
 
 def prefill_and_export(engine, prompt, sp: SamplingParams) -> KVHandoff:

@@ -447,6 +447,47 @@ class ApiServer:
             out = self.engine.update_weights_from_disk(body.get("model_path", ""))
             return Response(out, 200 if out["success"] else 400)
 
+        @http.route("POST", "/disagg/kv")
+        async def disagg_kv(req: Request) -> Response:
+            """PD disaggregation receive path (reference: decode-side
+            prealloc/transfer queues, disaggregation/decode.py:218,775):
+            accepts a prefill host's KV handoff blob, imports the pages and
+            starts decoding; poll /disagg/result?rid=..."""
+            from sglang_diffusion_tpu.disagg.transfer import (
+                handoff_from_bytes,
+                import_and_decode,
+            )
+
+            try:
+                handoff = handoff_from_bytes(req.body)
+            except Exception as e:  # noqa: BLE001
+                return Response({"error": f"bad handoff: {e}"}, 400)
+            if not hasattr(self, "_disagg_results"):
+                self._disagg_results = {}
+            self._disagg_results[handoff.rid] = {"status": "decoding"}
+
+            def run():
+                try:
+                    out = import_and_decode(self.engine, handoff)
+                    self._disagg_results[handoff.rid] = {
+                        "status": "completed", "output": out,
+                    }
+                except Exception as e:  # noqa: BLE001
+                    self._disagg_results[handoff.rid] = {
+                        "status": "failed", "error": str(e),
+                    }
+
+            asyncio.get_running_loop().run_in_executor(None, run)
+            return Response({"rid": handoff.rid, "status": "accepted"})
+
+        @http.route("GET", "/disagg/result")
+        async def disagg_result(req: Request) -> Response:
+            rid = req.query.get("rid", "")
+            res = getattr(self, "_disagg_results", {}).get(rid)
+            if res is None:
+                return Response({"error": "unknown rid"}, 404)
+            return Response(res)
+
         @http.route("POST", "/update_weights_from_bucket")
         async def update_weights_bucket(req: Request) -> Response:
             """Bucketed weight sync (reference: tensor_bucket RL transport):

@@ -70,3 +70,61 @@ def test_forced_retraction_recovers_with_outputs():
     for p, o in zip(prompts, outs):
         ref = ref_eng.generate(p, sp)
         assert ref["output_ids"] == o["output_ids"]
+
+
+def test_http_transfer_backend(tmp_path):
+    """Networked PD disaggregation: prefill host POSTs the KV handoff to the
+    decode server; greedy output matches single-engine generation
+    (reference analog: mooncake/nixl transports + decode queues)."""
+    import asyncio
+    import json
+
+    from sglang_diffusion_tpu.disagg.transfer import (
+        HttpTransferBackend,
+        handoff_from_bytes,
+        handoff_to_bytes,
+        prefill_and_export,
+    )
+    from sglang_diffusion_tpu.server.api_server import ApiServer
+    from tests.test_http_server import http_request
+
+    prefill_eng = make_engine()
+    decode_eng = make_engine()
+    ref_eng = make_engine()
+
+    sp = SamplingParams(temperature=0.0, max_new_tokens=12)
+    prompt = "disaggregate this prompt please " * 2
+    ref = ref_eng.generate(prompt, sp)["output_ids"]
+
+    # wire-format roundtrip
+    h = prefill_and_export(prefill_eng, prompt, sp)
+    h2 = handoff_from_bytes(handoff_to_bytes(h))
+    assert h2.input_ids == h.input_ids and h2.first_token == h.first_token
+    if h.kv_pages is not None:
+        assert h2.kv_pages.dtype == h.kv_pages.dtype
+        assert (np.asarray(h2.kv_pages) == np.asarray(h.kv_pages)).all()
+
+    server = ApiServer(decode_eng, decode_eng.args)
+
+    async def scenario():
+        await server.start()
+        port = server.http.port
+        backend = HttpTransferBackend(f"http://127.0.0.1:{port}")
+        # blocking urllib send must not run on the event loop
+        await asyncio.get_running_loop().run_in_executor(
+            None, backend.send, h
+        )
+        for _ in range(240):
+            st, _, data = await http_request(
+                port, "GET", f"/disagg/result?rid={h.rid}"
+            )
+            d = json.loads(data)
+            if d["status"] in ("completed", "failed"):
+                return d
+            await asyncio.sleep(0.25)
+        return d
+
+    res = asyncio.run(asyncio.wait_for(scenario(), timeout=300))
+    assert res["status"] == "completed", res
+    out_ids = [h.first_token] + res["output"]["output_ids"][1:]
+    assert res["output"]["output_ids"] == ref
