@@ -116,6 +116,7 @@ class ModelConfig:
     image_token_id: Optional[int] = None
     # multimodal (audio) fields (models/qwen2_audio.py reads raw audio_config)
     audio_token_id: Optional[int] = None
+    video_token_id: Optional[int] = None
     # misc
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -197,6 +198,9 @@ class ModelConfig:
             mc.vision = VisionConfig.from_hf(outer["vision_config"], outer)
             mc.image_token_id = outer.get(
                 "image_token_index", outer.get("image_token_id")
+            )
+            mc.video_token_id = outer.get(
+                "video_token_index", outer.get("video_token_id")
             )
             mc.raw = outer
             return mc

@@ -263,11 +263,18 @@ class Engine:
         image_embeds=None,  # precomputed (encoder-disagg): list of
         # ([T_i, E] array, digest bytes, grid-or-None) tuples
         audio_data=None,  # waveform(s) at 16 kHz (np arrays)
+        video_data=None,  # [T, H, W, 3] frame array(s) (mrope models)
     ) -> Req:
         if input_ids is None:
             input_ids = self.tokenizer.encode(prompt)
         mm_embeds, mm_spans, mm_positions, rope_delta = None, [], None, 0
-        if audio_data is not None:
+        if video_data is not None:
+            if not isinstance(video_data, (list, tuple)):
+                video_data = [video_data]
+            mm_embeds, input_ids, mm_spans, mm_positions, rope_delta = (
+                self._process_videos(list(input_ids), video_data)
+            )
+        elif audio_data is not None:
             if not isinstance(audio_data, (list, tuple)):
                 audio_data = [audio_data]
             mm_embeds, input_ids, mm_spans = self._process_audio(
@@ -440,6 +447,50 @@ class Engine:
             self.model_config.vocab_size,
         )
         return embeds, new_ids, spans
+
+    def _process_videos(self, input_ids: List[int], videos: List) -> tuple:
+        """Video inputs for M-RoPE models (reference analog: the video half
+        of srt/multimodal/processors/qwen_vl.py): frames pair into temporal
+        patch groups; positions use the (t, h, w) grid streams."""
+        if not getattr(self.runner.model_cls, "uses_mrope", False):
+            raise ValueError(
+                f"video input requires an mrope model "
+                f"({self.model_config.architecture})"
+            )
+        if self.model_config.video_token_id is None:
+            raise ValueError("model config has no video_token_id")
+        from sglang_diffusion_tpu.models.qwen2_vl import (
+            compute_mrope_positions,
+        )
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+        from sglang_diffusion_tpu.multimodal.processor import (
+            Qwen2VLImageProcessor,
+        )
+
+        if not hasattr(self, "_mrope_processor"):
+            vc = self.model_config.raw.get("vision_config", {})
+            self._mrope_processor = Qwen2VLImageProcessor(
+                patch_size=vc.get("patch_size", 14),
+                merge_size=vc.get("spatial_merge_size", 2),
+                temporal_patch_size=vc.get("temporal_patch_size", 2),
+            )
+        proc = self._mrope_processor
+        m = proc.merge_size
+        embeds, grids, digests, counts = [], [], [], []
+        for vid in videos:
+            patches, (gt, gh, gw), digest = proc.preprocess_video(vid)
+            embeds.append(
+                self.runner.encode_images_mrope(patches, (gt, gh, gw))
+            )
+            grids.append((gt, gh // m, gw // m))
+            digests.append(digest)
+            counts.append(gt * (gh // m) * (gw // m))
+        new_ids, spans = expand_mm_prompt(
+            input_ids, self.model_config.video_token_id, counts, digests,
+            self.model_config.vocab_size,
+        )
+        pos3, rope_delta = compute_mrope_positions(len(new_ids), spans, grids)
+        return embeds, new_ids, spans, pos3, rope_delta
 
     def encode_mm_prompt(self, prompt: str) -> List[int]:
         """Tokenize a prompt containing literal "<image>" markers, inserting
@@ -676,6 +727,7 @@ class Engine:
         image_data=None,
         image_embeds=None,  # single-request: [( [T,E] array, digest, grid )]
         audio_data=None,  # single-request waveform(s) at 16 kHz
+        video_data=None,  # single-request frame array(s)
     ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
         single = isinstance(prompt, str) or (
             input_ids is not None and input_ids and isinstance(input_ids[0], int)
@@ -699,12 +751,14 @@ class Engine:
             for ids, imgs in zip(input_ids, per_req_images):
                 reqs.append(self._make_req(None, ids, sp, image_data=imgs,
                                            image_embeds=image_embeds,
-                                           audio_data=audio_data))
+                                           audio_data=audio_data,
+                                           video_data=video_data))
         else:
             for p, imgs in zip(prompts, per_req_images):
                 reqs.append(self._make_req(p, None, sp, image_data=imgs,
                                            image_embeds=image_embeds,
-                                           audio_data=audio_data))
+                                           audio_data=audio_data,
+                                           video_data=video_data))
         with self._lock:
             for r in reqs:
                 self.scheduler.add_request(r)

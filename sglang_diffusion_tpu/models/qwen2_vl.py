@@ -86,11 +86,18 @@ def _vis_rot_pos(grid_hw: Tuple[int, int], merge: int) -> np.ndarray:
     return np.stack([reorder(hp), reorder(wp)], axis=-1)  # [T, 2]
 
 
-def vis_rope_angles(grid_hw, head_dim: int, merge: int,
+def vis_rope_angles(grid, head_dim: int, merge: int,
                     theta: float = 10000.0) -> np.ndarray:
     """[T, head_dim/2] rotation angles: half the dims rotate by h-pos, half
-    by w-pos (HF VisionRotaryEmbedding(dim=head_dim//2) + concat)."""
-    pos = _vis_rot_pos(grid_hw, merge)  # [T, 2]
+    by w-pos (HF VisionRotaryEmbedding(dim=head_dim//2) + concat). For
+    video grids (gt, gh, gw) the spatial table repeats per temporal group
+    (HF rot_pos_emb repeats pos_ids grid_t times)."""
+    if len(grid) == 3:
+        gt, gh, gw = grid
+    else:
+        gt, (gh, gw) = 1, grid
+    pos = _vis_rot_pos((gh, gw), merge)  # [T_spatial, 2]
+    pos = np.tile(pos, (gt, 1))
     quarter = head_dim // 4
     inv = 1.0 / (theta ** (np.arange(quarter, dtype=np.float64) * 2 / (head_dim // 2)))
     hang = pos[:, 0:1] * inv[None]
@@ -198,29 +205,31 @@ class Qwen2VisionTower:
 def compute_mrope_positions(
     seq_len: int,
     spans: List[MMSpan],
-    grids: List[Tuple[int, int]],  # per image: merged (h, w) token grid
+    grids: List[Tuple[int, ...]],  # per item: merged (h, w) or (t, h, w)
 ) -> Tuple[np.ndarray, int]:
     """Positions [3, T] (temporal, height, width) for one sequence + the
     rope_delta (rope position of the NEXT token minus seq_len; <= 0).
-    Mirrors HF Qwen2VLModel.get_rope_index for image inputs."""
+    Mirrors HF Qwen2VLModel.get_rope_index for image AND video inputs
+    ((t, h, w) grids: the temporal stream advances per frame group)."""
     pos = np.zeros((3, seq_len), np.int64)
     cur = 0  # next text rope position
     idx = 0  # next sequence index to fill
-    for span, (gh, gw) in zip(spans, grids):
-        # text run before the image
+    for span, grid in zip(spans, grids):
+        gt, gh, gw = (1,) + tuple(grid) if len(grid) == 2 else tuple(grid)
+        # text run before the item
         n_text = span.offset - idx
         for ax in range(3):
             pos[ax, idx : span.offset] = cur + np.arange(n_text)
         cur += n_text
         idx = span.offset
-        # image tokens: t constant, h/w grid coords, offset by cur
-        assert span.length == gh * gw, (span.length, gh, gw)
-        hh = np.arange(gh)[:, None].repeat(gw, 1).reshape(-1)
-        ww = np.arange(gw)[None, :].repeat(gh, 0).reshape(-1)
-        pos[0, idx : idx + span.length] = cur
+        assert span.length == gt * gh * gw, (span.length, gt, gh, gw)
+        tt = np.arange(gt)[:, None, None].repeat(gh, 1).repeat(gw, 2).reshape(-1)
+        hh = np.arange(gh)[None, :, None].repeat(gt, 0).repeat(gw, 2).reshape(-1)
+        ww = np.arange(gw)[None, None, :].repeat(gt, 0).repeat(gh, 1).reshape(-1)
+        pos[0, idx : idx + span.length] = cur + tt
         pos[1, idx : idx + span.length] = cur + hh
         pos[2, idx : idx + span.length] = cur + ww
-        cur += max(gh, gw)
+        cur += max(gt, gh, gw)
         idx += span.length
     n_tail = seq_len - idx
     for ax in range(3):

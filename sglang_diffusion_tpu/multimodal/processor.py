@@ -205,9 +205,46 @@ class Qwen2VLImageProcessor(ImageProcessor):
         gh, gw = hr // p, wr // p
         x = arr.transpose(2, 0, 1)[:, None]  # [C, 1, H, W]
         x = np.repeat(x, tp, axis=1)  # static image -> repeated frames
-        c = x.shape[0]
-        x = x.reshape(c, tp, gh // m, m, p, gw // m, m, p)
-        # -> [gh/m, gw/m, m, m, C, tp, p, p]
-        x = x.transpose(2, 5, 3, 6, 0, 1, 4, 7)
-        patches = x.reshape(gh * gw, c * tp * p * p).astype(np.float32)
+        patches = self._serialize(x[None], gh, gw)  # grid_t = 1
         return patches, (gh, gw), digest
+
+    def _serialize(self, x: np.ndarray, gh: int, gw: int) -> np.ndarray:
+        """x [gt, C, tp, H, W] -> merge-order patches
+        [gt*gh*gw, C*tp*p*p] (HF Qwen2VLImageProcessor layout)."""
+        p, m = self.patch_size, self.merge_size
+        gt, c, tp = x.shape[0], x.shape[1], x.shape[2]
+        x = x.reshape(gt, c, tp, gh // m, m, p, gw // m, m, p)
+        # -> [gt, gh/m, gw/m, m, m, C, tp, p, p]
+        x = x.transpose(0, 3, 6, 4, 7, 1, 2, 5, 8)
+        return x.reshape(gt * gh * gw, c * tp * p * p).astype(np.float32)
+
+    def preprocess_video(self, frames) -> Tuple[np.ndarray, Tuple[int, int, int], bytes]:
+        """frames: [T, H, W, 3] uint8/float or list of frames ->
+        (patches [gt*gh*gw, C*tp*p*p], (gt, gh, gw) patch grid, hash).
+        Frames pair into temporal groups of temporal_patch_size (the last
+        frame repeats when T is odd, matching the HF video processor)."""
+        import hashlib
+
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        digest = hashlib.sha256(np.ascontiguousarray(frames)).digest()
+        t = frames.shape[0]
+        tp = self.temporal
+        if t % tp:
+            frames = np.concatenate(
+                [frames, frames[-1:].repeat(tp - t % tp, axis=0)], axis=0
+            )
+            t = frames.shape[0]
+        h, w = frames.shape[1], frames.shape[2]
+        hr, wr = self.smart_resize(h, w)
+        proc = np.stack([
+            (self._resize_bilinear(f, hr, wr) - self.mean) / self.std
+            for f in frames
+        ])  # [T, Hr, Wr, C]
+        p = self.patch_size
+        gh, gw = hr // p, wr // p
+        gt = t // tp
+        x = proc.transpose(0, 3, 1, 2).reshape(gt, tp, 3, hr, wr)
+        x = x.transpose(0, 2, 1, 3, 4)  # [gt, C, tp, H, W]
+        return self._serialize(x, gh, gw), (gt, gh, gw), digest

@@ -225,3 +225,73 @@ def test_text_only_path_uses_plain_rope(setup):
     )
     np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=2e-3,
                                rtol=2e-2)
+
+
+def test_video_mrope_positions_match_hf(setup):
+    hf_cfg, hf_model, cfg, params = setup
+    gt, gh, gw = 2, 4, 4  # 2 temporal groups
+    n_vid = gt * (gh // 2) * (gw // 2)
+    VID_TOK = hf_cfg.video_token_id
+    ids = [3, 90] + [VID_TOK] * n_vid + [91, 8]
+    spans = [MMSpan(offset=2, length=n_vid, image_index=0)]
+    pos, delta = compute_mrope_positions(
+        len(ids), spans, [(gt, gh // 2, gw // 2)]
+    )
+    import torch as _t
+
+    with _t.no_grad():
+        ref_pos, ref_delta = hf_model.model.get_rope_index(
+            _t.tensor([ids]),
+            video_grid_thw=_t.tensor([[gt, gh, gw]]),
+            attention_mask=_t.ones(1, len(ids), dtype=_t.long),
+        )
+    np.testing.assert_array_equal(pos, ref_pos[:, 0].numpy())
+    assert delta == int(ref_delta[0, 0])
+
+
+def test_video_tower_parity(setup):
+    """Video pixel groups through the vision tower match HF (temporal rope
+    repetition + per-group merger)."""
+    hf_cfg, hf_model, cfg, params = setup
+    import torch as _t
+
+    v = Qwen2VLFamily._vis_cfg(cfg)
+    gt, gh, gw = 2, 4, 4
+    rng = np.random.default_rng(3)
+    patches = rng.standard_normal(
+        (gt * gh * gw, v.patch_dim)
+    ).astype(np.float32)
+    with _t.no_grad():
+        ref = hf_model.model.visual(
+            _t.tensor(patches), grid_thw=_t.tensor([[gt, gh, gw]])
+        ).numpy()
+    got = np.asarray(
+        Qwen2VisionTower.apply(params["vision"], jnp.asarray(patches),
+                               (gt, gh, gw), v)
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=3e-3)
+
+
+def test_video_engine_e2e():
+    from tests.test_qwen2_vl_e2e import _cfg
+    from sglang_diffusion_tpu.config.server_args import ServerArgs
+    from sglang_diffusion_tpu.engine.engine import Engine
+    from sglang_diffusion_tpu.engine.tokenizer import ByteTokenizer
+    from sglang_diffusion_tpu.sampling.params import SamplingParams
+
+    cfg = _cfg()
+    cfg.video_token_id = 401
+    args = ServerArgs(
+        model_path="", tokenizer_path="byte", page_size=8,
+        max_total_tokens=4096, attention_backend="xla", context_length=512,
+    )
+    eng = Engine(server_args=args, model_config=cfg, tokenizer=ByteTokenizer())
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(4, 56, 56, 3), dtype=np.uint8)
+    ids = [ord(c) for c in "video "] + [401]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=4)
+    out = eng.generate(input_ids=ids, sampling_params=sp, video_data=frames)
+    # 4 frames -> 2 temporal groups x (4/2)x(4/2) merged = 8 tokens
+    assert out["meta_info"]["prompt_tokens"] == len(ids) - 1 + 8
+    out2 = eng.generate(input_ids=ids, sampling_params=sp, video_data=frames)
+    assert out["output_ids"] == out2["output_ids"]
