@@ -102,7 +102,9 @@ def load_hf_params(
 
     def fetch(name: str, tf) -> np.ndarray:
         w = get(resolve_hf_name(name, has))
-        if tf == "t":
+        if callable(tf):  # model-specific slice/reshape (e.g. fused qkv)
+            w = np.ascontiguousarray(tf(w))
+        elif tf == "t":
             w = np.ascontiguousarray(w.T)
         elif tf == "conv":
             # patch-conv weight [E, C, p, p] -> dense [C*p*p, E]

@@ -236,3 +236,59 @@ def test_gemma_parity():
         hf_cfg.to_dict() | {"architectures": ["GemmaForCausalLM"]}
     )
     check_model(model, cfg, atol=4e-3)
+
+
+def test_phi3_parity():
+    """Fused qkv_proj / gate_up_proj slicing (reference: srt/models/phi3)."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf_cfg = Phi3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(7)
+    model = Phi3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf_cfg.to_dict() | {"architectures": ["Phi3ForCausalLM"]}
+    )
+    # the parity helper mirrors the loader's transforms, incl. callables
+    sd = model.state_dict()
+    from sglang_diffusion_tpu.models.registry import get_model_cls
+    import numpy as _np
+    import jax.numpy as _jnp
+
+    model_cls = get_model_cls(cfg.architecture)
+    params = {}
+    for path, (tmpl, tf) in model_cls.hf_weight_map(cfg).items():
+        def fetch(name):
+            w = sd[name].detach().float().numpy()
+            if callable(tf):
+                return _np.ascontiguousarray(tf(w))
+            return w.T if tf == "t" else w
+
+        if "{i}" in tmpl:
+            leaf = _np.stack(
+                [fetch(tmpl.format(i=i)) for i in range(cfg.num_hidden_layers)]
+            )
+        else:
+            leaf = fetch(tmpl)
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = _jnp.asarray(leaf, _jnp.float32)
+
+    rng = np.random.default_rng(0)
+    input_ids = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(input_ids)).logits[:, -1, :].numpy()
+    got = run_ours(cfg, params, input_ids)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
