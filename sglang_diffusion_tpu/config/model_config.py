@@ -105,6 +105,9 @@ class ModelConfig:
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
     rope_interleave: bool = True
+    # partial rotary (glm4/phi-2 style: only head_dim*factor dims rotate,
+    # interleaved pairing)
+    partial_rotary_factor: float = 1.0
     # sliding-window attention (mistral / gemma-2/3-style local layers).
     # layer_types: optional per-layer "sliding_attention"/"full_attention"
     # pattern (HF layer_types); None = all layers sliding when sliding_window
@@ -273,6 +276,7 @@ class ModelConfig:
             qk_rope_head_dim=cfg.get("qk_rope_head_dim", 0) or 0,
             v_head_dim=cfg.get("v_head_dim", 0) or 0,
             rope_interleave=cfg.get("rope_interleave", True),
+            partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
             attention_bias=cfg.get(
                 "attention_bias",
                 archs[0].startswith("Qwen2"),  # qwen2 family defaults to qkv bias
@@ -283,7 +287,7 @@ class ModelConfig:
                 "hidden_act", cfg.get("hidden_activation", "silu")
             ),
             gemma_style=archs[0].startswith("Gemma"),
-            sandwich_norms=archs[0].startswith(("Gemma2", "Gemma3")),
+            sandwich_norms=archs[0].startswith(("Gemma2", "Gemma3", "Glm4")),
             attn_logit_softcapping=cfg.get("attn_logit_softcapping"),
             final_logit_softcapping=cfg.get("final_logit_softcapping"),
             query_pre_attn_scalar=cfg.get("query_pre_attn_scalar"),

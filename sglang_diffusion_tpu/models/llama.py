@@ -193,8 +193,11 @@ class LlamaFamily:
         attn_softcap = cfg.attn_logit_softcapping
         final_softcap = cfg.final_logit_softcapping
         sandwich = cfg.sandwich_norms
+        rot_dim = int(D * cfg.partial_rotary_factor)
+        partial_interleaved = cfg.partial_rotary_factor < 1.0
         inv_freq = jnp.asarray(
-            compute_inv_freq(D, cfg.rope_theta, cfg.rope_scaling)
+            compute_inv_freq(rot_dim if partial_interleaved else D,
+                             cfg.rope_theta, cfg.rope_scaling)
         )
         # gemma3: sliding (local) layers use a second rope base
         inv_freq_local = (
@@ -249,7 +252,16 @@ class LlamaFamily:
             if inv_freq_local is not None and windows_arr is not None:
                 # local (sliding) layers rotate with the local base (gemma3)
                 freq = jnp.where(windows_arr[l] >= 0, inv_freq_local, inv_freq)
-            q, k = apply_rope(q, k, positions, freq)
+            if partial_interleaved:
+                from sglang_diffusion_tpu.ops.rope import (
+                    apply_rope_partial_interleaved,
+                )
+
+                q, k = apply_rope_partial_interleaved(
+                    q, k, positions, freq, rot_dim
+                )
+            else:
+                q, k = apply_rope(q, k, positions, freq)
             kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
             akw = {}
             if attn_softcap is not None:

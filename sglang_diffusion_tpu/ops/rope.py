@@ -138,6 +138,32 @@ def apply_rope(
     return rot(q), rot(k)
 
 
+def apply_rope_partial_interleaved(
+    q: jax.Array,  # [..., T, H, D]
+    k: jax.Array,
+    positions: jax.Array,  # [..., T]
+    inv_freq: jax.Array,  # [rot_dim/2]
+    rot_dim: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """GLM-4 style rope: only the first rot_dim dims rotate, with
+    INTERLEAVED pairing (x[2i], x[2i+1]); the rest pass through
+    (reference analog: partial-rotary models in srt/layers/rotary_embedding)."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [.., T, r/2]
+    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)[..., None, :]  # [.., T, 1, r]
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)[..., None, :]
+
+    def rot(x):
+        xr = x[..., :rot_dim].astype(jnp.float32)
+        xp = x[..., rot_dim:]
+        x1 = xr[..., 0::2]
+        x2 = xr[..., 1::2]
+        half = jnp.stack([-x2, x1], axis=-1).reshape(xr.shape)
+        out = (xr * cos + half * sin).astype(x.dtype)
+        return jnp.concatenate([out, xp], axis=-1)
+
+    return rot(q), rot(k)
+
+
 def apply_mrope(
     q: jax.Array,  # [..., T, H, D]
     k: jax.Array,
