@@ -195,10 +195,22 @@ class LlamaFamily:
         sandwich = cfg.sandwich_norms
         rot_dim = int(D * cfg.partial_rotary_factor)
         partial_interleaved = cfg.partial_rotary_factor < 1.0
-        inv_freq = jnp.asarray(
-            compute_inv_freq(rot_dim if partial_interleaved else D,
-                             cfg.rope_theta, cfg.rope_scaling)
-        )
+        rs = cfg.rope_scaling or {}
+        is_longrope = rs.get("rope_type", rs.get("type")) == "longrope"
+        if is_longrope:
+            from sglang_diffusion_tpu.ops.rope import longrope_inv_freqs
+
+            _s, _l, lr_orig, lr_ms, lr_ml = longrope_inv_freqs(
+                D, cfg.rope_theta, cfg.rope_scaling,
+                cfg.max_position_embeddings,
+            )
+            inv_freq = jnp.asarray(_s)
+            inv_freq_long = jnp.asarray(_l)
+        else:
+            inv_freq = jnp.asarray(
+                compute_inv_freq(rot_dim if partial_interleaved else D,
+                                 cfg.rope_theta, cfg.rope_scaling)
+            )
         # gemma3: sliding (local) layers use a second rope base
         inv_freq_local = (
             jnp.asarray(compute_inv_freq(D, cfg.rope_local_base_freq, None))
@@ -252,7 +264,14 @@ class LlamaFamily:
             if inv_freq_local is not None and windows_arr is not None:
                 # local (sliding) layers rotate with the local base (gemma3)
                 freq = jnp.where(windows_arr[l] >= 0, inv_freq_local, inv_freq)
-            if partial_interleaved:
+            if is_longrope:
+                from sglang_diffusion_tpu.ops.rope import apply_rope_longrope
+
+                q, k = apply_rope_longrope(
+                    q, k, positions, inv_freq, inv_freq_long,
+                    lr_orig, lr_ms, lr_ml,
+                )
+            elif partial_interleaved:
                 from sglang_diffusion_tpu.ops.rope import (
                     apply_rope_partial_interleaved,
                 )

@@ -100,6 +100,76 @@ def _yarn_inv_freq(
     return mixed.astype(np.float32)
 
 
+def longrope_inv_freqs(
+    head_dim: int,
+    rope_theta: float,
+    rope_scaling: Dict[str, Any],
+    max_position_embeddings: int,
+) -> Tuple[np.ndarray, np.ndarray, int, float, float]:
+    """Phi-3 LongRoPE (reference Phi3LongRoPEScaledRotaryEmbedding,
+    srt/layers/rotary_embedding/rope_variant.py:36): two per-dim rescale
+    tables divide the base frequencies; positions below
+    original_max_position_embeddings rotate with short_factor, positions at
+    or beyond it with long_factor; cos/sin are multiplied by an mscale
+    temperature sqrt(1 + ln(scale)/ln(orig)). Returns
+    (inv_freq_short, inv_freq_long, orig_ctx, short_mscale, long_mscale)."""
+    base = _base_inv_freq(head_dim, rope_theta)
+    sf = np.asarray(rope_scaling["short_factor"], np.float64)
+    lf = np.asarray(rope_scaling["long_factor"], np.float64)
+    orig = int(
+        rope_scaling.get(
+            "original_max_position_embeddings", max_position_embeddings
+        )
+    )
+    scale = max_position_embeddings / orig
+    if scale <= 1.0:
+        mscale = 1.0
+    else:
+        mscale = math.sqrt(1.0 + math.log(scale) / math.log(orig))
+    short_mscale = float(rope_scaling.get("short_mscale") or mscale)
+    long_mscale = float(rope_scaling.get("long_mscale") or mscale)
+    return (
+        (base / sf).astype(np.float32),
+        (base / lf).astype(np.float32),
+        orig,
+        short_mscale,
+        long_mscale,
+    )
+
+
+def apply_rope_longrope(
+    q: jax.Array,  # [..., T, H, D]
+    k: jax.Array,
+    positions: jax.Array,  # [..., T]
+    inv_freq_short: jax.Array,  # [D/2]
+    inv_freq_long: jax.Array,  # [D/2]
+    orig_ctx: int,
+    short_mscale: float,
+    long_mscale: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """LongRoPE with PER-POSITION table selection, matching the reference's
+    concatenated long_short cos/sin cache indexed by position (reference
+    rope_variant.py:95 long_short_cos_sin_cache): position p < orig_ctx uses
+    the short table, p >= orig_ctx the long table."""
+    pos = positions[..., None].astype(jnp.float32)
+    is_long = (positions >= orig_ctx)[..., None]
+    freqs = jnp.where(is_long, pos * inv_freq_long, pos * inv_freq_short)
+    mscale = jnp.where(is_long, long_mscale, short_mscale)
+    cos = (jnp.cos(freqs) * mscale)[..., None, :]
+    sin = (jnp.sin(freqs) * mscale)[..., None, :]
+    cos = jnp.concatenate([cos, cos], axis=-1)
+    sin = jnp.concatenate([sin, sin], axis=-1)
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        return (xf * cos + rotated * sin).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
 def yarn_attention_scale(rope_scaling: Optional[Dict[str, Any]]) -> float:
     """YaRN mscale: multiply q (or attention logits) by this temperature.
     Returns 1.0 when not using yarn."""

@@ -292,3 +292,113 @@ def test_phi3_parity():
         ref = model(torch.tensor(input_ids)).logits[:, -1, :].numpy()
     got = run_ours(cfg, params, input_ids)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
+
+def _params_via_weight_map(model_cls, cfg, sd):
+    import jax.numpy as _jnp
+
+    params = {}
+    for path, (tmpl, tf) in model_cls.hf_weight_map(cfg).items():
+        def fetch(name):
+            w = sd[name].detach().float().numpy()
+            if callable(tf):
+                return np.ascontiguousarray(tf(w))
+            return w.T if tf == "t" else w
+
+        if "{i}" in tmpl:
+            leaf = np.stack(
+                [fetch(tmpl.format(i=i)) for i in range(cfg.num_hidden_layers)]
+            )
+        else:
+            leaf = fetch(tmpl)
+        node = params
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = _jnp.asarray(leaf, _jnp.float32)
+    return params
+
+
+def test_phi3_longrope_parity():
+    """LongRoPE short-context path + mscale vs HF (reference
+    Phi3LongRoPEScaledRotaryEmbedding, rope_variant.py:36). The sequence
+    stays below original_max_position_embeddings so HF's whole-sequence
+    table selection and our per-position selection agree; mscale != 1
+    because max_position_embeddings > original."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf_cfg = Phi3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        original_max_position_embeddings=32,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0 + 0.05 * i for i in range(8)],
+            "long_factor": [2.0 + 0.25 * i for i in range(8)],
+        },
+        tie_word_embeddings=False,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(9)
+    model = Phi3ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf_cfg.to_dict() | {"architectures": ["Phi3ForCausalLM"]}
+    )
+    from sglang_diffusion_tpu.models.registry import get_model_cls
+
+    model_cls = get_model_cls(cfg.architecture)
+    params = _params_via_weight_map(model_cls, cfg, model.state_dict())
+    rng = np.random.default_rng(1)
+    input_ids = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(input_ids)).logits[:, -1, :].numpy()
+    got = run_ours(cfg, params, input_ids)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_longrope_long_branch_selects_per_position():
+    """Positions straddling orig_ctx: below uses short table, at/above uses
+    the long table (reference long_short_cos_sin_cache indexing)."""
+    import jax.numpy as jnp
+
+    from sglang_diffusion_tpu.ops.rope import (
+        apply_rope_longrope,
+        longrope_inv_freqs,
+    )
+
+    D = 16
+    scaling = {
+        "short_factor": [1.0] * (D // 2),
+        "long_factor": [4.0] * (D // 2),
+        "original_max_position_embeddings": 8,
+    }
+    inv_s, inv_l, orig, ms, ml = longrope_inv_freqs(D, 10000.0, scaling, 32)
+    assert orig == 8 and ms == ml and ms > 1.0
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((1, 2, 1, D)).astype(np.float32)
+    positions = np.array([[7, 8]], dtype=np.int32)  # short, long
+    qo, _ = apply_rope_longrope(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(positions),
+        jnp.asarray(inv_s), jnp.asarray(inv_l), orig, ms, ml,
+    )
+    qo = np.asarray(qo)
+
+    def manual(x, p, inv):
+        fr = p * inv
+        cos = np.concatenate([np.cos(fr), np.cos(fr)]) * ms
+        sin = np.concatenate([np.sin(fr), np.sin(fr)]) * ms
+        h = D // 2
+        rotated = np.concatenate([-x[h:], x[:h]])
+        return x * cos + rotated * sin
+
+    np.testing.assert_allclose(
+        qo[0, 0, 0], manual(q[0, 0, 0], 7, inv_s), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        qo[0, 1, 0], manual(q[0, 1, 0], 8, inv_l), rtol=1e-5, atol=1e-5
+    )
