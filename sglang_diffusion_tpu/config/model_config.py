@@ -71,6 +71,9 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # qwen2 uses bias on qkv
     qk_norm: bool = False  # qwen3 uses per-head q/k RMSNorm
+    # olmo2: no input norms; post-attn/post-ffw norms on the branch OUTPUT
+    # before the residual add, and q/k RMSNorm over the FLAT projection dim
+    norm_after: bool = False
     hidden_act: str = "silu"
     # gemma-family quirks: rmsnorm scales by (1 + w); embeddings scaled by
     # sqrt(hidden_size)
@@ -282,7 +285,8 @@ class ModelConfig:
                 archs[0].startswith("Qwen2"),  # qwen2 family defaults to qkv bias
             ),
             qk_norm=archs[0].startswith("Qwen3")
-            or archs[0].startswith("Gemma3"),
+            or archs[0].startswith(("Gemma3", "Olmo2")),
+            norm_after=archs[0].startswith("Olmo2"),
             hidden_act=cfg.get(
                 "hidden_act", cfg.get("hidden_activation", "silu")
             ),

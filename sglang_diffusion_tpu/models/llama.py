@@ -193,6 +193,7 @@ class LlamaFamily:
         attn_softcap = cfg.attn_logit_softcapping
         final_softcap = cfg.final_logit_softcapping
         sandwich = cfg.sandwich_norms
+        norm_after = cfg.norm_after
         rot_dim = int(D * cfg.partial_rotary_factor)
         partial_interleaved = cfg.partial_rotary_factor < 1.0
         rs = cfg.rope_scaling or {}
@@ -244,10 +245,18 @@ class LlamaFamily:
             lp = jax.tree.map(lambda x: x[l], layers_p)
             b, t, e = hidden.shape
 
-            h = norm(hidden, lp["input_norm"])
+            # olmo2 (norm_after): the attention block reads the raw residual
+            # stream — there is no input layernorm (reference
+            # srt/models/olmo2.py:302 forward)
+            h = hidden if norm_after else norm(hidden, lp["input_norm"])
             q = _dense(h, lp["wq"], lp.get("bq") if has_bias else None)
             k = _dense(h, lp["wk"], lp.get("bk") if has_bias else None)
             v = _dense(h, lp["wv"], lp.get("bv") if has_bias else None)
+            if has_qk_norm and norm_after:
+                # olmo2 q/k norm runs over the FLAT projection dim, before
+                # the head reshape (reference olmo2.py:117-121)
+                q = norm(q, lp["q_norm"])
+                k = norm(k, lp["k_norm"])
             if use_lora:
                 from sglang_diffusion_tpu.lora.manager import apply_lora
 
@@ -257,7 +266,7 @@ class LlamaFamily:
             q = q.reshape(b, t, Hq, D)
             k = k.reshape(b, t, Hkv, D)
             v = v.reshape(b, t, Hkv, D)
-            if has_qk_norm:
+            if has_qk_norm and not norm_after:
                 q = norm(q, lp["q_norm"])
                 k = norm(k, lp["k_norm"])
             freq = inv_freq
@@ -302,6 +311,15 @@ class LlamaFamily:
                 h = norm(hidden, lp["pre_ffw_norm"])
                 gate = _dense(h, lp["w_gate"])
                 up = _dense(h, lp["w_up"])
+                mlp = _dense(act_fn(gate) * up, lp["w_down"])
+                hidden = hidden + norm(mlp, lp["post_ffw_norm"])
+                return hidden, kv_cache
+            if norm_after:
+                # olmo2: norm the branch output, MLP also reads the raw
+                # residual stream (reference olmo2.py:309-318)
+                hidden = hidden + norm(o, lp["post_norm"])
+                gate = _dense(hidden, lp["w_gate"])
+                up = _dense(hidden, lp["w_up"])
                 mlp = _dense(act_fn(gate) * up, lp["w_down"])
                 hidden = hidden + norm(mlp, lp["post_ffw_norm"])
                 return hidden, kv_cache

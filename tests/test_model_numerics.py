@@ -402,3 +402,39 @@ def test_longrope_long_branch_selects_per_position():
     np.testing.assert_allclose(
         qo[0, 1, 0], manual(q[0, 1, 0], 8, inv_l), rtol=1e-5, atol=1e-5
     )
+
+
+def test_olmo2_parity():
+    """Post-norm-only blocks + flat-dim q/k norms (reference:
+    srt/models/olmo2.py)."""
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    hf_cfg = Olmo2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+        pad_token_id=0,
+        bos_token_id=1,
+        eos_token_id=2,
+    )
+    torch.manual_seed(11)
+    model = Olmo2ForCausalLM(hf_cfg).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf_cfg.to_dict() | {"architectures": ["Olmo2ForCausalLM"]}
+    )
+    assert cfg.norm_after and cfg.qk_norm
+    from sglang_diffusion_tpu.models.registry import get_model_cls
+
+    model_cls = get_model_cls(cfg.architecture)
+    params = _params_via_weight_map(model_cls, cfg, model.state_dict())
+    rng = np.random.default_rng(2)
+    input_ids = rng.integers(0, 128, size=(2, 12))
+    with torch.no_grad():
+        ref = model(torch.tensor(input_ids)).logits[:, -1, :].numpy()
+    got = run_ours(cfg, params, input_ids)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
