@@ -199,6 +199,184 @@ class Qwen2VisionTower:
         return h @ params["merger_w2"] + params["merger_b2"]
 
 
+# ---------------- Qwen2.5-VL windowed vision tower ----------------
+
+
+@dataclass
+class Qwen25VLVisionConfig:
+    """Qwen2.5-VL ViT (reference srt/models/qwen2_5_vl.py): RMSNorm blocks,
+    SwiGLU MLP, and WINDOWED attention everywhere except
+    fullatt_block_indexes."""
+
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    intermediate_size: int = 3420
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    in_channels: int = 3
+    out_hidden_size: int = 1536
+    window_size: int = 112
+    fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size ** 2
+
+    @classmethod
+    def from_hf(cls, v: Dict[str, Any], lm_hidden: int) -> "Qwen25VLVisionConfig":
+        return cls(
+            embed_dim=v.get("hidden_size", 1280),
+            depth=v.get("depth", 32),
+            num_heads=v.get("num_heads", 16),
+            intermediate_size=v.get("intermediate_size", 3420),
+            patch_size=v.get("patch_size", 14),
+            temporal_patch_size=v.get("temporal_patch_size", 2),
+            spatial_merge_size=v.get("spatial_merge_size", 2),
+            in_channels=v.get("in_channels", 3),
+            out_hidden_size=v.get("out_hidden_size", lm_hidden),
+            window_size=v.get("window_size", 112),
+            fullatt_block_indexes=tuple(
+                v.get("fullatt_block_indexes", (7, 15, 23, 31))
+            ),
+        )
+
+
+def window_ids_for_grid(
+    grid, merge: int, patch_size: int, window_size: int
+) -> np.ndarray:
+    """Per-TOKEN window id [T] in spatial-merge serialization order.
+
+    TPU re-design of HF get_window_index / cu_window_seqlens: instead of
+    permuting tokens into variable-length windows and packing cu_seqlens,
+    we label each token with its window and run attention under the static
+    block mask win_id[t] == win_id[s] — mathematically identical (attention
+    is permutation-equivariant within a window) and XLA-friendly (one
+    static [T, T] mask, no gather/scatter, no dynamic seqlens)."""
+    if len(grid) == 3:
+        gt, gh, gw = grid
+    else:
+        gt, (gh, gw) = 1, grid
+    lh, lw = gh // merge, gw // merge
+    win_units = window_size // merge // patch_size  # merge-units per window
+    nww = -(-lw // win_units)
+    nwh = -(-lh // win_units)
+    r = np.arange(lh)[:, None].repeat(lw, 1).reshape(-1)  # unit row
+    c = np.arange(lw)[None, :].repeat(lh, 0).reshape(-1)  # unit col
+    win_rc = (r // win_units) * nww + (c // win_units)  # [lh*lw]
+    per_frame = lh * lw
+    units = np.concatenate(
+        [t * nwh * nww + win_rc for t in range(gt)]
+    )  # [gt*lh*lw]
+    assert units.shape[0] == gt * per_frame
+    return np.repeat(units, merge * merge).astype(np.int32)  # [T]
+
+
+class Qwen25VisionTower:
+    @staticmethod
+    def init_params(rng, v: Qwen25VLVisionConfig, dtype=jnp.float32):
+        E, F, L = v.embed_dim, v.intermediate_size, v.depth
+        merged = E * v.spatial_merge_size ** 2
+        ks = jax.random.split(rng, 8)
+
+        def init(key, shape):
+            scale = 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+        return {
+            "patch_embed": init(ks[0], (v.patch_dim, E)),
+            "blocks": {
+                "norm1": jnp.ones((L, E), dtype),
+                "norm2": jnp.ones((L, E), dtype),
+                "wqkv": init(ks[1], (L, E, 3 * E)),
+                "bqkv": jnp.zeros((L, 3 * E), dtype),
+                "wo": init(ks[2], (L, E, E)),
+                "bo": jnp.zeros((L, E), dtype),
+                "w_gate": init(ks[3], (L, E, F)),
+                "b_gate": jnp.zeros((L, F), dtype),
+                "w_up": init(ks[4], (L, E, F)),
+                "b_up": jnp.zeros((L, F), dtype),
+                "w_down": init(ks[5], (L, F, E)),
+                "b_down": jnp.zeros((L, E), dtype),
+            },
+            "merger_ln": jnp.ones((E,), dtype),
+            "merger_w1": init(ks[6], (merged, merged)),
+            "merger_b1": jnp.zeros((merged,), dtype),
+            "merger_w2": init(ks[7], (merged, v.out_hidden_size)),
+            "merger_b2": jnp.zeros((v.out_hidden_size,), dtype),
+        }
+
+    @staticmethod
+    def apply(params, patches: jax.Array, grid,
+              v: Qwen25VLVisionConfig) -> jax.Array:
+        """patches [T, patch_dim] in spatial-merge order -> [T/merge^2,
+        out_hidden]. Windowed blocks attend under the block-diagonal
+        win_id mask; fullatt_block_indexes attend globally."""
+        E, H, D = v.embed_dim, v.num_heads, v.head_dim
+        eps = 1e-6
+
+        def rn(x, w):  # RMSNorm (HF Qwen2RMSNorm, eps 1e-6)
+            xf = x.astype(jnp.float32)
+            var = (xf * xf).mean(-1, keepdims=True)
+            return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+        ang = jnp.asarray(vis_rope_angles(grid, D, v.spatial_merge_size))
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+        def rot(x):
+            c = jnp.concatenate([cos, cos], axis=-1)[:, None, :]
+            s = jnp.concatenate([sin, sin], axis=-1)[:, None, :]
+            xf = x.astype(jnp.float32)
+            half = x.shape[-1] // 2
+            rotated = jnp.concatenate([-xf[..., half:], xf[..., :half]], -1)
+            return (xf * c + rotated * s).astype(x.dtype)
+
+        win_ids = window_ids_for_grid(
+            grid, v.spatial_merge_size, v.patch_size, v.window_size
+        )
+        win_eq = jnp.asarray(win_ids[:, None] == win_ids[None, :])  # [T, T]
+        is_full = jnp.zeros((v.depth,), bool).at[
+            jnp.asarray(v.fullatt_block_indexes)
+        ].set(True)
+
+        x = patches @ params["patch_embed"]  # [T, E]
+
+        def body(x, xs):
+            bp, full = xs
+            t = x.shape[0]
+            h = rn(x, bp["norm1"])
+            qkv = (h @ bp["wqkv"] + bp["bqkv"]).reshape(t, 3, H, D)
+            q, k, val = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+            q, k = rot(q), rot(k)
+            s = jnp.einsum("thd,shd->hts", q.astype(jnp.float32),
+                           k.astype(jnp.float32)) / math.sqrt(D)
+            mask = jnp.logical_or(full, win_eq)  # full layers see all
+            s = jnp.where(mask[None], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("hts,shd->thd", p, val.astype(jnp.float32))
+            x = x + (o.reshape(t, E).astype(x.dtype) @ bp["wo"] + bp["bo"])
+            h = rn(x, bp["norm2"])
+            gate = (h @ bp["w_gate"] + bp["b_gate"]).astype(jnp.float32)
+            up = (h @ bp["w_up"] + bp["b_up"]).astype(jnp.float32)
+            ff = (jax.nn.silu(gate) * up).astype(x.dtype)
+            x = x + (ff @ bp["w_down"] + bp["b_down"])
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (params["blocks"], is_full))
+        x = rn(x, params["merger_ln"])
+        merged = x.reshape(-1, E * v.spatial_merge_size ** 2)
+        h = jax.nn.gelu(
+            (merged @ params["merger_w1"] + params["merger_b1"]
+             ).astype(jnp.float32), approximate=False,
+        ).astype(x.dtype)
+        return h @ params["merger_w2"] + params["merger_b2"]
+
+
 # ---------------- M-RoPE position computation ----------------
 
 
@@ -241,8 +419,7 @@ def compute_mrope_positions(
 # ---------------- model family ----------------
 
 
-@register_model("Qwen2VLForConditionalGeneration",
-                "Qwen2_5_VLForConditionalGeneration")
+@register_model("Qwen2VLForConditionalGeneration")
 class Qwen2VLFamily:
     """Qwen2 LM + M-RoPE + Qwen2 vision tower. The language decode path is
     LlamaFamily's (text rope positions are scalar: engine adds rope_delta);
@@ -414,6 +591,89 @@ class Qwen2VLFamily:
             ("vision", "blocks", "b_fc2"): (blk + ".mlp.fc2.bias", None),
             ("vision", "merger_ln_w"): (vt + ".merger.ln_q.weight", None),
             ("vision", "merger_ln_b"): (vt + ".merger.ln_q.bias", None),
+            ("vision", "merger_w1"): (vt + ".merger.mlp.0.weight", "t"),
+            ("vision", "merger_b1"): (vt + ".merger.mlp.0.bias", None),
+            ("vision", "merger_w2"): (vt + ".merger.mlp.2.weight", "t"),
+            ("vision", "merger_b2"): (vt + ".merger.mlp.2.bias", None),
+        })
+        return m
+
+
+@register_model("Qwen2_5_VLForConditionalGeneration")
+class Qwen25VLFamily(Qwen2VLFamily):
+    """Qwen2.5-VL: same M-RoPE language path as Qwen2-VL; the vision tower
+    swaps LayerNorm->RMSNorm, MLP->SwiGLU, and uses windowed attention
+    (reference srt/models/qwen2_5_vl.py). Window packing is re-expressed as
+    a block-diagonal mask (see window_ids_for_grid)."""
+
+    @staticmethod
+    def _vis_cfg(cfg: ModelConfig) -> Qwen25VLVisionConfig:
+        return Qwen25VLVisionConfig.from_hf(
+            cfg.raw.get("vision_config", {}), cfg.hidden_size
+        )
+
+    @staticmethod
+    def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
+        k1, k2 = jax.random.split(rng)
+        return {
+            "language": LlamaFamily.init_params(k1, cfg, dtype),
+            "vision": Qwen25VisionTower.init_params(
+                k2, Qwen25VLFamily._vis_cfg(cfg), dtype
+            ),
+        }
+
+    @staticmethod
+    def partition_specs(cfg: ModelConfig) -> Dict[str, Any]:
+        vspecs = jax.tree.map(
+            lambda _: P(),
+            Qwen25VisionTower.init_params(
+                jax.random.PRNGKey(0), Qwen25VLFamily._vis_cfg(cfg)
+            ),
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
+        return {
+            "language": LlamaFamily.partition_specs(cfg),
+            "vision": vspecs,
+        }
+
+    @staticmethod
+    def make_encode_images(cfg: ModelConfig):
+        v = Qwen25VLFamily._vis_cfg(cfg)
+
+        def encode(params, patches, grid_hw):
+            return Qwen25VisionTower.apply(params["vision"], patches,
+                                           grid_hw, v)
+
+        return encode
+
+    @staticmethod
+    def hf_weight_map(cfg: ModelConfig):
+        m: Dict[Any, Any] = {}
+        for path, (tmpl, tf) in LlamaFamily.hf_weight_map(cfg).items():
+            if tmpl == "lm_head.weight":
+                m[("language",) + path] = (tmpl, tf)
+            else:
+                assert tmpl.startswith("model.")
+                m[("language",) + path] = (
+                    "model.language_model." + tmpl[len("model."):], tf,
+                )
+        vt = "model.visual"
+        blk = vt + ".blocks.{j}"
+        m.update({
+            ("vision", "patch_embed"): (vt + ".patch_embed.proj.weight", "conv"),
+            ("vision", "blocks", "norm1"): (blk + ".norm1.weight", None),
+            ("vision", "blocks", "norm2"): (blk + ".norm2.weight", None),
+            ("vision", "blocks", "wqkv"): (blk + ".attn.qkv.weight", "t"),
+            ("vision", "blocks", "bqkv"): (blk + ".attn.qkv.bias", None),
+            ("vision", "blocks", "wo"): (blk + ".attn.proj.weight", "t"),
+            ("vision", "blocks", "bo"): (blk + ".attn.proj.bias", None),
+            ("vision", "blocks", "w_gate"): (blk + ".mlp.gate_proj.weight", "t"),
+            ("vision", "blocks", "b_gate"): (blk + ".mlp.gate_proj.bias", None),
+            ("vision", "blocks", "w_up"): (blk + ".mlp.up_proj.weight", "t"),
+            ("vision", "blocks", "b_up"): (blk + ".mlp.up_proj.bias", None),
+            ("vision", "blocks", "w_down"): (blk + ".mlp.down_proj.weight", "t"),
+            ("vision", "blocks", "b_down"): (blk + ".mlp.down_proj.bias", None),
+            ("vision", "merger_ln"): (vt + ".merger.ln_q.weight", None),
             ("vision", "merger_w1"): (vt + ".merger.mlp.0.weight", "t"),
             ("vision", "merger_b1"): (vt + ".merger.mlp.0.bias", None),
             ("vision", "merger_w2"): (vt + ".merger.mlp.2.weight", "t"),
