@@ -19,6 +19,7 @@ import time
 import uuid
 from typing import Any, Dict, Iterator, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -153,6 +154,9 @@ class Engine:
         from sglang_diffusion_tpu.observability.metrics import LatencyMetrics
 
         self.latency_metrics = LatencyMetrics()
+        self._expert_recorder = None
+        self._expert_probe = None
+        self._expert_p2l = None
         self._dumper = None
         if self.args.debug_dump_dir:
             from sglang_diffusion_tpu.utils.comparator import Dumper
@@ -971,6 +975,150 @@ class Engine:
             return {"success": False, "message": str(e)}
 
     # ---------------- weight updates (RL hooks) ----------------
+    # ---------------- EPLB: live expert rebalancing ----------------
+
+    def record_expert_distribution(self, token_batches) -> Dict[str, Any]:
+        """Run the EPLB counting probe (models/mixtral.py
+        make_expert_counts) over token batches and accumulate per-(layer,
+        expert) routed-token counts. Runs OUTSIDE the serving hot step
+        (reference: srt/eplb/expert_distribution.py recorder), on a scratch
+        KV cache, at whatever cadence the operator chooses."""
+        import jax.numpy as jnp
+
+        from sglang_diffusion_tpu.layers.attention import (
+            AttentionMetadata,
+            get_attention_backend,
+        )
+        from sglang_diffusion_tpu.models.mixtral import make_expert_counts
+        from sglang_diffusion_tpu.parallel.eplb import (
+            ExpertDistributionRecorder,
+        )
+
+        cfg = self.model_config
+        if not cfg.num_experts:
+            return {"success": False, "message": "not a MoE model"}
+        if self._expert_recorder is None:
+            self._expert_recorder = ExpertDistributionRecorder(
+                cfg.num_hidden_layers, cfg.num_experts
+            )
+        if self._expert_probe is None:
+            self._expert_probe = jax.jit(
+                make_expert_counts(cfg, get_attention_backend("xla"))
+            )
+        page = self.args.page_size
+        total = 0
+        for ids in token_batches:
+            t = max(8, -(-len(ids) // 64) * 64)  # pad to a 64 bucket
+            padded = list(ids) + [0] * (t - len(ids))
+            pages_per_seq = -(-t // page)
+            kv = jnp.zeros(
+                (cfg.num_hidden_layers, pages_per_seq + 1,
+                 cfg.kv_cache_heads, page, cfg.kv_cache_head_dim),
+                jnp.bfloat16,
+            )
+            pages = np.arange(1, pages_per_seq + 1, dtype=np.int32)
+            pt = np.zeros((1, pages_per_seq + 1), np.int32)
+            pt[0, :pages_per_seq] = pages
+            offs = np.arange(t)
+            slots = (pages[offs // page] * page + offs % page)[None]
+            meta = AttentionMetadata(
+                page_table=jnp.asarray(pt),
+                kv_lens=jnp.asarray([len(ids)], jnp.int32),
+                q_start_pos=jnp.asarray([0], jnp.int32),
+                slot_ids=jnp.asarray(slots.astype(np.int32)),
+                logit_idx=jnp.asarray([len(ids) - 1], jnp.int32),
+            )
+            counts = self._expert_probe(
+                self.runner.params,
+                jnp.asarray([padded], jnp.int32),
+                jnp.arange(t, dtype=jnp.int32)[None],
+                kv, meta,
+            )
+            self._expert_recorder.counts = (
+                self._expert_recorder.counts + counts
+            )
+            total += len(ids)
+        return {"success": True, "recorded_tokens": total}
+
+    def dump_expert_distribution(self) -> Dict[str, Any]:
+        if self._expert_recorder is None:
+            return {"success": False, "message": "nothing recorded"}
+        return {
+            "success": True,
+            "counts": self._expert_recorder.snapshot().tolist(),
+        }
+
+    def rebalance_experts(self, load=None) -> Dict[str, Any]:
+        """Live EPLB rebalance (reference: srt/eplb/eplb_manager.py:16 +
+        expert_location_updater.py): per-layer DeepSeek-style LPT packing
+        of experts onto EP ranks, applied as a pure RELABELING — the
+        router's output columns and the stacked expert tensors are
+        gathered by the same permutation on device, so routing numerics
+        (and generated tokens) are invariant, no step recompiles, and the
+        expert-parallel shards simply end up holding a balanced set.
+        Compile-free and safe to call between batches."""
+        import jax.numpy as jnp
+
+        from sglang_diffusion_tpu.models.mixtral import (
+            relayout_expert_params,
+        )
+        from sglang_diffusion_tpu.parallel.eplb import (
+            balance_ratio,
+            rebalance_experts as _rebalance,
+        )
+
+        cfg = self.model_config
+        if not cfg.num_experts:
+            return {"success": False, "message": "not a MoE model"}
+        if load is None:
+            if self._expert_recorder is None:
+                return {"success": False, "message": "nothing recorded"}
+            load = self._expert_recorder.snapshot()
+        load = np.asarray(load)
+        S = max(1, self.mesh_ctx.tp_size)
+        X = cfg.num_experts
+        if X % S:
+            return {"success": False, "message": f"{X} experts not divisible by {S} ranks"}
+        metas = [
+            _rebalance(load[l], S, X // S)
+            for l in range(cfg.num_hidden_layers)
+        ]
+        p2l = np.stack([m.physical_to_logical for m in metas])
+        from sglang_diffusion_tpu.parallel.eplb import trivial_location
+
+        ratios_before = [
+            balance_ratio(load[l], trivial_location(X, X), S)
+            for l in range(cfg.num_hidden_layers)
+        ]
+        ratios_after = [
+            balance_ratio(load[l], metas[l], S)
+            for l in range(cfg.num_hidden_layers)
+        ]
+        layers_p = self.runner.params["layers"]
+        new_layers = relayout_expert_params(layers_p, jnp.asarray(p2l))
+        # keep shardings stable so the cached step executables still apply
+        for k in ("w_router", "w_gate", "w_up", "w_down"):
+            new_layers[k] = jax.device_put(
+                new_layers[k], layers_p[k].sharding
+            )
+        self.runner.params["layers"] = new_layers
+        # counts are now in the new physical labels; reset the recorder
+        if self._expert_recorder is not None:
+            self._expert_recorder.reset()
+        # cumulative layout (for introspection): total[l] = prev[l][p2l[l]]
+        if self._expert_p2l is None:
+            self._expert_p2l = p2l
+        else:
+            self._expert_p2l = np.take_along_axis(
+                self._expert_p2l, p2l, axis=1
+            )
+        return {
+            "success": True,
+            "balance_before": float(np.mean(ratios_before)),
+            "balance_after": float(np.mean(ratios_after)),
+            "physical_to_logical": self._expert_p2l.tolist(),
+        }
+
     def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:
         """Reload weights from a checkpoint directory without restarting
         (reference: model_runner.py:1132 update_weights_from_disk; used by

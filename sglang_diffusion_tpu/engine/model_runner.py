@@ -43,6 +43,17 @@ def _kv_dtype(args: ServerArgs):
 
 
 class ModelRunner:
+    def _mk_fwd(self, model_config, attn_fn, **kw):
+        """make_forward with engine-level MoE impl injection (ep). Installs
+        this runner's mesh context first: MoE families read the global mesh
+        at build time (moe_impl auto/ep)."""
+        from sglang_diffusion_tpu.parallel.mesh import set_mesh_context
+
+        set_mesh_context(self.mesh_ctx)
+        if self._moe_impl is not None:
+            kw["moe_impl"] = self._moe_impl
+        return self.model_cls.make_forward(model_config, attn_fn, **kw)
+
     def __init__(
         self,
         args: ServerArgs,
@@ -56,6 +67,20 @@ class ModelRunner:
         self.mesh_ctx = mesh_ctx
         self.dtype = dtype
         self.model_cls = get_model_cls(model_config.architecture)
+
+        # expert parallelism: --ep-size N routes MoE layers through the
+        # shard_map all-to-all dispatcher (layers/moe.py make_ep_moe;
+        # reference srt/layers/moe/ep_moe/). The ep axis reuses tp.
+        self._moe_impl = None
+        if args.ep_size > 1 and getattr(
+            self.model_cls, "supports_moe_impl", False
+        ):
+            if args.ep_size != mesh_ctx.tp_size:
+                raise ValueError(
+                    f"ep_size={args.ep_size} must equal tp_size="
+                    f"{mesh_ctx.tp_size} (ep reuses the tp mesh axis)"
+                )
+            self._moe_impl = "ep"
 
         context_len = args.context_length or model_config.max_position_embeddings
         self.context_len = context_len
@@ -199,7 +224,7 @@ class ModelRunner:
                 num_microbatches=args.pp_microbatches or None,
             )
         else:
-            fwd = self.model_cls.make_forward(model_config, attn_fn)
+            fwd = self._mk_fwd(model_config, attn_fn)
 
         def step(params, kv_cache, token_ids, positions, page_table, kv_lens,
                  q_start, slots, logit_idx, samp_meta, key, all_greedy=False,
@@ -270,7 +295,7 @@ class ModelRunner:
 
         # speculative verify step: logits at every position, greedy
         # acceptance happens host-side (reference: TARGET_VERIFY mode)
-        fwd_all = self.model_cls.make_forward(
+        fwd_all = self._mk_fwd(
             model_config, attn_fn, logits_mode="all"
         ) if hasattr(self.model_cls, "make_forward") else None
 
@@ -300,10 +325,10 @@ class ModelRunner:
         self._step_h = self._verify_h = None
         self.last_hidden = None
         if args.speculative_algorithm == "eagle":
-            fwd_lh = self.model_cls.make_forward(
+            fwd_lh = self._mk_fwd(
                 model_config, attn_fn, logits_mode="last+hidden"
             )
-            fwd_ah = self.model_cls.make_forward(
+            fwd_ah = self._mk_fwd(
                 model_config, attn_fn, logits_mode="all_hidden"
             )
 
@@ -392,7 +417,7 @@ class ModelRunner:
     # ------------- LoRA step variants -------------
     def _get_lora_steps(self):
         if self._lora_steps is None:
-            fwd_l = self.model_cls.make_forward(
+            fwd_l = self._mk_fwd(
                 self.cfg, self._attn_fn, use_lora=True
             )
 
@@ -589,7 +614,7 @@ class ModelRunner:
             )
 
             attn = get_attention_backend("xla")
-            fwd_ah = self.model_cls.make_forward(
+            fwd_ah = self._mk_fwd(
                 self.cfg, attn, logits_mode="all_hidden"
             )
 
@@ -786,7 +811,7 @@ class ModelRunner:
             attn_fn = make_sharded_attention(
                 self.args.attention_backend, self.mesh_ctx.mesh
             )
-            fwd_h = self.model_cls.make_forward(
+            fwd_h = self._mk_fwd(
                 self.cfg, attn_fn, logits_mode="hidden"
             )
 

@@ -32,6 +32,8 @@ from sglang_diffusion_tpu.layers.moe import moe_mlp_grouped
 
 @register_model("MixtralForCausalLM", "Qwen2MoeForCausalLM", "Qwen3MoeForCausalLM")
 class MixtralFamily:
+    supports_moe_impl = True  # make_forward accepts moe_impl= (engine EP)
+
     @staticmethod
     def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
         L = cfg.num_hidden_layers
@@ -94,16 +96,28 @@ class MixtralFamily:
     def make_forward(cfg: ModelConfig, attn_fn: Callable, logits_mode: str = "last",
                      moe_impl: str = "auto"):
         """moe_impl: "dense" (all-expert, GSPMD-safe under expert sharding),
-        "grouped" (sort + ragged_dot grouped GEMM, O(k) FLOPs), or "auto"
-        (grouped on a single-device mesh, dense otherwise; the explicit
-        shard_map EP dispatcher lives in layers/moe.py make_ep_moe)."""
+        "grouped" (sort + ragged_dot grouped GEMM, O(k) FLOPs), "ep"
+        (shard_map all-to-all expert dispatch over the tp axis,
+        layers/moe.py make_ep_moe — reference ep_moe/ layer analog), or
+        "auto" (grouped on a single-device mesh, dense otherwise)."""
         if moe_impl == "auto":
             from sglang_diffusion_tpu.parallel.mesh import get_mesh_context
 
             moe_impl = (
                 "grouped" if get_mesh_context().mesh.size == 1 else "dense"
             )
-        moe_fn = moe_mlp_grouped if moe_impl == "grouped" else moe_mlp
+        if moe_impl == "ep":
+            from sglang_diffusion_tpu.layers.moe import make_ep_moe
+            from sglang_diffusion_tpu.parallel.mesh import get_mesh_context
+
+            ep_fn = make_ep_moe(
+                get_mesh_context().mesh,
+                top_k=cfg.num_experts_per_tok,
+                num_experts=cfg.num_experts,
+            )
+            moe_fn = lambda h, wr, wg, wu, wd, k: ep_fn(h, wr, wg, wu, wd)  # noqa: E731
+        else:
+            moe_fn = moe_mlp_grouped if moe_impl == "grouped" else moe_mlp
         Hq = cfg.num_attention_heads
         Hkv = cfg.num_key_value_heads
         D = cfg.actual_head_dim
@@ -184,3 +198,79 @@ class MixtralFamily:
             ),
         }
         return m
+
+
+def make_expert_counts(cfg: ModelConfig, attn_fn: Callable):
+    """Counting probe forward for EPLB (reference:
+    srt/eplb/expert_distribution.py recorder hooks): runs the model on a
+    batch and returns per-(layer, expert) routed-token counts [L, X] —
+    everything else matches MixtralFamily.make_forward's layer math. Used
+    by the engine at a low cadence (not in the hot step) so recording
+    costs nothing at serve time."""
+    from sglang_diffusion_tpu.layers.moe import _route
+
+    Hq = cfg.num_attention_heads
+    Hkv = cfg.num_key_value_heads
+    D = cfg.actual_head_dim
+    eps = cfg.rms_norm_eps
+    sm_scale = 1.0 / float(np.sqrt(D))
+    top_k = cfg.num_experts_per_tok
+    X = cfg.num_experts
+    inv_freq = jnp.asarray(compute_inv_freq(D, cfg.rope_theta, cfg.rope_scaling))
+
+    def forward(params, input_ids, positions, kv_cache, meta):
+        hidden = jnp.take(params["embed"], input_ids, axis=0)
+        counts0 = jnp.zeros((cfg.num_hidden_layers, X), jnp.int32)
+
+        def body(l, carry):
+            hidden, kv_cache, counts = carry
+            lp = jax.tree.map(lambda x: x[l], params["layers"])
+            b, t, e = hidden.shape
+            h = rms_norm(hidden, lp["input_norm"], eps)
+            q = jnp.dot(h, lp["wq"]).reshape(b, t, Hq, D)
+            k = jnp.dot(h, lp["wk"]).reshape(b, t, Hkv, D)
+            v = jnp.dot(h, lp["wv"]).reshape(b, t, Hkv, D)
+            q, k = apply_rope(q, k, positions, inv_freq)
+            kv_cache = write_kv_pages(kv_cache, l, k, v, meta.slot_ids)
+            attn_out = attn_fn(q, kv_cache, l, meta, sm_scale)
+            hidden = hidden + jnp.dot(attn_out.reshape(b, t, Hq * D), lp["wo"])
+            h = rms_norm(hidden, lp["post_norm"], eps)
+            ids, _ = _route(h.reshape(b * t, e), lp["w_router"], top_k)
+            counts = counts.at[l].add(
+                jnp.zeros((X,), jnp.int32).at[ids.reshape(-1)].add(1)
+            )
+            hidden = hidden + moe_mlp_grouped(
+                h, lp["w_router"], lp["w_gate"], lp["w_up"], lp["w_down"],
+                top_k,
+            )
+            return hidden, kv_cache, counts
+
+        _, _, counts = jax.lax.fori_loop(
+            0, cfg.num_hidden_layers, body, (hidden, kv_cache, counts0)
+        )
+        return counts
+
+    return forward
+
+
+def relayout_expert_params(layers_p, p2l_per_layer):
+    """Apply a per-layer expert permutation as a RELABELING (reference:
+    srt/eplb/expert_location_updater.py): gather the router's output
+    columns and the stacked expert tensors by physical_to_logical. Routing
+    numerics are invariant (top-k over permuted logits selects permuted
+    ids), so the dispatcher and compiled steps are untouched — physical
+    slot p now simply lives where the balancer put it.
+
+    layers_p: params["layers"] dict; p2l_per_layer [L, X] int32 (jnp).
+    Returns a new layers dict (same shapes/dtypes -> no recompile)."""
+    idx = p2l_per_layer  # [L, X]
+    out = dict(layers_p)
+    out["w_router"] = jnp.take_along_axis(
+        layers_p["w_router"], idx[:, None, :], axis=2
+    )
+    for k in ("w_gate", "w_up", "w_down"):
+        w = layers_p[k]  # [L, X, A, B]
+        out[k] = jnp.take_along_axis(
+            w, idx[:, :, None, None], axis=1
+        )
+    return out

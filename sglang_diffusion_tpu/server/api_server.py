@@ -501,6 +501,29 @@ class ApiServer:
             )
             return Response(out, 200 if out["success"] else 400)
 
+        @http.route("POST", "/record_expert_distribution")
+        async def record_expert_distribution(req: Request) -> Response:
+            """EPLB recording probe (reference:
+            /start_expert_distribution_record family): body
+            {"input_ids": [[...], ...]}."""
+            body = req.json()
+            out = self.engine.record_expert_distribution(
+                body.get("input_ids", [])
+            )
+            return Response(out, 200 if out["success"] else 400)
+
+        @http.route("GET", "/dump_expert_distribution")
+        async def dump_expert_distribution(req: Request) -> Response:
+            out = self.engine.dump_expert_distribution()
+            return Response(out, 200 if out["success"] else 400)
+
+        @http.route("POST", "/rebalance_experts")
+        async def rebalance_experts(req: Request) -> Response:
+            """Live EPLB rebalance (reference: srt/eplb/eplb_manager.py)."""
+            body = req.json() if req.body else {}
+            out = self.engine.rebalance_experts(body.get("load"))
+            return Response(out, 200 if out["success"] else 400)
+
         @http.route("POST", "/flush_cache")
         async def flush_cache(req: Request) -> Response:
             s = self.engine.scheduler
