@@ -157,6 +157,7 @@ class Engine:
         self._expert_recorder = None
         self._expert_probe = None
         self._expert_p2l = None
+        self._score_fwd = None
         self._dumper = None
         if self.args.debug_dump_dir:
             from sglang_diffusion_tpu.utils.comparator import Dumper
@@ -959,6 +960,100 @@ class Engine:
         finally:
             self.allocator.free(pages)
 
+    def score(
+        self,
+        query,
+        items,
+        label_token_ids: List[int],
+        apply_softmax: bool = False,
+        item_first: bool = False,
+    ) -> Dict[str, Any]:
+        """Probability of each label token appearing AFTER query+item
+        (reference: serving_score.py /v1/score + tokenizer manager
+        score_request): one prefill per item, next-token distribution at
+        the last prompt position, probabilities for label_token_ids —
+        softmax over the label set when apply_softmax, independent exp(logprob)
+        otherwise. query/items accept text or pre-tokenized ids."""
+        from sglang_diffusion_tpu.utils.common import cdiv
+
+        def to_ids(x, bos=True):
+            if isinstance(x, str):
+                return list(self.tokenizer.encode(x, add_bos=bos))
+            return list(x)
+
+        q_ids = to_ids(query) if query is not None else []
+        if isinstance(items, (str,)) or (
+            items and isinstance(items[0], int)
+        ):
+            items = [items]
+        item_ids = [to_ids(i, bos=False) for i in items]
+        seqs = [
+            (i + q_ids if item_first else q_ids + i) for i in item_ids
+        ]
+        if self._score_fwd is None:
+            from sglang_diffusion_tpu.layers.attention import (
+                get_attention_backend,
+            )
+
+            self._score_fwd = jax.jit(self.runner._mk_fwd(
+                self.model_config, get_attention_backend("xla"),
+            ))
+        b = len(seqs)
+        tmax = max(len(s) for s in seqs)
+        page = self.args.page_size
+        pages_per = cdiv(tmax, page)
+        pages = self.allocator.alloc(b * pages_per)
+        try:
+            from sglang_diffusion_tpu.layers.attention import (
+                AttentionMetadata,
+            )
+
+            token_ids = np.zeros((b, tmax), np.int32)
+            positions = np.zeros((b, tmax), np.int32)
+            slots = np.full((b, tmax), -1, np.int32)
+            page_table = np.zeros((b, self.runner.max_pages_per_seq), np.int32)
+            kv_lens = np.zeros((b,), np.int32)
+            for i, seq in enumerate(seqs):
+                n = len(seq)
+                token_ids[i, :n] = seq
+                positions[i, :n] = np.arange(n)
+                pv = np.asarray(
+                    pages[i * pages_per : (i + 1) * pages_per], np.int32
+                )
+                page_table[i, :pages_per] = pv
+                offs = np.arange(n)
+                slots[i, :n] = pv[offs // page] * page + offs % page
+                kv_lens[i] = n
+            meta = AttentionMetadata(
+                page_table=jnp.asarray(page_table),
+                kv_lens=jnp.asarray(kv_lens),
+                q_start_pos=jnp.asarray(np.zeros((b,), np.int32)),
+                slot_ids=jnp.asarray(slots),
+                logit_idx=jnp.asarray(kv_lens - 1),
+            )
+            logits, self.runner.kv_cache = self._score_fwd(
+                self.runner.params, jnp.asarray(token_ids),
+                jnp.asarray(positions), self.runner.kv_cache, meta,
+            )
+            logits = np.asarray(logits, np.float32)  # [B, V]
+            labels = np.asarray(label_token_ids, np.int64)
+            lab_logits = logits[:, labels]  # [B, n_labels]
+            if apply_softmax:
+                m = lab_logits.max(axis=-1, keepdims=True)
+                e = np.exp(lab_logits - m)
+                scores = e / e.sum(axis=-1, keepdims=True)
+            else:
+                lse = np.log(np.exp(
+                    logits - logits.max(axis=-1, keepdims=True)
+                ).sum(axis=-1)) + logits.max(axis=-1)
+                scores = np.exp(lab_logits - lse[:, None])
+            return {
+                "scores": scores.tolist(),
+                "prompt_tokens": int(sum(len(s) for s in seqs)),
+            }
+        finally:
+            self.allocator.free(pages)
+
     def load_lora_adapter(self, name: str, path: str) -> Dict[str, Any]:
         """Runtime adapter load (reference: /load_lora_adapter route)."""
         try:
@@ -970,6 +1065,29 @@ class Engine:
                 )
                 self.runner.lora_manager = self.lora_manager
             slot = self.lora_manager.load_adapter(name, path)
+            return {"success": True, "slot": slot}
+        except Exception as e:  # noqa: BLE001
+            return {"success": False, "message": str(e)}
+
+    def unload_lora_adapter(self, name: str) -> Dict[str, Any]:
+        """Free an adapter slot (reference: /unload_lora_adapter)."""
+        try:
+            if self.lora_manager is None:
+                return {"success": False, "message": "no adapters loaded"}
+            self.lora_manager.unload_adapter(name)
+            return {"success": True}
+        except Exception as e:  # noqa: BLE001
+            return {"success": False, "message": str(e)}
+
+    def merge_lora_adapters(
+        self, name: str, components: Dict[str, float]
+    ) -> Dict[str, Any]:
+        """Weighted adapter merge into a fresh slot (exact rank-concat;
+        lora/manager.py merge_adapters)."""
+        try:
+            if self.lora_manager is None:
+                return {"success": False, "message": "no adapters loaded"}
+            slot = self.lora_manager.merge_adapters(name, components)
             return {"success": True, "slot": slot}
         except Exception as e:  # noqa: BLE001
             return {"success": False, "message": str(e)}

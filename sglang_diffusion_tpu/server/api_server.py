@@ -245,13 +245,43 @@ class ApiServer:
 
         @http.route("POST", "/v1/score")
         async def score(req: Request) -> Response:
-            # choice scoring (reference analog: /v1/score, serving_score.py)
+            """Scoring (reference: serving_score.py /v1/score). Two forms:
+            with label_token_ids -> probability of each label as the NEXT
+            token after query+item (one row per item, apply_softmax over
+            the label set); without -> legacy choice scoring (sum of
+            forced-continuation logprobs)."""
             body = req.json()
+            labels = body.get("label_token_ids")
+            loop = asyncio.get_running_loop()
+            if labels:
+                items = body.get("items")
+                if items is None:
+                    return Response({"error": "items required"}, 400)
+                try:
+                    out = await loop.run_in_executor(
+                        None,
+                        lambda: self.engine.score(
+                            body.get("query"), items, labels,
+                            apply_softmax=bool(
+                                body.get("apply_softmax", False)
+                            ),
+                            item_first=bool(body.get("item_first", False)),
+                        ),
+                    )
+                except ValueError as e:
+                    return Response({"error": str(e)}, 400)
+                return Response({
+                    "model": model_id,
+                    "scores": out["scores"],
+                    "usage": {
+                        "prompt_tokens": out["prompt_tokens"],
+                        "total_tokens": out["prompt_tokens"],
+                    },
+                })
             prompt = body.get("prompt", body.get("query", ""))
             choices = body.get("choices", body.get("items", []))
             if not choices:
                 return Response({"error": "choices required"}, 400)
-            loop = asyncio.get_running_loop()
             scores = await loop.run_in_executor(
                 None, lambda: self.engine.score_choices(prompt, choices)
             )
@@ -438,6 +468,23 @@ class ApiServer:
             body = req.json()
             out = self.engine.load_lora_adapter(
                 body.get("lora_name", ""), body.get("lora_path", "")
+            )
+            return Response(out, 200 if out["success"] else 400)
+
+        @http.route("POST", "/unload_lora_adapter")
+        async def unload_lora(req: Request) -> Response:
+            body = req.json()
+            out = self.engine.unload_lora_adapter(body.get("lora_name", ""))
+            return Response(out, 200 if out["success"] else 400)
+
+        @http.route("POST", "/merge_lora_adapters")
+        async def merge_lora(req: Request) -> Response:
+            """Weighted merge: {"lora_name": ..., "components":
+            {name: weight, ...}} -> fresh slot holding
+            sum w_i * s_i * A_i B_i (exact rank concatenation)."""
+            body = req.json()
+            out = self.engine.merge_lora_adapters(
+                body.get("lora_name", ""), body.get("components", {})
             )
             return Response(out, 200 if out["success"] else 400)
 

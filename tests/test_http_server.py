@@ -173,3 +173,60 @@ def test_score_route():
         await server.stop()
 
     asyncio.run(asyncio.wait_for(scenario(), timeout=300))
+
+
+def test_score_label_tokens():
+    """Reference /v1/score form: probability of label_token_ids as the
+    next token after query+item (serving_score.py). Cross-checked against
+    the choice-scoring path: a 1-token continuation's probability must
+    match exp(score_choices logprob)."""
+    import math
+
+    server = make_server()
+
+    async def scenario():
+        await server.start()
+        port = server.http.port
+        # softmax over the label set sums to 1 per item
+        st, _, data = await http_request(
+            port, "POST", "/v1/score",
+            {"query": "the answer is ", "items": ["yes", "no"],
+             "label_token_ids": [65, 66, 67], "apply_softmax": True},
+        )
+        assert st == 200
+        out = json.loads(data)
+        assert len(out["scores"]) == 2
+        for row in out["scores"]:
+            assert abs(sum(row) - 1.0) < 1e-5
+        assert out["usage"]["prompt_tokens"] > 0
+
+        # consistency with the teacher-forcing choice scorer
+        st, _, data = await http_request(
+            port, "POST", "/v1/score",
+            {"query": "hello", "items": [[]],
+             "label_token_ids": [104]},  # 'h'
+        )
+        lab_prob = json.loads(data)["scores"][0][0]
+        st, _, data = await http_request(
+            port, "POST", "/v1/score",
+            {"prompt": "hello", "choices": ["h"]},
+        )
+        choice_lp = json.loads(data)["scores"][0]
+        assert abs(lab_prob - math.exp(choice_lp)) < 1e-4
+
+        # item_first flips the concatenation order -> different scores
+        st, _, data = await http_request(
+            port, "POST", "/v1/score",
+            {"query": "AB", "items": ["CD"], "label_token_ids": [65],
+             "item_first": True},
+        )
+        flipped = json.loads(data)["scores"][0][0]
+        st, _, data = await http_request(
+            port, "POST", "/v1/score",
+            {"query": "AB", "items": ["CD"], "label_token_ids": [65]},
+        )
+        straight = json.loads(data)["scores"][0][0]
+        assert flipped != straight
+        await server.stop()
+
+    asyncio.run(asyncio.wait_for(scenario(), timeout=300))
