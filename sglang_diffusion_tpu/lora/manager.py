@@ -59,6 +59,9 @@ class LoRAManager:
             for t in TARGETS
         }
         self.scaling = np.ones((a,), np.float32)
+        self._slot_rank = np.zeros((a,), np.int32)
+        self._use_tick = 0
+        self._last_used: Dict[int, int] = {}
 
     # ------------- registry -------------
     def slot_of(self, name: Optional[str]) -> int:
@@ -66,15 +69,75 @@ class LoRAManager:
             return 0
         if name not in self._name_to_slot:
             raise KeyError(f"LoRA adapter {name!r} not loaded")
-        return self._name_to_slot[name]
+        slot = self._name_to_slot[name]
+        self._use_tick += 1
+        self._last_used[slot] = self._use_tick  # LRU bookkeeping
+        return slot
+
+    def _free_slot(self) -> int:
+        """Next free slot, evicting the least-recently-used adapter when
+        the pool is full (reference: srt/lora/lora_manager.py eviction /
+        mem pool reuse)."""
+        used = set(self._name_to_slot.values())
+        for s in range(1, self.max_adapters + 1):
+            if s not in used:
+                return s
+        victim = min(used, key=lambda s: self._last_used.get(s, 0))
+        name = next(n for n, s in self._name_to_slot.items() if s == victim)
+        logger.info("evicting LRU LoRA %s from slot %d", name, victim)
+        self.unload_adapter(name)
+        return victim
+
+    def unload_adapter(self, name: str) -> None:
+        """Free an adapter slot (reference: /unload_lora_adapter)."""
+        slot = self._name_to_slot.pop(name)
+        for t in TARGETS:
+            self.weights[t]["a"] = self.weights[t]["a"].at[slot].set(0.0)
+            self.weights[t]["b"] = self.weights[t]["b"].at[slot].set(0.0)
+        self.scaling[slot] = 1.0
+        self._slot_rank[slot] = 0
+        self._last_used.pop(slot, None)
+
+    def merge_adapters(self, new_name: str, components: Dict[str, float]) -> int:
+        """Weighted adapter merge: delta = sum_i w_i * s_i * A_i B_i,
+        represented EXACTLY by rank concatenation (A columns scaled by
+        w_i * s_i, B rows stacked) as long as the summed ranks fit the
+        pool rank. Lands in a fresh slot with scaling 1."""
+        total_r = int(sum(self._slot_rank[self.slot_of(n)] for n in components))
+        if total_r > self.rank:
+            raise ValueError(
+                f"merged rank {total_r} exceeds pool rank {self.rank}"
+            )
+        slot = self._free_slot()
+        for t in TARGETS:
+            a_cat, b_cat = [], []
+            for n, w in components.items():
+                s_i = self.slot_of(n)
+                r_i = int(self._slot_rank[s_i])
+                coeff = float(w) * float(self.scaling[s_i])
+                a_cat.append(
+                    np.asarray(self.weights[t]["a"][s_i, :, :, :r_i],
+                               np.float32) * coeff
+                )
+                b_cat.append(
+                    np.asarray(self.weights[t]["b"][s_i, :, :r_i, :],
+                               np.float32)
+                )
+            a_np = np.concatenate(a_cat, axis=-1)  # [L, in, total_r]
+            b_np = np.concatenate(b_cat, axis=-2)  # [L, total_r, out]
+            self._set_target(slot, t, a_np, b_np, total_r)
+        self.scaling[slot] = 1.0
+        self._slot_rank[slot] = total_r
+        self._name_to_slot[new_name] = slot
+        self._use_tick += 1
+        self._last_used[slot] = self._use_tick
+        return slot
 
     def load_adapter(self, name: str, path: str) -> int:
         """Load a PEFT checkpoint directory into the next free slot."""
         if name in self._name_to_slot:
             return self._name_to_slot[name]
-        slot = len(self._name_to_slot) + 1
-        if slot > self.max_adapters:
-            raise RuntimeError("no free LoRA slots (eviction lands later)")
+        slot = self._free_slot()
         with open(os.path.join(path, "adapter_config.json")) as f:
             acfg = json.load(f)
         r = acfg.get("r", self.rank)
@@ -90,7 +153,10 @@ class LoRAManager:
                 tensors[k] = t.float().numpy()
         self._install(slot, tensors, r)
         self.scaling[slot] = alpha / r
+        self._slot_rank[slot] = r
         self._name_to_slot[name] = slot
+        self._use_tick += 1
+        self._last_used[slot] = self._use_tick
         logger.info("loaded LoRA %s into slot %d (r=%d)", name, slot, r)
         return slot
 
@@ -98,9 +164,7 @@ class LoRAManager:
         self, name: str, arrays: Dict[str, np.ndarray], rank: int, alpha: float
     ) -> int:
         """Test/RL hook: arrays keyed 'layers.{i}.{target}.{a|b}'."""
-        slot = len(self._name_to_slot) + 1
-        if slot > self.max_adapters:
-            raise RuntimeError("no free LoRA slots")
+        slot = self._free_slot()
         L = self.cfg.num_hidden_layers
         for t in TARGETS:
             a_stack, b_stack = [], []
@@ -111,7 +175,10 @@ class LoRAManager:
                 continue
             self._set_target(slot, t, np.stack(a_stack), np.stack(b_stack), rank)
         self.scaling[slot] = alpha / rank
+        self._slot_rank[slot] = rank
         self._name_to_slot[name] = slot
+        self._use_tick += 1
+        self._last_used[slot] = self._use_tick
         return slot
 
     def _install(self, slot: int, tensors: Dict[str, np.ndarray], r: int):

@@ -136,3 +136,70 @@ def test_peft_checkpoint_loading(tmp_path):
     # loaded weights are non-zero in the padded pool
     assert float(np.abs(np.asarray(mgr.weights["wq"]["a"][1])).sum()) > 0
     assert float(np.abs(np.asarray(mgr.weights["wo"]["a"][1])).sum()) == 0
+
+
+def test_unload_and_lru_eviction():
+    """Eviction frees the least-recently-used slot when the pool is full;
+    unload makes a slot immediately reusable (reference:
+    srt/lora/lora_manager.py pool management)."""
+    mgr = LoRAManager(CFG, max_adapters=2, rank=8)
+    s1 = mgr.load_adapter_arrays("a1", random_adapter_arrays(1), 4, 8.0)
+    s2 = mgr.load_adapter_arrays("a2", random_adapter_arrays(2), 4, 8.0)
+    assert {s1, s2} == {1, 2}
+    mgr.slot_of("a1")  # touch a1 -> a2 becomes LRU
+    s3 = mgr.load_adapter_arrays("a3", random_adapter_arrays(3), 4, 8.0)
+    assert s3 == s2  # evicted a2's slot
+    assert "a2" not in mgr._name_to_slot
+    mgr.unload_adapter("a1")
+    assert "a1" not in mgr._name_to_slot
+    s4 = mgr.load_adapter_arrays("a4", random_adapter_arrays(4), 4, 8.0)
+    assert s4 == s1
+    # evicted slot's weights are really zeroed before reuse
+    import jax.numpy as jnp
+
+    mgr.unload_adapter("a4")
+    assert float(jnp.abs(mgr.weights["wq"]["a"][s4]).sum()) == 0.0
+
+
+def test_weighted_merge_exact():
+    """merge_adapters(w) must equal the weighted sum of deltas exactly
+    (rank concatenation): y_merge - base == sum_i w_i * (y_i - base)."""
+    eng = make_engine()
+    eng.lora_manager = LoRAManager(CFG, max_adapters=3, rank=16)
+    eng.runner.lora_manager = eng.lora_manager
+    eng.lora_manager.load_adapter_arrays(
+        "m1", random_adapter_arrays(11), 4, 8.0
+    )
+    eng.lora_manager.load_adapter_arrays(
+        "m2", random_adapter_arrays(12), 4, 8.0
+    )
+    slot = eng.lora_manager.merge_adapters("mix", {"m1": 0.7, "m2": 0.3})
+    assert slot == 3
+
+    # numerical check on the apply path: one layer, random x
+    import jax.numpy as jnp
+
+    from sglang_diffusion_tpu.lora.manager import apply_lora
+
+    tree = eng.lora_manager.batch_params()
+    rng = np.random.default_rng(0)
+    x1 = rng.normal(size=(1, 4, CFG.hidden_size))
+    x = jnp.asarray(np.tile(x1, (3, 1, 1)), jnp.float32)  # same x per row
+    base = jnp.zeros((3, 4, CFG.num_attention_heads * CFG.actual_head_dim),
+                     jnp.float32)
+    ids = jnp.asarray([1, 2, 3], jnp.int32)  # m1, m2, mix rows
+    out = np.asarray(apply_lora(x, base, tree, "wq", ids, 0), np.float32)
+    want = 0.7 * out[0] + 0.3 * out[1]
+    np.testing.assert_allclose(out[2], want, rtol=5e-2, atol=5e-2)
+
+    # generation still works with the merged adapter
+    sp = SamplingParams(lora_path="mix", **SP)
+    out = eng.generate("merged adapter", sp)
+    assert len(out["output_ids"]) == 10
+
+    # over-rank merge is rejected
+    eng.lora_manager.load_adapter_arrays(
+        "m3", random_adapter_arrays(13, rank=16), 16, 16.0
+    )
+    with pytest.raises(ValueError):
+        eng.lora_manager.merge_adapters("too_big", {"m3": 1.0, "mix": 1.0})
