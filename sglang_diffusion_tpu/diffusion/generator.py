@@ -43,12 +43,16 @@ class DiffGenerator:
 
     @classmethod
     def from_pretrained(cls, model_path: str, **kw) -> "DiffGenerator":
-        # checkpoint import lands with the model-family pipelines;
-        # round 1 exposes the API with config-driven random init
-        raise NotImplementedError(
-            "from_pretrained requires model-family checkpoint mapping "
-            "(round 2); use from_config for now"
-        )
+        """Load a saved pipeline directory (diffusion/loader.py layout:
+        model_index.json + per-component config.json/model.safetensors)."""
+        from sglang_diffusion_tpu.diffusion.loader import load_pipeline
+
+        return cls(load_pipeline(model_path, **kw))
+
+    def save_pretrained(self, path: str) -> None:
+        from sglang_diffusion_tpu.diffusion.loader import save_pipeline
+
+        save_pipeline(self.pipeline, path)
 
     def generate(
         self,

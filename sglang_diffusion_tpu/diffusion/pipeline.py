@@ -138,7 +138,7 @@ class TextEncodingStage(Stage):
     name = "text_encoding"
 
     def __call__(self, batch, pipe):
-        max_len = pipe.te_cfg.max_len
+        max_len = pipe.te_max_len
         ids = np.zeros((len(batch.prompts), max_len), np.int32)
         for i, pr in enumerate(batch.prompts):
             toks = pipe.tokenize(pr)[:max_len]
@@ -267,6 +267,7 @@ class DiffusionPipeline:
         sta=None,  # {"tile": (tf,th,tw), "window": (rf,rh,rw)} sliding tile
         # attention for video denoising (diffusion/sparse_attention.py)
         attention_backend: str = "auto",  # auto | sage (INT8 attention)
+        text_encoder_type: str = "clip",  # clip | t5 | llama (encoders/)
     ):
         self.sp_mesh = sp_mesh
         self.cfg_mesh = cfg_mesh
@@ -280,7 +281,33 @@ class DiffusionPipeline:
         self.last_teacache_skipped = 0
         self.dit_cfg = dit_cfg or DiTConfig()
         self.vae_cfg = vae_cfg or VAEConfig(latent_channels=self.dit_cfg.in_channels)
-        self.te_cfg = te_cfg or TextEncoderConfig(hidden_size=self.dit_cfg.text_dim)
+        # text encoder family (reference multimodal_gen encoders/): the
+        # conditioning trunk is selectable — CLIP-lite (default), T5/UMT5
+        # (Wan/Flux style), or a causal Llama trunk (HunyuanVideo style)
+        self.text_encoder_type = text_encoder_type
+        if text_encoder_type == "t5":
+            from sglang_diffusion_tpu.diffusion.models.t5_encoder import T5Config
+
+            self.te_cfg = te_cfg or T5Config(
+                vocab_size=512, d_model=self.dit_cfg.text_dim,
+                d_kv=self.dit_cfg.text_dim // 4, d_ff=2 * self.dit_cfg.text_dim,
+                num_layers=2, num_heads=4,
+            )
+        elif text_encoder_type == "llama":
+            from sglang_diffusion_tpu.diffusion.models.llama_encoder import (
+                LlamaEncoderConfig,
+            )
+
+            self.te_cfg = te_cfg or LlamaEncoderConfig(
+                vocab_size=512, hidden_size=self.dit_cfg.text_dim,
+                intermediate_size=2 * self.dit_cfg.text_dim,
+                num_layers=2, num_heads=4, num_kv_heads=4,
+            )
+        else:
+            self.te_cfg = te_cfg or TextEncoderConfig(
+                hidden_size=self.dit_cfg.text_dim
+            )
+        self.te_max_len = getattr(self.te_cfg, "max_len", 77)
         self.scheduler = FlowMatchEulerScheduler(use_dynamic_shifting=True)
         self.tokenizer = tokenizer
         key = jax.random.PRNGKey(rng_seed)
@@ -289,7 +316,9 @@ class DiffusionPipeline:
             params = {
                 "dit": MMDiT.init_params(k1, self.dit_cfg, dtype),
                 "vae": VAEDecoder.init_params(k2, self.vae_cfg, dtype),
-                "text_encoder": TextEncoder.init_params(k3, self.te_cfg, dtype),
+                "text_encoder": self._te_cls().init_params(
+                    k3, self.te_cfg, dtype
+                ),
             }
         self.params = params
         self.dit_forward = MMDiT.make_forward(
@@ -320,16 +349,35 @@ class DiffusionPipeline:
         return self._lora
 
     # ------------- component calls -------------
+    def _te_cls(self):
+        if self.text_encoder_type == "t5":
+            from sglang_diffusion_tpu.diffusion.models.t5_encoder import T5Encoder
+
+            return T5Encoder
+        if self.text_encoder_type == "llama":
+            from sglang_diffusion_tpu.diffusion.models.llama_encoder import (
+                LlamaTextEncoder,
+            )
+
+            return LlamaTextEncoder
+        return TextEncoder
+
     def tokenize(self, text: str) -> List[int]:
         if self.tokenizer is not None:
             return self.tokenizer.encode(text)
         return [b % self.te_cfg.vocab_size for b in text.encode("utf-8")]
 
     def text_encode(self, ids: jax.Array):
+        """[B, T] -> (embeddings [B, T, E], pooled-or-None): all encoder
+        families are normalized to this return shape."""
         if self._encode_jit is None:
-            self._encode_jit = jax.jit(
-                lambda p, i: TextEncoder.apply(p, i, self.te_cfg)
-            )
+            cls = self._te_cls()
+
+            def enc(p, i):
+                out = cls.apply(p, i, self.te_cfg)
+                return out if isinstance(out, tuple) else (out, None)
+
+            self._encode_jit = jax.jit(enc)
         return self._encode_jit(self.params["text_encoder"], ids)
 
     def vae_decode(self, latents: jax.Array):
