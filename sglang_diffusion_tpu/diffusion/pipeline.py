@@ -266,6 +266,8 @@ class DiffusionPipeline:
         cache_dit=None,  # CacheDiTConfig (DBCache/TaylorSeer block caching)
         sta=None,  # {"tile": (tf,th,tw), "window": (rf,rh,rw)} sliding tile
         # attention for video denoising (diffusion/sparse_attention.py)
+        vsa=None,  # {"tile": (tf,th,tw), "sparsity": s} video sparse
+        # attention: per-head top-k key tiles (video_sparse_attn analog)
         attention_backend: str = "auto",  # auto | sage (INT8 attention)
         text_encoder_type: str = "clip",  # clip | t5 | llama (encoders/)
     ):
@@ -274,6 +276,9 @@ class DiffusionPipeline:
         self.teacache = teacache
         self.cache_dit = cache_dit
         self.sta = sta
+        self.vsa = vsa
+        if sta is not None and vsa is not None:
+            raise ValueError("sta and vsa are mutually exclusive")
         self.attention_backend = attention_backend
         if (teacache is not None and teacache.enabled
                 and cache_dit is not None and cache_dit.enabled):
@@ -428,6 +433,26 @@ class DiffusionPipeline:
             else:
                 tokens, grid_hw = patchify(latents, p)
             dit_forward = self.dit_forward
+            if self.vsa is not None and video:
+                # top-k block-sparse attention for this token grid
+                tile = tuple(self.vsa["tile"])
+                if all(g % tt == 0 for g, tt in zip(grid_hw, tile)):
+                    from sglang_diffusion_tpu.diffusion.sparse_attention import (
+                        make_vsa_attention,
+                    )
+
+                    vsa_attn = make_vsa_attention(
+                        grid_hw, tile, float(self.vsa.get("sparsity", 0.9)),
+                        text_len=text_emb.shape[1],
+                    )
+                    dit_forward = MMDiT.make_forward(
+                        self.dit_cfg, attn_fn=vsa_attn
+                    )
+                else:
+                    logger.warning(
+                        "VSA tile %s does not divide grid %s; dense attention",
+                        tile, grid_hw,
+                    )
             if self.sta is not None and video:
                 # sliding-tile attention for this generation's token grid
                 # (trace-time rebuild: one executable per grid shape anyway)

@@ -134,3 +134,91 @@ def make_sta_attention(grid: Tuple[int, int, int],
         return out.astype(q.dtype)
 
     return attn
+
+
+def make_vsa_attention(grid: Tuple[int, int, int],
+                       tile: Tuple[int, int, int],
+                       sparsity: float,
+                       text_len: int):
+    """Video Sparse Attention (reference analog:
+    multimodal_gen/runtime/layers/attention/backends/video_sparse_attn.py,
+    the FastVideo VSA kernel): tokens tile into (tf,th,tw) blocks; a coarse
+    mean-pooled block-level attention scores every (query-tile, key-tile)
+    pair; each query tile keeps only its top-k key tiles
+    (k = ceil((1-sparsity) * num_tiles), per HEAD) and runs dense attention
+    over those tokens plus the text prefix. sparsity=0 selects every tile
+    and reproduces dense attention exactly.
+
+    TPU design: the selection is a device-side top_k + gather with STATIC
+    shapes (k fixed at trace time), so the whole thing jits into one
+    executable — no variable-length block lists, no host sync. FLOPs scale
+    with (1 - sparsity) * T^2.
+    """
+    import math
+
+    f, gh, gw = grid
+    tf, th, tw = tile
+    assert f % tf == 0 and gh % th == 0 and gw % tw == 0, (grid, tile)
+    nt = (f // tf) * (gh // th) * (gw // tw)
+    topk = max(1, min(nt, math.ceil((1.0 - sparsity) * nt)))
+
+    def attn(q, k, v, sm_scale):
+        b, t, h, d = q.shape
+        t_vid = f * gh * gw
+        assert t == text_len + t_vid, (t, text_len, t_vid)
+        qt, qv = q[:, :text_len], q[:, text_len:]
+        kt = k[:, :text_len]
+        vt = v[:, :text_len]
+        kv_ = k[:, text_len:]
+        vv = v[:, text_len:]
+
+        # ---- text queries: dense over everything ----
+        st = jnp.einsum("bthd,bshd->bhts", qt.astype(jnp.float32),
+                        k.astype(jnp.float32)) * sm_scale
+        pt = jax.nn.softmax(st, axis=-1)
+        ot = jnp.einsum("bhts,bshd->bthd", pt, v.astype(jnp.float32))
+
+        # ---- coarse block scores (mean-pooled tiles) ----
+        qtl = _tileize(qv, grid, tile).astype(jnp.float32)  # [B,NT,ts,H,D]
+        ktl = _tileize(kv_, grid, tile).astype(jnp.float32)
+        vtl = _tileize(vv, grid, tile).astype(jnp.float32)
+        ts = qtl.shape[2]
+        q_mean = qtl.mean(axis=2)  # [B, NT, H, D]
+        k_mean = ktl.mean(axis=2)
+        blk = jnp.einsum("bnhd,bmhd->bhnm", q_mean, k_mean)  # [B,H,NQ,NK]
+        _, sel = jax.lax.top_k(blk, topk)  # [B, H, NQ, K] per-head tiles
+
+        # ---- gather selected key/value tiles ----
+        ktl_h = ktl.transpose(0, 3, 1, 2, 4)  # [B, H, NT, ts, D]
+        vtl_h = vtl.transpose(0, 3, 1, 2, 4)
+        kb = jnp.broadcast_to(
+            ktl_h[:, :, None], (b, h, nt, nt, ts, d)
+        )
+        vb = jnp.broadcast_to(
+            vtl_h[:, :, None], (b, h, nt, nt, ts, d)
+        )
+        idx = sel[..., None, None]  # [B, H, NQ, K, 1, 1]
+        kn = jnp.take_along_axis(
+            kb, jnp.broadcast_to(idx, (b, h, nt, topk, ts, d)), axis=3
+        ).reshape(b, h, nt, topk * ts, d)
+        vn = jnp.take_along_axis(
+            vb, jnp.broadcast_to(idx, (b, h, nt, topk, ts, d)), axis=3
+        ).reshape(b, h, nt, topk * ts, d)
+
+        # ---- fine attention over [text; selected tiles] ----
+        qtl_h = qtl.transpose(0, 3, 1, 2, 4)  # [B, H, NQ, ts, D]
+        s = jnp.einsum("bhntd,bhnsd->bhnts", qtl_h, kn) * sm_scale
+        s_txt = jnp.einsum(
+            "bhntd,bshd->bhnts", qtl_h,
+            kt.astype(jnp.float32).transpose(0, 1, 2, 3),
+        ) * sm_scale
+        s_all = jnp.concatenate([s_txt, s], axis=-1)
+        p = jax.nn.softmax(s_all, axis=-1)
+        p_txt, p_vid = p[..., :text_len], p[..., text_len:]
+        o = jnp.einsum("bhnts,bshd->bhntd", p_txt, vt.astype(jnp.float32))
+        o = o + jnp.einsum("bhnts,bhnsd->bhntd", p_vid, vn)
+        ov = _untileize(o.transpose(0, 2, 3, 1, 4), grid, tile)
+        out = jnp.concatenate([ot, ov], axis=1)
+        return out.astype(q.dtype)
+
+    return attn
