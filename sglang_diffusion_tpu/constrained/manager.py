@@ -3,9 +3,10 @@
 Reference analog: srt/constrained/grammar_manager.py + the backends'
 fill_vocab_mask. Token transitions are memoized per (grammar, state,
 token); masks per (grammar, state) — repetitive structures (JSON) reuse a
-small number of states so steady-state masking is cheap. A C++ batch mask
-kernel is the planned fast path for 100k+ vocabs (reference uses xgrammar's
-native bitmask).
+small number of states so steady-state masking is cheap. Regex grammars get a NATIVE fast path: a
+char-class DFA + C++ table-walk kernel (constrained/dfa_mask.py +
+cpp/dfa_mask.cpp — the analog of xgrammar's native bitmask); JSON's PDA
+keeps the memoized Python path.
 """
 
 from __future__ import annotations
@@ -51,6 +52,7 @@ class GrammarManager:
         self._grammars: Dict[str, Any] = {}
         self._mask_cache: Dict[Any, np.ndarray] = {}
         self._trans_cache: Dict[Any, Any] = {}
+        self._dfa_cache: Dict[str, Any] = {}
 
     # ---------- vocabulary ----------
     def token_strings(self) -> List[Optional[str]]:
@@ -68,12 +70,6 @@ class GrammarManager:
                     s = None
                 strs.append(s)
             self._token_strs = strs
-            if v > 4096:
-                logger.warning(
-                    "grammar masking over %d-token vocab uses the slow Python "
-                    "path; native mask kernel planned",
-                    v,
-                )
         return self._token_strs
 
     # ---------- sessions ----------
@@ -105,6 +101,10 @@ class GrammarManager:
         cached = self._mask_cache.get(ck)
         if cached is not None:
             return cached
+        native = self._native_mask(sess)
+        if native is not None:
+            self._mask_cache[ck] = native
+            return native
         strs = self.token_strings()
         mask = np.zeros((len(strs),), bool)
         for t, s in enumerate(strs):
@@ -115,6 +115,35 @@ class GrammarManager:
         if self.eos_token_id is not None and sess.is_accepting:
             mask[self.eos_token_id] = True
         self._mask_cache[ck] = mask
+        return mask
+
+    def _native_mask(self, sess: GrammarSession) -> Optional[np.ndarray]:
+        """Fast path for regex grammars: char-class DFA + C++ table-walk
+        kernel (constrained/dfa_mask.py; reference analog: xgrammar's
+        native bitmask). Returns None when unavailable (JSON PDA, DFA
+        blow-up) — callers fall back to the memoized Python path."""
+        if not isinstance(sess.grammar, RegexNFA):
+            return None
+        ent = self._dfa_cache.get(sess.gkey)
+        if ent is None:
+            from sglang_diffusion_tpu.constrained.dfa_mask import RegexDFA
+
+            dfa = RegexDFA.compile(sess.grammar)
+            if dfa is None:
+                self._dfa_cache[sess.gkey] = False
+                return None
+            prep = dfa.prep_vocab(self.token_strings())
+            ent = (dfa, prep)
+            self._dfa_cache[sess.gkey] = ent
+        if ent is False:
+            return None
+        dfa, (classes, offsets, valid) = ent
+        sid = dfa.state_ids.get(sess.state)
+        if sid is None:  # state reached via a path the DFA didn't see
+            return None
+        mask = dfa.fill_mask(classes, offsets, valid, sid).astype(bool)
+        if self.eos_token_id is not None and sess.is_accepting:
+            mask[self.eos_token_id] = True
         return mask
 
     def _advance_cached(self, sess, token_id):

@@ -135,3 +135,73 @@ def test_e2e_json_mode(engine):
     # either finished a valid JSON value (stop) or ran out of budget mid-value
     if out["meta_info"]["finish_reason"] == "stop":
         json.loads(out["text"])
+
+
+def test_native_dfa_mask_matches_python():
+    """The C++ DFA mask kernel must produce EXACTLY the Python NFA path's
+    masks across states of a non-trivial regex (differential test,
+    reference analog: xgrammar bitmask vs interpreter)."""
+    from sglang_diffusion_tpu.constrained.dfa_mask import RegexDFA, get_lib
+    from sglang_diffusion_tpu.constrained.manager import GrammarManager
+    from sglang_diffusion_tpu.engine.tokenizer import ByteTokenizer
+
+    assert get_lib() is not None, "native dfa kernel must build"
+    tok = ByteTokenizer()
+    pattern = r"(yes|no|maybe-[0-9]{1,3})!*"
+
+    # python-path manager (force by disabling dfa cache entry)
+    mgr_py = GrammarManager(tok, eos_token_id=0)
+    sess_py = mgr_py.create_session({"regex": pattern})
+    mgr_py._dfa_cache["re:" + pattern] = False  # force python path
+
+    mgr_nat = GrammarManager(tok, eos_token_id=0)
+    sess_nat = mgr_nat.create_session({"regex": pattern})
+    # confirm the native path actually engages
+    assert mgr_nat._native_mask(sess_nat) is not None
+
+    import numpy as np
+
+    feed = [ord(c) for c in "maybe-42"]
+    for step_tok in [None] + feed:
+        if step_tok is not None:
+            sess_py.advance_token(step_tok)
+            sess_nat.advance_token(step_tok)
+        np.testing.assert_array_equal(
+            sess_py.allowed_mask(), sess_nat.allowed_mask()
+        )
+
+
+def test_native_dfa_mask_large_vocab_speed():
+    """On a 128k synthetic vocab the native kernel computes a fresh state's
+    mask orders of magnitude faster than the per-token Python walk."""
+    import time
+
+    import numpy as np
+
+    from sglang_diffusion_tpu.constrained.dfa_mask import RegexDFA, get_lib
+    from sglang_diffusion_tpu.constrained.regex_nfa import RegexNFA
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native kernel unavailable")
+    nfa = RegexNFA(r"[a-z]+[0-9]{2,4}")
+    dfa = RegexDFA.compile(nfa)
+    assert dfa is not None
+    rng = np.random.default_rng(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 ,.!"
+    vocab = [
+        "".join(alphabet[j] for j in rng.integers(0, len(alphabet), size=l))
+        for l in rng.integers(1, 6, size=131072)
+    ]
+    classes, offsets, valid = dfa.prep_vocab(vocab)
+    t0 = time.perf_counter()
+    mask = dfa.fill_mask(classes, offsets, valid, 0)
+    native_ms = (time.perf_counter() - t0) * 1e3
+    # spot-verify correctness on a sample against the NFA
+    idx = rng.integers(0, len(vocab), size=256)
+    for i in idx:
+        want = nfa.advance(nfa.start_state(), vocab[i]) is not None
+        assert bool(mask[i]) == want, vocab[i]
+    assert mask.sum() > 0
+    assert native_ms < 200.0, f"native mask too slow: {native_ms:.1f}ms"
