@@ -68,6 +68,9 @@ class ServerArgs:
     enable_hierarchical_cache: bool = False
     hicache_host_size_mb: int = 4096
     # tier-3 KV storage (reference: --hicache-storage-backend, kv/storage.py)
+    # EVS video token pruning rate in [0, 1) (reference srt/multimodal/evs;
+    # 0 = off). Drops temporally-redundant merged video tokens post-encode.
+    video_pruning_rate: float = 0.0
     hicache_storage_backend: Optional[str] = None  # None | "file"
     hicache_storage_path: str = "/tmp/sgld_kv_storage"
     hicache_storage_size_mb: int = 16384

@@ -481,20 +481,40 @@ class Engine:
             )
         proc = self._mrope_processor
         m = proc.merge_size
-        embeds, grids, digests, counts = [], [], [], []
+        q = float(self.args.video_pruning_rate or 0.0)
+        embeds, grids, digests, counts, keeps = [], [], [], [], []
         for vid in videos:
             patches, (gt, gh, gw), digest = proc.preprocess_video(vid)
-            embeds.append(
-                self.runner.encode_images_mrope(patches, (gt, gh, gw))
-            )
-            grids.append((gt, gh // m, gw // m))
+            emb = self.runner.encode_images_mrope(patches, (gt, gh, gw))
+            grid_m = (gt, gh // m, gw // m)
+            if q > 0.0:
+                # EVS pruning (multimodal/evs.py, reference srt/multimodal/
+                # evs): drop temporally-redundant merged tokens; retained
+                # tokens keep their (t,h,w) rope coordinates
+                from sglang_diffusion_tpu.multimodal.evs import (
+                    compute_retention_mask,
+                )
+
+                keep = compute_retention_mask(np.asarray(emb), grid_m, q)
+                emb = emb[jnp.asarray(keep)]
+                # distinct pseudo-id seed per pruning rate (digest is bytes;
+                # the seed reads the first 8 bytes, so prepend)
+                digest = f"evs{q}:".encode() + digest
+                keeps.append(keep)
+                counts.append(int(keep.sum()))
+            else:
+                keeps.append(None)
+                counts.append(gt * (gh // m) * (gw // m))
+            embeds.append(emb)
+            grids.append(grid_m)
             digests.append(digest)
-            counts.append(gt * (gh // m) * (gw // m))
         new_ids, spans = expand_mm_prompt(
             input_ids, self.model_config.video_token_id, counts, digests,
             self.model_config.vocab_size,
         )
-        pos3, rope_delta = compute_mrope_positions(len(new_ids), spans, grids)
+        pos3, rope_delta = compute_mrope_positions(
+            len(new_ids), spans, grids, keeps=keeps
+        )
         return embeds, new_ids, spans, pos3, rope_delta
 
     def encode_mm_prompt(self, prompt: str) -> List[int]:

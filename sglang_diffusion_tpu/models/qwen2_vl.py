@@ -384,15 +384,19 @@ def compute_mrope_positions(
     seq_len: int,
     spans: List[MMSpan],
     grids: List[Tuple[int, ...]],  # per item: merged (h, w) or (t, h, w)
+    keeps: Optional[List[Optional[np.ndarray]]] = None,  # EVS masks
 ) -> Tuple[np.ndarray, int]:
     """Positions [3, T] (temporal, height, width) for one sequence + the
     rope_delta (rope position of the NEXT token minus seq_len; <= 0).
     Mirrors HF Qwen2VLModel.get_rope_index for image AND video inputs
-    ((t, h, w) grids: the temporal stream advances per frame group)."""
+    ((t, h, w) grids: the temporal stream advances per frame group).
+    keeps[i] (EVS, multimodal/evs.py): a bool mask over item i's full grid;
+    retained tokens keep their ORIGINAL grid coordinates and the text
+    position resumes from the full-grid max as if nothing were pruned."""
     pos = np.zeros((3, seq_len), np.int64)
     cur = 0  # next text rope position
     idx = 0  # next sequence index to fill
-    for span, grid in zip(spans, grids):
+    for j, (span, grid) in enumerate(zip(spans, grids)):
         gt, gh, gw = (1,) + tuple(grid) if len(grid) == 2 else tuple(grid)
         # text run before the item
         n_text = span.offset - idx
@@ -400,10 +404,13 @@ def compute_mrope_positions(
             pos[ax, idx : span.offset] = cur + np.arange(n_text)
         cur += n_text
         idx = span.offset
-        assert span.length == gt * gh * gw, (span.length, gt, gh, gw)
         tt = np.arange(gt)[:, None, None].repeat(gh, 1).repeat(gw, 2).reshape(-1)
         hh = np.arange(gh)[None, :, None].repeat(gt, 0).repeat(gw, 2).reshape(-1)
         ww = np.arange(gw)[None, None, :].repeat(gt, 0).repeat(gh, 1).reshape(-1)
+        keep = keeps[j] if keeps is not None else None
+        if keep is not None:
+            tt, hh, ww = tt[keep], hh[keep], ww[keep]
+        assert span.length == len(tt), (span.length, gt, gh, gw)
         pos[0, idx : idx + span.length] = cur + tt
         pos[1, idx : idx + span.length] = cur + hh
         pos[2, idx : idx + span.length] = cur + ww

@@ -208,6 +208,33 @@ def apply_rope(
     return rot(q), rot(k)
 
 
+def apply_rope_partial(
+    q: jax.Array,  # [..., T, H, D]
+    k: jax.Array,
+    positions: jax.Array,  # [..., T]
+    inv_freq: jax.Array,  # [rot_dim/2]
+    rot_dim: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Partial rotary, rotate-half convention (Qwen3-Next style,
+    HF apply_rotary_pos_emb with rotary_dim < head_dim): only the first
+    rot_dim dims rotate with halves split at rot_dim/2; the rest pass
+    through unchanged."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq
+    cos = jnp.concatenate([jnp.cos(freqs)] * 2, -1)[..., None, :]
+    sin = jnp.concatenate([jnp.sin(freqs)] * 2, -1)[..., None, :]
+
+    def rot(x):
+        xr = x[..., :rot_dim].astype(jnp.float32)
+        xp = x[..., rot_dim:]
+        half = rot_dim // 2
+        x1, x2 = xr[..., :half], xr[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        out = (xr * cos + rotated * sin).astype(x.dtype)
+        return jnp.concatenate([out, xp], axis=-1)
+
+    return rot(q), rot(k)
+
+
 def apply_rope_partial_interleaved(
     q: jax.Array,  # [..., T, H, D]
     k: jax.Array,
