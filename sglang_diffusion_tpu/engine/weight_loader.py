@@ -91,12 +91,37 @@ def resolve_hf_name(name: str, has) -> str:
     raise KeyError(name)
 
 
+def _maybe_bnb_get(get, has):
+    """Transparent bitsandbytes-NF4 dequantization (reference:
+    model_loader/loader.py BitsAndBytesModelLoader): a checkpoint tensor
+    accompanied by '<name>.quant_state.bitsandbytes__nf4' is packed 4-bit;
+    fetch its companions and dequantize on the fly (quant/quantize.py)."""
+
+    def get2(name: str) -> np.ndarray:
+        qs = name + ".quant_state.bitsandbytes__nf4"
+        if not has(qs):
+            return get(name)
+        from sglang_diffusion_tpu.quant.quantize import (
+            bnb_nf4_state_dict_dequant,
+        )
+
+        mini = {name: get(name), qs: get(qs)}
+        for sfx in (".absmax", ".quant_map", ".nested_absmax",
+                    ".nested_quant_map"):
+            if has(name + sfx):
+                mini[name + sfx] = get(name + sfx)
+        return bnb_nf4_state_dict_dequant(mini)[name]
+
+    return get2
+
+
 def load_hf_params(
     model_path: str, cfg: ModelConfig, dtype=jnp.bfloat16
 ) -> Dict[str, Any]:
     model_cls = get_model_cls(cfg.architecture)
     wmap = model_cls.hf_weight_map(cfg)
     get, has = _open_shards(model_path)
+    get = _maybe_bnb_get(get, has)
     L = cfg.num_hidden_layers
     params: Dict[str, Any] = {}
 

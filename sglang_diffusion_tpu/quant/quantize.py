@@ -270,3 +270,90 @@ def gptq_dequantize(
     s = scales.astype(np.float32)[g_idx]  # [K, N]
     zz = z.astype(np.float32)[g_idx] + 1.0  # gptq stores zero-1
     return (w.astype(np.float32) - zz) * s
+
+
+# ---------------- bitsandbytes NF4 ingest ----------------
+
+# The 16-entry NF4 codebook (bitsandbytes functional.py create_normal_map;
+# quantiles of a standard normal, normalized to [-1, 1]).
+NF4_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], np.float32)
+
+
+def nf4_quantize(w: np.ndarray, blocksize: int = 64):
+    """Blockwise NF4 quantization (bitsandbytes quantize_4bit layout):
+    flatten, per-block absmax scaling, nearest-codebook nibble, two nibbles
+    per byte with the FIRST element in the high nibble. Returns
+    (packed uint8 [ceil(n/2)], absmax f32 [nblocks], shape)."""
+    shape = w.shape
+    flat = w.reshape(-1).astype(np.float32)
+    n = flat.size
+    pad = (-n) % blocksize
+    if pad:
+        flat = np.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, blocksize)
+    absmax = np.abs(blocks).max(axis=1)
+    scaled = blocks / np.maximum(absmax[:, None], 1e-12)
+    idx = np.abs(scaled[..., None] - NF4_CODE).argmin(-1).astype(np.uint8)
+    q = idx.reshape(-1)[:n]
+    if n % 2:
+        q = np.append(q, 0)
+    packed = (q[0::2] << 4) | q[1::2]
+    return packed.astype(np.uint8), absmax.astype(np.float32), shape
+
+
+def nf4_dequantize(packed: np.ndarray, absmax: np.ndarray, shape,
+                   blocksize: int = 64) -> np.ndarray:
+    """Inverse of nf4_quantize / bitsandbytes dequantize_4bit."""
+    hi = (packed >> 4) & 0xF
+    lo = packed & 0xF
+    q = np.stack([hi, lo], axis=1).reshape(-1)
+    n = int(np.prod(shape))
+    vals = NF4_CODE[q[:n]]
+    nblocks = -(-n // blocksize)
+    scale = np.repeat(absmax[:nblocks], blocksize)[:n]
+    return (vals * scale).reshape(shape).astype(np.float32)
+
+
+def bnb_nf4_state_dict_dequant(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Dequantize a bitsandbytes-4bit checkpoint state dict in place of its
+    quantized entries (reference: srt loaders' bnb support,
+    model_loader/loader.py BitsAndBytesModelLoader): every
+    '<p>.weight' with a companion '<p>.weight.quant_state.bitsandbytes__nf4'
+    is replaced by its f32 dequantization; double (nested) absmax
+    quantization is unrolled first."""
+    import json as _json
+
+    out = dict(sd)
+    for key in list(sd.keys()):
+        if not key.endswith(".quant_state.bitsandbytes__nf4"):
+            continue
+        base = key[: -len(".quant_state.bitsandbytes__nf4")]
+        st = sd[key]
+        if isinstance(st, (bytes, bytearray, np.ndarray)):
+            st = _json.loads(bytes(np.asarray(st).tobytes()).decode())
+        shape = tuple(st["shape"])
+        blocksize = int(st.get("blocksize", 64))
+        packed = np.asarray(sd[base]).reshape(-1)
+        absmax = np.asarray(sd[base + ".absmax"])
+        if absmax.dtype == np.uint8:
+            # double quantization: absmax itself is int8-quantized
+            nmap = np.asarray(sd[base + ".nested_quant_map"], np.float32)
+            nabs = np.asarray(sd[base + ".nested_absmax"], np.float32)
+            nbs = int(st.get("nested_blocksize", 256))
+            offset = np.float32(st.get("offset", 0.0))
+            scale = np.repeat(nabs, nbs)[: absmax.size]
+            absmax = nmap[absmax] * scale + offset
+        w = nf4_dequantize(packed, absmax.astype(np.float32), shape,
+                           blocksize)
+        out[base] = w
+        for suffix in (".absmax", ".quant_map", ".nested_absmax",
+                       ".nested_quant_map",
+                       ".quant_state.bitsandbytes__nf4"):
+            out.pop(base + suffix, None)
+    return out
