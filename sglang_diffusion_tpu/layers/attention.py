@@ -61,24 +61,25 @@ def get_attention_backend(name: str) -> AttentionFn:
 
 @register_attention_backend("xla")
 def _xla_backend(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
-                 window=None, softcap=None):
+                 window=None, softcap=None, sinks=None):
     return attention_xla.paged_attention(
         q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
         meta.q_start_pos, sm_scale, window=window, softcap=softcap,
-        tree_mask=meta.tree_mask,
+        tree_mask=meta.tree_mask, sinks=sinks,
     )
 
 
 def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
-                         window=None, softcap=None):
+                         window=None, softcap=None, sinks=None):
     # Imported lazily to keep CPU-only environments working.
     from sglang_diffusion_tpu.ops import attention_pallas
 
-    if q.shape[-1] % 128 != 0:
+    if q.shape[-1] % 128 != 0 or sinks is not None:
         # Mosaic requires 128-lane-aligned head_dim for the page DMA; small
-        # head dims (tiny test models) fall back to the XLA path.
+        # head dims (tiny test models) fall back to the XLA path. Attention
+        # sinks (gpt-oss) are XLA-only for now.
         return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale, window,
-                            softcap)
+                            softcap, sinks)
     return attention_pallas.paged_attention(
         q,
         kv_cache,
@@ -124,15 +125,22 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
     rep = P()
 
     def fn(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_scale: float,
-           window=None, softcap=None):
+           window=None, softcap=None, sinks=None):
+        # sinks [Hq] shard with the query heads (gpt-oss; zeros = unused —
+        # traced uniformly so one executable serves both cases is NOT
+        # possible: sinks change the softmax; keep the trace-time branch)
+        use_sinks = sinks is not None
+        sink_spec = P("tp") if use_sinks else rep
+
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(q_spec, kv_spec, rep, P("dp", None), b_spec, b_spec, rep),
+            in_specs=(q_spec, kv_spec, rep, P("dp", None), b_spec, b_spec,
+                      rep, sink_spec),
             out_specs=q_spec,
             check_vma=False,
         )
-        def inner(q_l, kv_l, li, pt, klens, qstart, win):
+        def inner(q_l, kv_l, li, pt, klens, qstart, win, snk):
             # slot_ids/logit_idx are not used by attention kernels; fill
             # with placeholders (shard_map operands must be explicit)
             local_meta = AttentionMetadata(
@@ -142,12 +150,14 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
                 slot_ids=pt,
                 logit_idx=klens,
             )
-            return base(q_l, kv_l, li, local_meta, sm_scale, win, softcap)
+            return base(q_l, kv_l, li, local_meta, sm_scale, win, softcap,
+                        snk if use_sinks else None)
 
         win = jnp.asarray(-1 if window is None else window, jnp.int32)
+        snk = sinks if use_sinks else jnp.zeros((1,), jnp.float32)
         return inner(
             q, kv_cache, jnp.asarray(layer_idx, jnp.int32),
-            meta.page_table, meta.kv_lens, meta.q_start_pos, win,
+            meta.page_table, meta.kv_lens, meta.q_start_pos, win, snk,
         )
 
     return fn

@@ -108,6 +108,7 @@ def _attn_core(
     mask: jax.Array,  # [B, Tq, Lkv] bool, True = attend
     sm_scale: float,
     softcap: float = None,
+    sinks: jax.Array = None,  # [Hq] learned sink logit per query head
 ) -> jax.Array:
     b, tq, hq, d = q.shape
     hkv = k.shape[2]
@@ -121,7 +122,17 @@ def _attn_core(
         # gemma2 attention logit softcapping
         scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        # gpt-oss attention sinks (HF GptOss eager_attention_forward): a
+        # learned per-head logit joins the softmax then its prob is dropped
+        # — i.e. the denominator gains exp(sink - max)
+        sk = sinks.astype(jnp.float32).reshape(1, hkv, group, 1)
+        m = jnp.maximum(scores.max(axis=-1), sk)  # [B,Hkv,g,Tq]
+        e = jnp.exp(scores - m[..., None])
+        denom = e.sum(axis=-1) + jnp.exp(sk - m)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     # guard fully-masked rows (padding queries): softmax of all -inf -> uniform;
     # zero them out instead.
     any_valid = jnp.any(mask, axis=-1)[:, None, None, :, None]
@@ -142,6 +153,7 @@ def paged_attention(
     softcap: float = None,  # static: attention logit softcapping (gemma2)
     tree_mask=None,  # [B, Tq, Tq] bool: speculative-tree attendance for the
     # in-batch region (kv index j <-> slot row q_start + j); None = causal
+    sinks=None,  # [Hq] learned per-head sink logits (gpt-oss)
 ) -> jax.Array:
     """Causal paged attention: query t attends kv positions <= q_start_pos+t.
 
@@ -173,7 +185,7 @@ def paged_attention(
         in_batch = (j >= 0) & (j < tq) & (kv_pos < kv_lens[:, None, None])
         mask = prefix | (in_batch & node)
         return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask,
-                          sm_scale, softcap)
+                          sm_scale, softcap, sinks)
     q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]
     mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
     mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])  # padding queries
@@ -182,7 +194,7 @@ def paged_attention(
         in_window = kv_pos > (q_pos[:, :, None] - w)
         mask = mask & jnp.where(w >= 0, in_window, True)
     return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask, sm_scale,
-                      softcap)
+                      softcap, sinks)
 
 
 def full_attention(
