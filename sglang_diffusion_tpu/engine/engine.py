@@ -58,10 +58,11 @@ class Engine:
             if is_gguf:
                 from sglang_diffusion_tpu.engine.gguf_loader import (
                     config_from_gguf,
-                    read_gguf,
+                    read_gguf_header,
                 )
 
-                meta, _ = read_gguf(self.args.model_path)
+                # header-only parse: no tensor dequantization for config
+                meta, _, _ = read_gguf_header(self.args.model_path)
                 model_config = config_from_gguf(meta)
             else:
                 model_config = ModelConfig.from_pretrained(self.args.model_path)
@@ -482,8 +483,21 @@ class Engine:
         proc = self._mrope_processor
         m = proc.merge_size
         q = float(self.args.video_pruning_rate or 0.0)
-        embeds, grids, digests, counts, keeps = [], [], [], [], []
+        # Qwen2.5-VL scales the temporal M-RoPE stream to absolute time
+        # (vision_config.tokens_per_second present); Qwen2-VL does not
+        # (reference: srt/layers/rotary_embedding/mrope_rope_index.py:154).
+        tps = self.model_config.raw.get("vision_config", {}).get(
+            "tokens_per_second"
+        )
+        embeds, grids, digests, counts, keeps, spgs = [], [], [], [], [], []
         for vid in videos:
+            fps = 2.0
+            if isinstance(vid, dict):
+                fps = float(vid.get("fps", fps))
+                vid = vid["frames"]
+            spgs.append(
+                proc.temporal / fps if tps is not None else None
+            )
             patches, (gt, gh, gw), digest = proc.preprocess_video(vid)
             emb = self.runner.encode_images_mrope(patches, (gt, gh, gw))
             grid_m = (gt, gh // m, gw // m)
@@ -513,7 +527,9 @@ class Engine:
             self.model_config.vocab_size,
         )
         pos3, rope_delta = compute_mrope_positions(
-            len(new_ids), spans, grids, keeps=keeps
+            len(new_ids), spans, grids, keeps=keeps,
+            second_per_grid_ts=spgs,
+            tokens_per_second=float(tps) if tps is not None else 1.0,
         )
         return embeds, new_ids, spans, pos3, rope_delta
 

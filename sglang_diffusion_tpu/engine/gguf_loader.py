@@ -111,9 +111,13 @@ def _type_bytes(ttype: int, n_elems: int) -> int:
     raise ValueError(f"unsupported gguf tensor type {ttype}")
 
 
-def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
-    """Parse a GGUF file -> (metadata, {tensor_name: f32 ndarray}).
-    Tensor arrays come back in torch-style shape (GGUF ne[] reversed)."""
+def read_gguf_header(
+    path: str,
+) -> Tuple[Dict[str, Any], List[Tuple[str, Tuple[int, ...], int, int]], int]:
+    """Parse only the GGUF metadata + tensor directory (no tensor data).
+    Returns (meta, infos, data_base). meta gains "__tensors__": the tensor
+    name list — used by config_from_gguf to detect tied embeddings (no
+    output.weight tensor) without dequantizing any weights."""
     with open(path, "rb") as f:
         if f.read(4) != GGUF_MAGIC:
             raise ValueError("not a GGUF file")
@@ -135,6 +139,16 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
             infos.append((name, dims, ttype, offset))
         align = meta.get("general.alignment", 32)
         base = (f.tell() + align - 1) // align * align
+        meta["__tensors__"] = [name for name, _, _, _ in infos]
+        meta["__version__"] = version
+        return meta, infos, base
+
+
+def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
+    """Parse a GGUF file -> (metadata, {tensor_name: f32 ndarray}).
+    Tensor arrays come back in torch-style shape (GGUF ne[] reversed)."""
+    meta, infos, base = read_gguf_header(path)
+    with open(path, "rb") as f:
         tensors: Dict[str, np.ndarray] = {}
         for name, dims, ttype, offset in infos:
             n_elems = int(np.prod(dims))
@@ -144,7 +158,7 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:
             # ne[0] is innermost: numpy shape = reversed dims
             tensors[name] = arr.reshape(tuple(reversed(dims)))
         logger.info("gguf: %d tensors, %d metadata keys (v%d)",
-                    len(tensors), len(meta), version)
+                    len(tensors), len(meta), meta["__version__"])
         return meta, tensors
 
 
@@ -201,8 +215,12 @@ def config_from_gguf(meta: Dict[str, Any]) -> ModelConfig:
         max_position_embeddings=g("context_length", 4096),
         rms_norm_eps=g("attention.layer_norm_rms_epsilon", 1e-6),
         rope_theta=g("rope.freq_base", 10000.0),
-        tie_word_embeddings="output.weight" not in meta.get("__tensors__", [])
-        if "__tensors__" in meta else False,
+        # tied embeddings <=> no separate output.weight tensor in the file
+        # (common for small models; llama.cpp then reuses token_embd)
+        tie_word_embeddings=(
+            "output.weight" not in meta["__tensors__"]
+            if "__tensors__" in meta else False
+        ),
     )
 
 
@@ -212,6 +230,9 @@ def load_gguf_params(path: str, cfg: ModelConfig, dtype=None):
 
     dtype = dtype or jnp.bfloat16
     _, tensors = read_gguf(path)
+    if "output.weight" not in tensors:
+        # tied embeddings stored once as token_embd: reuse for lm_head
+        tensors["output.weight"] = tensors["token_embd.weight"]
     hq = cfg.num_attention_heads
     hkv = cfg.num_key_value_heads
     params: Dict[str, Any] = {}

@@ -217,11 +217,36 @@ class MMLUEval(_EvalBase):
 
 class HumanEvalEval(_EvalBase):
     """HumanEval (reference: simple_eval_humaneval.py): completions are
-    executed against the task's unit tests in an isolated subprocess with a
-    timeout. Dataset: JSONL rows {task_id, prompt, test, entry_point}."""
+    executed against the task's unit tests in a resource-limited subprocess
+    with a timeout. Dataset: JSONL rows {task_id, prompt, test, entry_point}.
+
+    Execution of model-generated code is gated behind an explicit opt-in
+    (`allow_code_exec=True` or SGLD_TPU_ALLOW_CODE_EXEC=1), mirroring the
+    reference's human-eval dependency which requires uncommenting its exec
+    call. The subprocess runs `python -I` in an empty temp cwd with rlimits
+    on CPU time, address space, processes, file size, and open files."""
 
     name = "humaneval"
     exec_timeout_s = 10.0
+    exec_mem_bytes = 2 * 1024 ** 3
+
+    def __init__(self, *args, allow_code_exec: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        import os as _os
+        self.allow_code_exec = allow_code_exec or (
+            _os.environ.get("SGLD_TPU_ALLOW_CODE_EXEC", "0") == "1"
+        )
+
+    def _rlimits(self):
+        import resource
+
+        cpu_s = int(self.exec_timeout_s) + 1
+        resource.setrlimit(resource.RLIMIT_CPU, (cpu_s, cpu_s))
+        resource.setrlimit(
+            resource.RLIMIT_AS, (self.exec_mem_bytes, self.exec_mem_bytes))
+        resource.setrlimit(resource.RLIMIT_NPROC, (16, 16))
+        resource.setrlimit(resource.RLIMIT_FSIZE, (1 << 20, 1 << 20))
+        resource.setrlimit(resource.RLIMIT_NOFILE, (64, 64))
 
     def _load(self, path: str):
         out = []
@@ -245,29 +270,38 @@ class HumanEvalEval(_EvalBase):
         return ex["prompt"]
 
     def grade(self, ex, response):
+        import os
+        import shutil
         import subprocess
         import sys
         import tempfile
+
+        if not self.allow_code_exec:
+            raise RuntimeError(
+                "HumanEval grading executes model-generated code; pass "
+                "allow_code_exec=True or set SGLD_TPU_ALLOW_CODE_EXEC=1 "
+                "to opt in.")
 
         program = (
             ex["prompt"] + response + "\n\n" + ex["test"] + "\n"
             + f"check({ex['entry_point']})\n"
         )
-        with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        workdir = tempfile.mkdtemp(prefix="humaneval_")
+        path = os.path.join(workdir, "prog.py")
+        with open(path, "w") as f:
             f.write(program)
-            path = f.name
         try:
             r = subprocess.run(
                 [sys.executable, "-I", path], capture_output=True,
-                timeout=self.exec_timeout_s,
+                timeout=self.exec_timeout_s, cwd=workdir,
+                preexec_fn=self._rlimits,
+                env={"PATH": "/usr/bin:/bin"},
             )
             return r.returncode == 0
         except subprocess.TimeoutExpired:
             return False
         finally:
-            import os as _os
-
-            _os.unlink(path)
+            shutil.rmtree(workdir, ignore_errors=True)
 
 
 _EVALS = {"gsm8k": GSM8KEval, "mgsm": MGSMEval, "mmlu": MMLUEval,
@@ -318,8 +352,10 @@ class HttpSampler:
 
 
 def run_eval(sampler_or_engine, eval_name: str, dataset_path: str,
-             num_examples: Optional[int] = None, num_shots: int = 4) -> EvalResult:
-    ev = get_eval(eval_name)(dataset_path, num_examples, num_shots)
+             num_examples: Optional[int] = None, num_shots: int = 4,
+             **eval_kwargs) -> EvalResult:
+    ev = get_eval(eval_name)(dataset_path, num_examples, num_shots,
+                             **eval_kwargs)
     sampler = (
         sampler_or_engine
         if hasattr(sampler_or_engine, "generate_batch")

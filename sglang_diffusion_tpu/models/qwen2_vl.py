@@ -385,6 +385,8 @@ def compute_mrope_positions(
     spans: List[MMSpan],
     grids: List[Tuple[int, ...]],  # per item: merged (h, w) or (t, h, w)
     keeps: Optional[List[Optional[np.ndarray]]] = None,  # EVS masks
+    second_per_grid_ts: Optional[List[Optional[float]]] = None,
+    tokens_per_second: float = 1.0,
 ) -> Tuple[np.ndarray, int]:
     """Positions [3, T] (temporal, height, width) for one sequence + the
     rope_delta (rope position of the NEXT token minus seq_len; <= 0).
@@ -392,7 +394,12 @@ def compute_mrope_positions(
     ((t, h, w) grids: the temporal stream advances per frame group).
     keeps[i] (EVS, multimodal/evs.py): a bool mask over item i's full grid;
     retained tokens keep their ORIGINAL grid coordinates and the text
-    position resumes from the full-grid max as if nothing were pruned."""
+    position resumes from the full-grid max as if nothing were pruned.
+    second_per_grid_ts[i] (Qwen2.5-VL video, reference
+    srt/layers/rotary_embedding/mrope_rope_index.py:154): the temporal
+    stream is scaled to absolute time — t_pos = frame_group_index *
+    second_per_grid_t * vision_config.tokens_per_second. Qwen2-VL passes
+    None entries (unscaled per-frame indices)."""
     pos = np.zeros((3, seq_len), np.int64)
     cur = 0  # next text rope position
     idx = 0  # next sequence index to fill
@@ -404,9 +411,15 @@ def compute_mrope_positions(
             pos[ax, idx : span.offset] = cur + np.arange(n_text)
         cur += n_text
         idx = span.offset
-        tt = np.arange(gt)[:, None, None].repeat(gh, 1).repeat(gw, 2).reshape(-1)
+        t_idx = np.arange(gt)
+        spg = second_per_grid_ts[j] if second_per_grid_ts is not None else None
+        if spg is not None:
+            t_idx = (t_idx.astype(np.float64) * spg * tokens_per_second
+                     ).astype(np.int64)
+        tt = t_idx[:, None, None].repeat(gh, 1).repeat(gw, 2).reshape(-1)
         hh = np.arange(gh)[None, :, None].repeat(gt, 0).repeat(gw, 2).reshape(-1)
         ww = np.arange(gw)[None, None, :].repeat(gt, 0).repeat(gh, 1).reshape(-1)
+        t_extent = int(t_idx[-1]) + 1 if gt else 1
         keep = keeps[j] if keeps is not None else None
         if keep is not None:
             tt, hh, ww = tt[keep], hh[keep], ww[keep]
@@ -414,7 +427,7 @@ def compute_mrope_positions(
         pos[0, idx : idx + span.length] = cur + tt
         pos[1, idx : idx + span.length] = cur + hh
         pos[2, idx : idx + span.length] = cur + ww
-        cur += max(gt, gh, gw)
+        cur += max(t_extent, gh, gw)
         idx += span.length
     n_tail = seq_len - idx
     for ax in range(3):

@@ -511,6 +511,13 @@ class ApiServer:
                 return Response({"error": f"bad handoff: {e}"}, 400)
             if not hasattr(self, "_disagg_results"):
                 self._disagg_results = {}
+            # backstop for never-polled rids: evict oldest terminal entries
+            if len(self._disagg_results) >= 4096:
+                for old_rid in [
+                    r for r, v in self._disagg_results.items()
+                    if v["status"] != "decoding"
+                ][:1024]:
+                    self._disagg_results.pop(old_rid, None)
             self._disagg_results[handoff.rid] = {"status": "decoding"}
 
             def run():
@@ -530,9 +537,14 @@ class ApiServer:
         @http.route("GET", "/disagg/result")
         async def disagg_result(req: Request) -> Response:
             rid = req.query.get("rid", "")
-            res = getattr(self, "_disagg_results", {}).get(rid)
+            results = getattr(self, "_disagg_results", {})
+            res = results.get(rid)
             if res is None:
                 return Response({"error": "unknown rid"}, 404)
+            if res["status"] != "decoding":
+                # terminal result delivered: evict so a long-running decode
+                # server doesn't accumulate results unboundedly
+                results.pop(rid, None)
             return Response(res)
 
         @http.route("POST", "/update_weights_from_bucket")

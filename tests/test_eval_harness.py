@@ -127,11 +127,13 @@ def test_humaneval_exec_grading(tmp_path):
         f.write(json.dumps(task) + "\n")
 
     good = CannedSampler(lambda pr: "    return a + b\n")
-    res = run_eval(good, "humaneval", str(p))
+    with pytest.raises(RuntimeError):
+        run_eval(good, "humaneval", str(p))  # exec requires opt-in
+    res = run_eval(good, "humaneval", str(p), allow_code_exec=True)
     assert res.num_correct == 1
 
     bad = CannedSampler(lambda pr: "    return a - b\n")
-    assert run_eval(bad, "humaneval", str(p)).num_correct == 0
+    assert run_eval(bad, "humaneval", str(p), allow_code_exec=True).num_correct == 0
 
     hang = CannedSampler(
         lambda pr: "    while True:\n        pass\n"
@@ -141,6 +143,6 @@ def test_humaneval_exec_grading(tmp_path):
     old = HumanEvalEval.exec_timeout_s
     HumanEvalEval.exec_timeout_s = 2.0
     try:
-        assert run_eval(hang, "humaneval", str(p)).num_correct == 0
+        assert run_eval(hang, "humaneval", str(p), allow_code_exec=True).num_correct == 0
     finally:
         HumanEvalEval.exec_timeout_s = old

@@ -178,3 +178,64 @@ def test_gguf_llama_logits_parity(tmp_path):
         ref = model(torch.tensor(ids)).logits[:, -1, :].numpy()
     got = run_ours(cfg, params, ids)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_tied_embeddings_gguf(tmp_path):
+    """A GGUF without output.weight (tied embeddings, common for small
+    models): config derives tie_word_embeddings from the tensor directory
+    (header-only parse — no dequantization) and loading must not KeyError."""
+    from sglang_diffusion_tpu.engine.gguf_loader import (
+        config_from_gguf,
+        read_gguf_header,
+    )
+
+    E, V, L, H = 16, 64, 1, 2
+    rng = np.random.default_rng(0)
+    meta = {
+        "general.architecture": "llama",
+        "llama.embedding_length": E,
+        "llama.feed_forward_length": 2 * E,
+        "llama.block_count": L,
+        "llama.attention.head_count": H,
+        "llama.attention.head_count_kv": H,
+        "llama.context_length": 64,
+        "llama.attention.layer_norm_rms_epsilon": 1e-6,
+        "llama.rope.freq_base": 10000.0,
+        "llama.vocab_size": V,
+    }
+    hd = E // H
+    tensors = {
+        "token_embd.weight": (rng.standard_normal((V, E)).astype(np.float32), T_F32),
+        "output_norm.weight": (np.ones(E, np.float32), T_F32),
+        "blk.0.attn_norm.weight": (np.ones(E, np.float32), T_F32),
+        "blk.0.ffn_norm.weight": (np.ones(E, np.float32), T_F32),
+        "blk.0.attn_q.weight": (rng.standard_normal((H * hd, E)).astype(np.float32), T_F32),
+        "blk.0.attn_k.weight": (rng.standard_normal((H * hd, E)).astype(np.float32), T_F32),
+        "blk.0.attn_v.weight": (rng.standard_normal((H * hd, E)).astype(np.float32), T_F32),
+        "blk.0.attn_output.weight": (rng.standard_normal((E, E)).astype(np.float32), T_F32),
+        "blk.0.ffn_gate.weight": (rng.standard_normal((2 * E, E)).astype(np.float32), T_F32),
+        "blk.0.ffn_up.weight": (rng.standard_normal((2 * E, E)).astype(np.float32), T_F32),
+        "blk.0.ffn_down.weight": (rng.standard_normal((E, 2 * E)).astype(np.float32), T_F32),
+    }
+    p = tmp_path / "tied.gguf"
+    write_gguf(p, meta, tensors)
+
+    hmeta, infos, _ = read_gguf_header(str(p))
+    assert "output.weight" not in hmeta["__tensors__"]
+    cfg = config_from_gguf(hmeta)
+    assert cfg.tie_word_embeddings is True
+    params = load_gguf_params(str(p), cfg)
+    assert "lm_head" not in params  # tied: forward reuses embed
+    assert params["embed"].shape == (V, E)
+
+    # untied config against the same (tied) file must fall back, not raise
+    cfg2 = ModelConfig(
+        architecture="LlamaForCausalLM", vocab_size=V, hidden_size=E,
+        intermediate_size=2 * E, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=H,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    params2 = load_gguf_params(str(p), cfg2)
+    np.testing.assert_allclose(
+        np.asarray(params2["lm_head"], np.float32),
+        np.asarray(params2["embed"], np.float32).T, rtol=1e-2, atol=1e-2)

@@ -252,3 +252,53 @@ def test_qwen25_engine_e2e():
     assert len(out["output_ids"]) == 6
     out2 = eng.generate(input_ids=ids, sampling_params=sp, image_data=[img])
     assert out["output_ids"] == out2["output_ids"]
+
+
+def test_video_mrope_temporal_scaling_matches_hf(setup):
+    """Qwen2.5-VL video M-RoPE: the temporal stream is scaled by
+    second_per_grid_t * tokens_per_second (reference:
+    srt/layers/rotary_embedding/mrope_rope_index.py:154). Parity vs HF
+    get_rope_index on a (t,h,w) video grid."""
+    hf_cfg, hf_model, cfg, params = setup
+    vid_tok = 41
+    gt, gh, gw = 3, 4, 4
+    n_vid = gt * (gh // 2) * (gw // 2)
+    ids = [3, 90] + [vid_tok] * n_vid + [91, 8, 9]
+    t = len(ids)
+    # integer spg: transformers 4.57 truncates second_per_grid_t to int64
+    # (as_tensor with range_tensor.dtype) while the reference keeps the
+    # float product and floors — they agree only on integral spg
+    spg = 2.0  # seconds per temporal grid step
+    tps = float(getattr(hf_cfg.vision_config, "tokens_per_second", 4.0))
+
+    hf_model.config.video_token_id = vid_tok
+    pos_hf, delta_hf = hf_model.model.get_rope_index(
+        input_ids=torch.tensor([ids]),
+        image_grid_thw=None,
+        video_grid_thw=torch.tensor([[gt, gh, gw]]),
+        second_per_grid_ts=torch.tensor([spg]),
+        attention_mask=torch.ones(1, t, dtype=torch.long),
+    )
+    spans = [MMSpan(offset=2, length=n_vid, image_index=0)]
+    pos, delta = compute_mrope_positions(
+        t, spans, [(gt, gh // 2, gw // 2)],
+        second_per_grid_ts=[spg], tokens_per_second=tps,
+    )
+    np.testing.assert_array_equal(pos, pos_hf[:, 0].numpy())
+    assert delta == int(delta_hf[0].item())
+
+
+def test_video_mrope_fractional_spg_reference_semantics():
+    """Fractional second_per_grid_t: reference
+    (mrope_rope_index.py:152-155) computes floor(k * spg * tps) in float —
+    verify the temporal stream directly."""
+    vid_tok_count = 3 * 2 * 2
+    spans = [MMSpan(offset=1, length=vid_tok_count, image_index=0)]
+    t = 1 + vid_tok_count + 1
+    pos, _ = compute_mrope_positions(
+        t, spans, [(3, 2, 2)], second_per_grid_ts=[1.5],
+        tokens_per_second=4.0,
+    )
+    # frame k temporal pos = 1 (text offset) + floor(k*1.5*4) = 1, 7, 13
+    tpos = pos[0, 1:1 + vid_tok_count].reshape(3, 4)
+    np.testing.assert_array_equal(tpos[:, 0], [1, 7, 13])
