@@ -319,17 +319,15 @@ class DiffusionPipeline:
         k1, k2, k3 = jax.random.split(key, 3)
         if params is None:
             params = {
-                "dit": MMDiT.init_params(k1, self.dit_cfg, dtype),
+                "dit": self._init_dit_params(k1, dtype),
                 "vae": VAEDecoder.init_params(k2, self.vae_cfg, dtype),
                 "text_encoder": self._te_cls().init_params(
                     k3, self.te_cfg, dtype
                 ),
             }
         self.params = params
-        self.dit_forward = MMDiT.make_forward(
-            self.dit_cfg,
-            attn_fn=_select_dit_attention(self.dit_cfg, sp_mesh,
-                                          attention_backend)
+        self.dit_forward = self._make_dit_forward(
+            _select_dit_attention(self.dit_cfg, sp_mesh, attention_backend)
         )
         self.stages: List[Stage] = [
             InputValidationStage(),
@@ -405,6 +403,39 @@ class DiffusionPipeline:
             )
         return self._encode_img_jit(self.params["vae_encoder"], images)
 
+    def _stream_len(self, t_txt: int, t_img: int) -> int:
+        """Length of the block hidden stream (MMDiT: joint [txt; img];
+        cross-attention families like Wan: img only)."""
+        return t_txt + t_img
+
+    def _init_dit_params(self, key, dtype):
+        return MMDiT.init_params(key, self.dit_cfg, dtype)
+
+    # ---- model-family hooks (overridden by family pipelines, e.g.
+    # WanVideoPipeline — reference analog: per-family pipeline compositions
+    # under multimodal_gen/runtime/pipelines/) ----
+    def _make_dit_forward(self, attn_fn):
+        return MMDiT.make_forward(self.dit_cfg, attn_fn=attn_fn)
+
+    def _make_forward_parts(self, attn_fn, front_blocks: int):
+        return MMDiT.make_forward_parts(self.dit_cfg, attn_fn=attn_fn,
+                                        front_blocks=front_blocks)
+
+    def _cond_signal(self, dit_params, t):
+        """Timestep-conditioning proxy for TeaCache (the same signal that
+        modulates the blocks; the text part is step-invariant)."""
+        from sglang_diffusion_tpu.diffusion.models.dit import (
+            timestep_embedding,
+        )
+
+        e = timestep_embedding(t[:1], 256)
+        h = jnp.dot(jax.nn.silu(jnp.dot(e, dit_params["t_mlp1"])),
+                    dit_params["t_mlp2"])
+        return h[0].astype(jnp.float32)
+
+    def _cond_dim(self, dit_params) -> int:
+        return dit_params["t_mlp2"].shape[-1]
+
     def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale,
                     sampler: str = "euler"):
         """Whole denoise loop in one jit: lax.scan over steps, CFG inside.
@@ -418,10 +449,9 @@ class DiffusionPipeline:
         cd = self.cache_dit
         use_cd = bool(cd is not None and cd.enabled)
         if use_cd:
-            dit_parts = MMDiT.make_forward_parts(
-                self.dit_cfg,
-                attn_fn=_select_dit_attention(self.dit_cfg, self.sp_mesh,
-                                              self.attention_backend),
+            dit_parts = self._make_forward_parts(
+                _select_dit_attention(self.dit_cfg, self.sp_mesh,
+                                      self.attention_backend),
                 front_blocks=cd.front_blocks,
             )
         sched = get_scheduler(sampler, use_dynamic_shifting=True)
@@ -445,9 +475,7 @@ class DiffusionPipeline:
                         grid_hw, tile, float(self.vsa.get("sparsity", 0.9)),
                         text_len=text_emb.shape[1],
                     )
-                    dit_forward = MMDiT.make_forward(
-                        self.dit_cfg, attn_fn=vsa_attn
-                    )
+                    dit_forward = self._make_dit_forward(vsa_attn)
                 else:
                     logger.warning(
                         "VSA tile %s does not divide grid %s; dense attention",
@@ -466,9 +494,7 @@ class DiffusionPipeline:
                     sta_attn = make_sta_attention(
                         grid_hw, tile, win, text_len=text_emb.shape[1]
                     )
-                    dit_forward = MMDiT.make_forward(
-                        self.dit_cfg, attn_fn=sta_attn
-                    )
+                    dit_forward = self._make_dit_forward(sta_attn)
                 else:
                     logger.warning(
                         "STA tile %s does not divide grid %s; dense attention",
@@ -476,16 +502,7 @@ class DiffusionPipeline:
                     )
 
             def cond_signal(t):
-                """Timestep-conditioning proxy (same signal modulating the
-                blocks; text part is step-invariant)."""
-                from sglang_diffusion_tpu.diffusion.models.dit import (
-                    timestep_embedding,
-                )
-
-                e = timestep_embedding(t[:1], 256)
-                h = jnp.dot(jax.nn.silu(jnp.dot(e, dit_params["t_mlp1"])),
-                            dit_params["t_mlp2"])
-                return h[0].astype(jnp.float32)
+                return self._cond_signal(dit_params, t)
 
             def predict(x, t):
                 if use_cfg:
@@ -575,8 +592,9 @@ class DiffusionPipeline:
                     return (x, xf, res, res_prev, n_comp, skipped, sstate), None
 
                 b2 = tokens.shape[0] * (2 if use_cfg else 1)
-                t_total = text_emb.shape[1] + tokens.shape[1]
-                e_hid = dit_params["t_mlp2"].shape[-1]
+                t_total = self._stream_len(text_emb.shape[1],
+                                           tokens.shape[1])
+                e_hid = self._cond_dim(dit_params)
                 zeros_h = jnp.zeros((b2, t_total, e_hid), tokens.dtype)
                 init_cd = (
                     tokens, zeros_h, zeros_h, zeros_h,
@@ -613,7 +631,7 @@ class DiffusionPipeline:
                 x, sstate = sched_step(i, x, v, sstate)
                 return (x, v, prev_sig, accum, skipped, sstate), None
 
-            e_dim = dit_params["t_mlp2"].shape[-1]
+            e_dim = self._cond_dim(dit_params)
             init = (
                 tokens,
                 jnp.zeros_like(tokens),

@@ -49,6 +49,9 @@ class Engine:
         **kwargs,
     ):
         self.args = server_args or ServerArgs(**kwargs)
+        from sglang_diffusion_tpu.utils.common import setup_compilation_cache
+
+        setup_compilation_cache()
         self.mesh_ctx = mesh_ctx or create_mesh(
             tp_size=self.args.tp_size, dp_size=self.args.dp_size,
             pp_size=self.args.pp_size,
@@ -159,6 +162,7 @@ class Engine:
         self._expert_probe = None
         self._expert_p2l = None
         self._score_fwd = None
+        self._seen_step_keys: set = set()
         self._dumper = None
         if self.args.debug_dump_dir:
             from sglang_diffusion_tpu.utils.comparator import Dumper
@@ -573,6 +577,11 @@ class Engine:
             finished.extend(timed_out)
             return finished
         samp_np = self._samp_arrays(plan)
+        # first dispatch of a (kind, bucket) executable compiles — the
+        # watchdog must not scream about a known-first-compile step
+        step_key = self.runner.step_key(plan)
+        first_compile = step_key not in self._seen_step_keys
+        self._seen_step_keys.add(step_key)
         t0 = time.monotonic()
         if self._tracing:
             from sglang_diffusion_tpu.observability import step_span
@@ -582,10 +591,15 @@ class Engine:
         else:
             next_tokens, logprobs = self.runner.run_batch(plan, samp_np)
         step_s = time.monotonic() - t0
-        if step_s > self.args.watchdog_timeout_s:
+        if step_s > self.args.watchdog_timeout_s and not first_compile:
             logger.error(
                 "watchdog: %s step took %.1fs (batch=%d)",
                 plan.kind, step_s, len(plan.reqs),
+            )
+        elif first_compile and step_s > 5.0:
+            logger.info(
+                "compiled %s executable in %.1fs (bucket=%s)",
+                plan.kind, step_s, step_key,
             )
         if self._dumper is not None:
             self._dumper.dump(

@@ -901,6 +901,18 @@ class ModelRunner:
             node[keys[-1]] = value
 
     # ------------- step execution -------------
+    def step_key(self, plan: BatchPlan) -> tuple:
+        """Identity of the compiled executable a plan will dispatch to
+        (kind + padded bucket shapes). The engine uses this to tell a
+        first-compile step from a genuinely stuck one (the watchdog must
+        not fire on known-first-compile steps)."""
+        b = plan.token_ids.shape[0]
+        bb = select_bucket(self.bs_buckets, b)
+        if plan.kind == "decode":
+            return ("decode", bb, plan.horizon)
+        return (plan.kind, bb,
+                select_bucket(LQ_BUCKETS, plan.token_ids.shape[1]))
+
     def run_batch(
         self, plan: BatchPlan, samp_meta_np: Dict[str, np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:

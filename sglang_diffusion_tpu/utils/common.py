@@ -47,3 +47,40 @@ def select_bucket(buckets, value: int) -> int:
         if b >= value:
             return b
     return buckets[-1]
+
+
+_CACHE_CONFIGURED = False
+
+
+def setup_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache (reference analog: CUDA
+    graph capture-once discipline, srt/model_executor/cuda_graph_runner.py:673
+    — compile cost is paid once, not per process start).
+
+    Remote-TPU compiles in this environment take minutes per executable;
+    the on-disk cache turns repeat engine warmup into cache reads. Default
+    location is <repo>/.xla_cache (persists across rounds); override with
+    SGLD_TPU_XLA_CACHE_DIR, disable with SGLD_TPU_XLA_CACHE_DIR=off."""
+    global _CACHE_CONFIGURED
+    if _CACHE_CONFIGURED:
+        return None
+    cache_dir = cache_dir or os.environ.get("SGLD_TPU_XLA_CACHE_DIR")
+    if cache_dir == "off":
+        return None
+    if not cache_dir:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cache_dir = os.path.join(pkg_root, ".xla_cache")
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _CACHE_CONFIGURED = True
+        get_logger().info("persistent XLA compilation cache: %s", cache_dir)
+        return cache_dir
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        get_logger().warning("compilation cache unavailable: %s", e)
+        return None
