@@ -162,10 +162,13 @@ class ModelConfig:
 
     @property
     def kv_cache_head_dim(self) -> int:
-        return (
-            self.kv_lora_rank + self.qk_rope_head_dim
-            if self.is_mla else self.actual_head_dim
-        )
+        if self.is_mla:
+            # round the latent width (r_kv + dr, e.g. 512+64=576 for
+            # DeepSeek-V3) up to a 128 multiple: Mosaic page DMA requires
+            # lane-aligned slices (ops/mla_pallas.py); pad lanes stay zero
+            r = self.kv_lora_rank + self.qk_rope_head_dim
+            return (r + 127) // 128 * 128
+        return self.actual_head_dim
 
     @classmethod
     def from_hf_config(cls, cfg: Dict[str, Any]) -> "ModelConfig":

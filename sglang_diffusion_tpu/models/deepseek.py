@@ -48,9 +48,15 @@ _LORA_NORM_EPS = 1e-6  # HF DeepseekV3RMSNorm default for q_a/kv_a norms
 
 
 def write_latent_pages(kv_cache, layer_idx, latent, slot_ids):
-    """Scatter per-token latents [B,T,R] into cache [L,P,1,S,R] (MLA analog
-    of ops/attention_xla.write_kv_pages; -1 slots dropped)."""
+    """Scatter per-token latents [B,T,R] into cache [L,P,1,S,R_pad] (MLA
+    analog of ops/attention_xla.write_kv_pages; -1 slots dropped). The cache
+    width may be 128-padded (config.kv_cache_head_dim) — pad lanes are kept
+    zero so the mla_pallas kernel's full-width dot is unaffected."""
     nl, num_pages, one, page_size, r = kv_cache.shape
+    if latent.shape[-1] < r:
+        latent = jnp.pad(
+            latent, [(0, 0)] * (latent.ndim - 1) + [(0, r - latent.shape[-1])]
+        )
     flat = kv_cache.reshape(nl * num_pages * page_size, r)
     slots = slot_ids.reshape(-1)
     rows = (layer_idx * num_pages + slots // page_size) * page_size + (
@@ -316,8 +322,31 @@ class DeepseekFamily:
             q_abs = jnp.einsum("bthd,rhd->bthr", q_nope, w_uk)
             q_cat = jnp.concatenate([q_abs, q_pe], axis=-1)  # [B,T,H,R]
 
-            latents = gather_latents(kv_cache, abs_layer, meta.page_table)
-            ctx = mla_attention(q_cat, latents, meta, sm_scale, rkv)
+            # Paged MLA Pallas kernel when shapes are Mosaic-legal (R and
+            # r_kv 128-lane aligned, e.g. DeepSeek-V3 512+64); dense-einsum
+            # fallback for tiny test dims and tree-mask verify. The kernel
+            # streams each latent page from HBM once per q block — the dense
+            # path materializes full [B,H,T,S] f32 scores and OOMs at 32k.
+            use_kernel = rkv % 128 == 0 and meta.tree_mask is None
+            r_pad = kv_cache.shape[-1]
+            if use_kernel:
+                from sglang_diffusion_tpu.ops.mla_pallas import (
+                    mla_paged_attention,
+                )
+                if q_cat.shape[-1] < r_pad:  # zero pad lanes: no-op in dot
+                    q_cat = jnp.pad(
+                        q_cat, [(0, 0)] * 3 + [(0, r_pad - q_cat.shape[-1])]
+                    )
+                ctx = mla_paged_attention(
+                    q_cat, kv_cache, abs_layer, meta.page_table,
+                    meta.kv_lens, meta.q_start_pos, sm_scale, rkv,
+                    interpret=jax.default_backend() != "tpu",
+                ).astype(jnp.float32)
+            else:
+                latents = gather_latents(kv_cache, abs_layer, meta.page_table)
+                ctx = mla_attention(
+                    q_cat, latents[..., : rkv + dr], meta, sm_scale, rkv
+                )
             out = jnp.einsum("bthr,rhd->bthd", ctx, w_uv.astype(jnp.float32))
             out = out.reshape(b, t, H * dv).astype(hidden.dtype)
             return hidden + jnp.dot(out, lp["wo"]), kv_cache
