@@ -43,6 +43,32 @@ class GrammarSession:
     def is_accepting(self) -> bool:
         return self.grammar.is_accepting(self.state)
 
+    def jump_forward_text(self) -> str:
+        """Forced continuation span from the current state ('' when the
+        grammar doesn't support it or nothing is forced). Reference:
+        xgrammar find_jump_forward_string (srt/constrained/
+        xgrammar_backend.py); the scheduler appends the span's tokens
+        without model forwards and recomputes their KV in one extend."""
+        jf = getattr(self.grammar, "jump_forward", None)
+        if jf is None:
+            return ""
+        return jf(self.state)
+
+    def try_advance_tokens(self, token_ids) -> bool:
+        """Validate-and-advance a forced token span atomically: either all
+        tokens advance (state mutated, True) or none do (False)."""
+        s = self.state
+        for t in token_ids:
+            txt = self.manager.token_strings()[t]
+            if txt is None:
+                return False
+            s2 = self.grammar.advance(s, txt)
+            if s2 is None:
+                return False
+            s = s2
+        self.state = s
+        return True
+
 
 class GrammarManager:
     def __init__(self, tokenizer, eos_token_id: Optional[int]):
@@ -78,6 +104,12 @@ class GrammarManager:
             key = "re:" + spec["regex"]
             if key not in self._grammars:
                 self._grammars[key] = RegexNFA(spec["regex"])
+        elif spec.get("ebnf"):
+            key = "ebnf:" + spec["ebnf"]
+            if key not in self._grammars:
+                from sglang_diffusion_tpu.constrained.ebnf import EbnfGrammar
+
+                self._grammars[key] = EbnfGrammar(spec["ebnf"])
         elif spec.get("json"):
             key = "json"
             if key not in self._grammars:

@@ -33,14 +33,18 @@ class SamplingParams:
     lora_path: Optional[str] = None
     # scheduling priority: higher = served first (reference: Req.priority)
     priority: int = 0
-    # constrained decoding (reference: sampling_params.py regex/json_schema)
+    # constrained decoding (reference: sampling_params.py regex/
+    # json_schema/ebnf — the xgrammar-backend grammar types)
     regex: Optional[str] = None
     json_schema: Optional[str] = None  # any value enables JSON-mode grammar
+    ebnf: Optional[str] = None  # GBNF-style CFG (constrained/ebnf.py)
 
     @property
     def grammar_spec(self):
         if self.regex:
             return {"regex": self.regex}
+        if self.ebnf:
+            return {"ebnf": self.ebnf}
         if self.json_schema is not None:
             return {"json": True}
         return None

@@ -94,6 +94,7 @@ class Scheduler:
         self.total_prompt_tokens = 0
         self.spec_draft_tokens = 0
         self.spec_accepted_tokens = 0
+        self.jump_forward_tokens = 0
 
         # speculative decoding (reference: srt/speculative/)
         # "eagle": the Engine assigns an EagleDrafter after building the
@@ -201,7 +202,92 @@ class Scheduler:
         plan = self._get_prefill_batch()
         if plan is not None:
             return plan
+        plan = self._get_jump_forward_batch()
+        if plan is not None:
+            return plan
         return self._get_decode_batch()
+
+    # ------- grammar jump-forward -------
+    def _try_jump_forward(self, req: Req) -> None:
+        """When the grammar forces a span, append its tokens WITHOUT model
+        forwards (reference: xgrammar jump-forward). Their KV is recomputed
+        in one extend batch next round (_get_jump_forward_batch) — same
+        re-tokenize-and-extend discipline as the reference."""
+        g = req.grammar
+        text = getattr(g, "jump_forward_text", lambda: "")()
+        if not text:
+            return
+        rem = req.remaining_new_tokens()
+        if rem <= 1:
+            return
+        tok = g.manager.tokenizer
+        try:
+            ids = tok.encode(text, add_special_tokens=False)
+        except TypeError:
+            ids = tok.encode(text)
+        # drop specials (BOS etc.): zero-text tokens contribute nothing to
+        # the forced span and would fail grammar validation
+        strs = g.manager.token_strings()
+        ids = [t for t in ids if t < len(strs) and strs[t] is not None]
+        ids = ids[: rem - 1]
+        if not ids:
+            return
+        # pages for the forced span + the token sampled after it
+        if not self._ensure_pages(req, req.total_len + len(ids) + 1):
+            return
+        if not g.try_advance_tokens(ids):
+            return  # tokenization mismatch: fall back to per-token masking
+        req.output_ids.extend(ids)
+        if req.sampling_params.return_logprob:
+            req.output_logprobs.extend([0.0] * len(ids))
+        self.jump_forward_tokens += len(ids)
+
+    def _get_jump_forward_batch(self) -> Optional[BatchPlan]:
+        """Extend batch over running reqs with uncomputed forced tokens
+        (total_len-1 > num_computed): computes their KV and samples after
+        the last forced token. Pages were ensured at append time."""
+        pend = [
+            r for r in self.running
+            if r.is_prefill_done and r.total_len - 1 > r.num_computed
+        ]
+        if not pend:
+            return None
+        b = len(pend)
+        lq = max(r.total_len - r.num_computed for r in pend)
+        token_ids = np.zeros((b, lq), np.int32)
+        positions = np.zeros((b, lq), np.int32)
+        slots = np.full((b, lq), -1, np.int32)
+        page_table = np.zeros((b, self.max_pages_per_seq), np.int32)
+        kv_lens = np.zeros((b,), np.int32)
+        q_start = np.zeros((b,), np.int32)
+        logit_idx = np.zeros((b,), np.int32)
+        for i, req in enumerate(pend):
+            start = req.num_computed
+            take = req.total_len - start
+            chunk = req.all_ids()[start:]
+            token_ids[i, :take] = chunk
+            positions[i, :take] = np.arange(start, start + take)
+            pv = np.asarray(req.pages, np.int32)
+            page_table[i, : len(pv)] = pv
+            kv_lens[i] = start + take
+            q_start[i] = start
+            abs_pos = np.arange(start, start + take)
+            slots[i, :take] = pv[abs_pos // self.page_size] * self.page_size + (
+                abs_pos % self.page_size
+            )
+            logit_idx[i] = take - 1
+        return BatchPlan(
+            kind="prefill",
+            reqs=pend,
+            token_ids=token_ids,
+            positions=positions,
+            page_table=page_table,
+            kv_lens=kv_lens,
+            q_start=q_start,
+            slots=slots,
+            logit_idx=logit_idx,
+            sample_mask=np.ones((b,), bool),
+        )
 
     # ------- prefill -------
     def _get_prefill_batch(self) -> Optional[BatchPlan]:
@@ -788,6 +874,7 @@ class Scheduler:
             req.output_logprobs.append(logprob)
         if req.grammar is not None:
             req.grammar.advance_token(token)
+            self._try_jump_forward(req)
         req.check_finished()
         if req.finished:
             req.finished_at = _time.monotonic()

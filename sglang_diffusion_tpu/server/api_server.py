@@ -36,7 +36,7 @@ logger = get_logger("api_server")
 
 
 def _sp_from_openai(body: Dict[str, Any], default_max: int) -> SamplingParams:
-    return SamplingParams(
+    sp = SamplingParams(
         max_new_tokens=body.get("max_tokens", body.get("max_completion_tokens", default_max)),
         temperature=body.get("temperature", 1.0),
         top_p=body.get("top_p", 1.0),
@@ -49,6 +49,16 @@ def _sp_from_openai(body: Dict[str, Any], default_max: int) -> SamplingParams:
         seed=body.get("seed"),
         lora_path=body.get("lora_path"),
     )
+    # constrained decoding (reference: OpenAI extra fields regex/ebnf +
+    # response_format json_schema, srt/entrypoints/openai/protocol.py)
+    if body.get("regex"):
+        sp.regex = body["regex"]
+    if body.get("ebnf"):
+        sp.ebnf = body["ebnf"]
+    rf = body.get("response_format") or {}
+    if rf.get("type") in ("json_object", "json_schema"):
+        sp.json_schema = "{}"
+    return sp
 
 
 class ApiServer:
