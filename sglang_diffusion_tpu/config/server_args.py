@@ -112,6 +112,9 @@ class ServerArgs:
     enable_metrics: bool = False
     # model-family tool-call format (reference: --tool-call-parser)
     tool_call_parser: Optional[str] = None
+    # thinking-model reasoning separation (reference: --reasoning-parser,
+    # srt/parser/reasoning_parser.py): deepseek-r1/qwen3/kimi/glm45/...
+    reasoning_parser: Optional[str] = None
     # OTel request tracing (reference: --enable-trace, srt/observability/)
     enable_trace: bool = False
     trace_exporter: str = "memory"  # memory | console | otlp

@@ -160,10 +160,252 @@ class DeepSeekDetector(BaseDetector):
         return (normal or None), calls
 
 
+class Qwen25Detector(HermesDetector):
+    """Qwen2.5 native format — same <tool_call> blocks as hermes
+    (reference: qwen25_detector.py separates with '\\n')."""
+
+    name = "qwen25"
+
+
+class Qwen3CoderDetector(BaseDetector):
+    """Qwen3-Coder XML format (reference: qwen3_coder_detector.py):
+    <tool_call><function=NAME><parameter=KEY>VALUE</parameter>...
+    </function></tool_call>. Parameter values are typed by best effort
+    (JSON literal else string)."""
+
+    name = "qwen3_coder"
+    markers = ("<function=",)
+    _block = re.compile(r"<tool_call>(.*?)</tool_call>", re.S)
+    _fn = re.compile(r"<function=([^>\n]+)>(.*?)</function>", re.S)
+    _param = re.compile(r"<parameter=([^>\n]+)>(.*?)</parameter>", re.S)
+
+    def detect(self, text, names):
+        calls = []
+        spans = []
+        for blk in self._block.finditer(text):
+            for fm in self._fn.finditer(blk.group(1)):
+                fn = fm.group(1).strip()
+                if names and fn not in names:
+                    continue
+                args = {}
+                for pm in self._param.finditer(fm.group(2)):
+                    args[pm.group(1).strip()] = _coerce(
+                        pm.group(2).strip("\n")
+                    )
+                calls.append(_mk_call(fn, args))
+            spans.append(blk.span())
+        if not calls:
+            return text, []
+        normal = _strip_spans(text, spans)
+        return (normal or None), calls
+
+
+class KimiK2Detector(BaseDetector):
+    """Kimi-K2 (reference: kimik2_detector.py):
+    <|tool_calls_section_begin|><|tool_call_begin|>functions.NAME:IDX
+    <|tool_call_argument_begin|>{json}<|tool_call_end|>...
+    <|tool_calls_section_end|>."""
+
+    name = "kimi_k2"
+    markers = ("<|tool_calls_section_begin|>", "<|tool_call_begin|>")
+    _re = re.compile(
+        r"<\|tool_call_begin\|>\s*([\w.]+):\d+\s*"
+        r"<\|tool_call_argument_begin\|>\s*(\{.*?\})\s*<\|tool_call_end\|>",
+        re.S,
+    )
+
+    def detect(self, text, names):
+        calls = []
+        for m in self._re.finditer(text):
+            fn = m.group(1).split(".")[-1]  # functions.get_weather -> name
+            if names and fn not in names:
+                continue
+            try:
+                args = json.loads(m.group(2))
+            except json.JSONDecodeError:
+                continue
+            calls.append(_mk_call(fn, args))
+        if not calls:
+            return text, []
+        normal = text.split("<|tool_calls_section_begin|>", 1)[0].strip()
+        return (normal or None), calls
+
+
+class Glm4MoeDetector(BaseDetector):
+    """GLM-4.5/4.6 MoE (reference: glm4_moe_detector.py): <tool_call>NAME
+    then <arg_key>K</arg_key><arg_value>V</arg_value> pairs."""
+
+    name = "glm4_moe"
+    markers = ("<arg_key>",)
+    _block = re.compile(r"<tool_call>(.*?)(?:\\n|\n)(.*?)</tool_call>", re.S)
+    _arg = re.compile(
+        r"<arg_key>(.*?)</arg_key>(?:\\n|\s)*<arg_value>(.*?)</arg_value>",
+        re.S,
+    )
+
+    def detect(self, text, names):
+        calls = []
+        spans = []
+        for m in self._block.finditer(text):
+            fn = m.group(1).strip()
+            if names and fn not in names:
+                continue
+            args = {
+                k.strip(): _coerce(v.strip())
+                for k, v in self._arg.findall(m.group(2))
+            }
+            calls.append(_mk_call(fn, args))
+            spans.append(m.span())
+        if not calls:
+            return text, []
+        normal = _strip_spans(text, spans)
+        return (normal or None), calls
+
+
+class GptOssDetector(BaseDetector):
+    """GPT-OSS harmony commentary channel (reference: gpt_oss_detector.py):
+    <|channel|>commentary to=functions.NAME <|constrain|>json
+    <|message|>{args}<|call|>."""
+
+    name = "gpt_oss"
+    markers = ("<|channel|>commentary to=",)
+    _re = re.compile(
+        r"<\|channel\|>commentary to=([\w.]+)\s*(?:<\|constrain\|>\w+)?\s*"
+        r"<\|message\|>(\{.*?\})\s*<\|call\|>",
+        re.S,
+    )
+
+    def detect(self, text, names):
+        calls = []
+        spans = []
+        for m in self._re.finditer(text):
+            fn = m.group(1).split(".")[-1]
+            if names and fn not in names:
+                continue
+            try:
+                args = json.loads(m.group(2))
+            except json.JSONDecodeError:
+                continue
+            calls.append(_mk_call(fn, args))
+            spans.append(m.span())
+        if not calls:
+            return text, []
+        normal = _strip_spans(text, spans)
+        # drop harmony frame tokens from surrounding text
+        normal = re.sub(r"<\|(start|end|return)\|>", "", normal).strip()
+        return (normal or None), calls
+
+
+class PythonicDetector(BaseDetector):
+    """Llama-4 pythonic format (reference: pythonic_detector.py):
+    [fn1(a=1, b="x"), fn2(c=[1,2])] — python call list, values are python
+    literals."""
+
+    name = "pythonic"
+    markers = ("[",)
+    _list = re.compile(
+        r"\[\s*[a-zA-Z_]\w*\s*\(.*?\)\s*(?:,\s*[a-zA-Z_]\w*\s*\(.*?\)\s*)*\]",
+        re.S,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        t = text.replace("<|python_start|>", "").replace("<|python_end|>", "")
+        return bool(self._list.search(t.strip()))
+
+    def detect(self, text, names):
+        import ast
+
+        t = text.replace("<|python_start|>", "").replace("<|python_end|>", "")
+        m = self._list.search(t)
+        if not m:
+            return text, []
+        try:
+            tree = ast.parse(m.group(0).strip(), mode="eval")
+        except SyntaxError:
+            return text, []
+        if not isinstance(tree.body, ast.List):
+            return text, []
+        calls = []
+        for el in tree.body.elts:
+            if not (
+                isinstance(el, ast.Call) and isinstance(el.func, ast.Name)
+            ):
+                return text, []
+            fn = el.func.id
+            if names and fn not in names:
+                continue
+            try:
+                args = {
+                    kw.arg: ast.literal_eval(kw.value) for kw in el.keywords
+                }
+            except (ValueError, SyntaxError):
+                continue
+            calls.append(_mk_call(fn, args))
+        if not calls:
+            return text, []
+        normal = (t[: m.start()] + t[m.end() :]).strip()
+        return (normal or None), calls
+
+
+class Step3Detector(BaseDetector):
+    """Step-3 steptml XML (reference: step3_detector.py):
+    <｜tool_calls_begin｜>...<steptml:invoke name="fn">
+    <steptml:parameter name="k">v</steptml:parameter></steptml:invoke>..."""
+
+    name = "step3"
+    markers = ("<steptml:invoke",)
+    _invoke = re.compile(
+        r'<steptml:invoke name="([^"]+)">(.+?)</steptml:invoke>', re.S
+    )
+    _param = re.compile(
+        r'<steptml:parameter name="([^"]+)">([^<]*)</steptml:parameter>', re.S
+    )
+
+    def detect(self, text, names):
+        calls = []
+        for m in self._invoke.finditer(text):
+            fn = m.group(1)
+            if names and fn not in names:
+                continue
+            args = {
+                k: _coerce(v.strip()) for k, v in self._param.findall(m.group(2))
+            }
+            calls.append(_mk_call(fn, args))
+        if not calls:
+            return text, []
+        normal = text.split("<｜tool_calls_begin｜>", 1)[0].strip()
+        return (normal or None), calls
+
+
+def _coerce(v: str):
+    """Best-effort typing for XML-ish parameter values: JSON literal if it
+    parses, else the raw string (reference detectors type by tool schema;
+    JSON-literal coercion covers numbers/bools/null/objects/arrays)."""
+    try:
+        return json.loads(v)
+    except (json.JSONDecodeError, ValueError):
+        return v
+
+
+def _strip_spans(text: str, spans) -> str:
+    out = []
+    last = 0
+    for a, b in spans:
+        out.append(text[last:a])
+        last = b
+    out.append(text[last:])
+    return "".join(out).strip()
+
+
+# insertion order = auto-detect priority: detectors with more specific
+# markers first (GLM4/qwen3-coder blocks also contain <tool_call>, so
+# hermes must come after them)
 _DETECTORS = {
     d.name: d for d in (
-        HermesDetector(), Llama3Detector(), MistralDetector(),
-        DeepSeekDetector(),
+        Qwen3CoderDetector(), Glm4MoeDetector(), KimiK2Detector(),
+        GptOssDetector(), Step3Detector(), DeepSeekDetector(),
+        MistralDetector(), Llama3Detector(), HermesDetector(),
+        Qwen25Detector(), PythonicDetector(),
     )
 }
 

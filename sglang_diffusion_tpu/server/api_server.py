@@ -767,16 +767,22 @@ class ApiServer:
                 r = self.engine._make_req(prompt, None, sp, stream=stream)
             cid = f"chatcmpl-{uuid.uuid4().hex}"
             created = int(time.time())
+            reasoner = self._make_reasoner(body)
             if not stream:
                 out = await self._run_one(r)
                 content: Any = out["text"]
                 tool_calls = []
                 finish = out["meta_info"]["finish_reason"]
+                reasoning_content = None
+                if reasoner is not None:
+                    reasoning_content, content = reasoner.parse(content)
                 if parser is not None:
-                    content, tool_calls = parser.parse(out["text"])
+                    content, tool_calls = parser.parse(content or "")
                     if tool_calls:
                         finish = "tool_calls"
                 msg: Dict[str, Any] = {"role": "assistant", "content": content}
+                if reasoning_content is not None:
+                    msg["reasoning_content"] = reasoning_content
                 if tool_calls:
                     msg["tool_calls"] = tool_calls
                 return Response(
@@ -807,7 +813,17 @@ class ApiServer:
                 while True:
                     ev = await q.get()
                     if ev["type"] == "delta":
-                        delta: Dict[str, Any] = {"content": ev["text"]}
+                        delta: Dict[str, Any] = {}
+                        if reasoner is not None:
+                            rd, nd = reasoner.parse_stream_chunk(ev["text"])
+                            if rd:
+                                delta["reasoning_content"] = rd
+                            if nd:
+                                delta["content"] = nd
+                            if not delta:
+                                continue  # held back (partial think token)
+                        else:
+                            delta["content"] = ev["text"]
                         if first:
                             delta["role"] = "assistant"
                             first = False
