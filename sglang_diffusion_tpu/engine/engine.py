@@ -300,6 +300,16 @@ class Engine:
             mm_embeds, input_ids, mm_spans, mm_positions, rope_delta = (
                 self._process_images(list(input_ids), image_data)
             )
+        # Out-of-vocab ids (tokenizer/model vocab mismatch, hostile input)
+        # would hit jnp.take's fill mode and embed as NaN, silently
+        # poisoning every downstream KV write. Clamp at the boundary.
+        V = self.model_config.vocab_size
+        if input_ids and (max(input_ids) >= V or min(input_ids) < 0):
+            logger.warning(
+                "clamping out-of-vocab input ids (max=%d, vocab=%d)",
+                max(input_ids), V,
+            )
+            input_ids = [min(max(t, 0), V - 1) for t in input_ids]
         eos_ids = []
         if self.tokenizer.eos_token_id is not None:
             eos_ids.append(self.tokenizer.eos_token_id)

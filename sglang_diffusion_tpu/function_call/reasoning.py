@@ -48,15 +48,21 @@ class ReasoningParser:
 
     # ---------- one-shot ----------
     def parse(self, text: str) -> Tuple[Optional[str], str]:
-        """Returns (reasoning_content or None, normal_content)."""
-        in_reasoning = self.force or self.start in text
-        if not in_reasoning:
+        """Returns (reasoning_content or None, normal_content).
+
+        Text preceding the start token stays normal content (the reference
+        keeps pre-start text outside the reasoning span)."""
+        if self.start in text:
+            pre, _, body = text.partition(self.start)
+        elif self.force:
+            pre, body = "", text
+        else:
             return None, text
-        body = text.replace(self.start, "", 1)
         if self.end not in body:
-            return body.strip() or None, ""
+            return body.strip() or None, pre.strip()
         reasoning, normal = body.split(self.end, 1)
-        return reasoning.strip() or None, normal.strip()
+        normal = (pre + normal).strip() if pre.strip() else normal.strip()
+        return reasoning.strip() or None, normal
 
     # ---------- streaming ----------
     def parse_stream_chunk(self, delta: str) -> Tuple[str, str]:
@@ -97,6 +103,20 @@ class ReasoningParser:
         out = text[: len(text) - keep]
         self._buffer = text[len(text) - keep:]
         return (out if self.stream_reasoning else ""), ""
+
+    def flush(self) -> Tuple[str, str]:
+        """Release any residual held-back buffer at end of stream.
+
+        Characters retained as a potential partial think-token match (e.g. a
+        trailing "</think" when the model hits max_tokens) are returned here,
+        classified by the current in/out-of-reasoning state, so the final
+        delta does not silently drop them."""
+        text, self._buffer = self._buffer, ""
+        if not text:
+            return "", ""
+        if self._in_reasoning and not self._done:
+            return (text if self.stream_reasoning else ""), ""
+        return "", text
 
     @staticmethod
     def _partial_tail(text: str, token: str) -> int:

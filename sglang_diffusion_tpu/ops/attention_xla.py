@@ -116,6 +116,13 @@ def _attn_core(
     qg = q.reshape(b, tq, hkv, group, d).astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
+    # Zero K/V in slots no query attends (stale/unwritten cache pages): the
+    # score-side where() below sanitizes masked K, but 0-prob x NaN V still
+    # NaNs the output einsum. Reused pages legitimately hold garbage beyond
+    # kv_len — attention must be robust to non-finite values there.
+    slot_live = jnp.any(mask, axis=1)[:, :, None, None]  # [B, Lkv, 1, 1]
+    kf = jnp.where(slot_live, kf, 0.0)
+    vf = jnp.where(slot_live, vf, 0.0)
     # scores: [B, Hkv, group, Tq, Lkv]
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * sm_scale
     if softcap is not None:

@@ -125,6 +125,26 @@ class ApiServer:
             out.append({**m, "content": "".join(texts)})
         return out, images
 
+    def _make_reasoner(self, body: Dict[str, Any]):
+        """Build a ReasoningParser for this chat request, or None.
+
+        Family is taken from the per-request "reasoning_parser" field when
+        present, else ServerArgs.reasoning_parser. A request can opt out of
+        separation with separate_reasoning=false (reference:
+        srt/entrypoints/openai/serving_chat.py separate_reasoning flag).
+        """
+        family = body.get("reasoning_parser") or self.args.reasoning_parser
+        if not family or not body.get("separate_reasoning", True):
+            return None
+        from sglang_diffusion_tpu.function_call.reasoning import ReasoningParser
+
+        try:
+            return ReasoningParser(
+                family, stream_reasoning=body.get("stream_reasoning", True)
+            )
+        except KeyError:
+            return None
+
     def _messages_to_prompt(self, messages: List[Dict[str, str]]) -> str:
         tk = self.engine.tokenizer
         if hasattr(tk, "apply_chat_template"):
@@ -840,6 +860,32 @@ class ApiServer:
                         )
                     elif ev["type"] == "done":
                         out = ev["output"]
+                        if reasoner is not None:
+                            rd, nd = reasoner.flush()
+                            tail: Dict[str, Any] = {}
+                            if rd:
+                                tail["reasoning_content"] = rd
+                            if nd:
+                                tail["content"] = nd
+                            if tail:
+                                if first:
+                                    tail["role"] = "assistant"
+                                    first = False
+                                yield sse(
+                                    {
+                                        "id": cid,
+                                        "object": "chat.completion.chunk",
+                                        "created": created,
+                                        "model": model_id,
+                                        "choices": [
+                                            {
+                                                "index": 0,
+                                                "delta": tail,
+                                                "finish_reason": None,
+                                            }
+                                        ],
+                                    }
+                                )
                         yield sse(
                             {
                                 "id": cid,

@@ -74,9 +74,33 @@ def setup_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     try:
+        # Key the directory by backend platform, and for CPU also by a host
+        # CPU-feature fingerprint: XLA:CPU AOT executables are ISA-specific
+        # (loading an AMX-compiled entry on a non-AMX host can SIGILL), and
+        # the jax cache key does not include the machine type.
+        backend = jax.default_backend()
+        sub = backend
+        if backend == "cpu":
+            import hashlib
+            import platform as _plat
+
+            feat = _plat.machine()
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            feat += line
+                            break
+            except OSError:
+                pass
+            sub = f"cpu-{hashlib.sha256(feat.encode()).hexdigest()[:12]}"
+        cache_dir = os.path.join(cache_dir, sub)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Over the remote-TPU tunnel even "fast" compiles cost seconds of
+        # round trips that jax's measured compile time does not see; cache
+        # everything (min compile time 0).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _CACHE_CONFIGURED = True
         get_logger().info("persistent XLA compilation cache: %s", cache_dir)
