@@ -26,6 +26,19 @@ SCENARIOS = {
     "flux_class_t2i": dict(
         hidden=3072, depth=19, heads=24, lat_ch=16, height=512, width=512, steps=8
     ),
+    # family pipelines (real block math, reduced depth to fit one chip;
+    # BASELINE.md rows: flux_image_t2i 7,799 ms e2e / 150.8 ms-step,
+    # wan2_1_t2v_1.3b 18,382 ms / 260.8 ms-step on 1x H100)
+    "flux_t2i": dict(
+        family="flux", height=512, width=512, steps=8,
+        flux=dict(num_layers=4, num_single_layers=8,
+                  attention_head_dim=128, num_attention_heads=24,
+                  joint_attention_dim=1024, pooled_projection_dim=256),
+    ),
+    "wan2_1_t2v": dict(
+        family="wan", height=480, width=832, steps=4, frames=9,
+        wan=dict(),  # Wan2.1-T2V-1.3B defaults (dim 1536, 30 layers)
+    ),
 }
 
 
@@ -39,28 +52,50 @@ def main():
     steps = args.steps or sc["steps"]
 
     from sglang_diffusion_tpu.diffusion.generator import DiffGenerator
-    from sglang_diffusion_tpu.diffusion.models.dit import DiTConfig
-    from sglang_diffusion_tpu.diffusion.models.text_encoder import TextEncoderConfig
-    from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig
 
     import jax.numpy as jnp
 
-    gen = DiffGenerator.from_config(
-        dit_cfg=DiTConfig(
-            hidden_size=sc["hidden"],
-            depth=sc["depth"],
-            num_heads=sc["heads"],
-            in_channels=sc["lat_ch"],
-            text_dim=sc["hidden"] // 2,
-        ),
-        vae_cfg=VAEConfig(latent_channels=sc["lat_ch"], base_channels=32),
-        te_cfg=TextEncoderConfig(hidden_size=sc["hidden"] // 2, num_layers=2),
-        dtype=jnp.bfloat16,
-    )
+    if sc.get("family") == "flux":
+        from sglang_diffusion_tpu.diffusion.flux_pipeline import FluxPipeline
+        from sglang_diffusion_tpu.diffusion.models.flux import FluxConfig
+
+        pipe = FluxPipeline(flux_cfg=FluxConfig(**sc["flux"]),
+                            dtype=jnp.bfloat16)
+        gen = DiffGenerator(pipe)
+    elif sc.get("family") == "wan":
+        from sglang_diffusion_tpu.diffusion.models.wan import WanConfig
+        from sglang_diffusion_tpu.diffusion.wan_pipeline import (
+            WanVideoPipeline,
+        )
+
+        pipe = WanVideoPipeline(wan_cfg=WanConfig(**sc["wan"]),
+                                dtype=jnp.bfloat16)
+        gen = DiffGenerator(pipe)
+    else:
+        from sglang_diffusion_tpu.diffusion.models.dit import DiTConfig
+        from sglang_diffusion_tpu.diffusion.models.text_encoder import (
+            TextEncoderConfig,
+        )
+        from sglang_diffusion_tpu.diffusion.models.vae import VAEConfig
+
+        gen = DiffGenerator.from_config(
+            dit_cfg=DiTConfig(
+                hidden_size=sc["hidden"],
+                depth=sc["depth"],
+                num_heads=sc["heads"],
+                in_channels=sc["lat_ch"],
+                text_dim=sc["hidden"] // 2,
+            ),
+            vae_cfg=VAEConfig(latent_channels=sc["lat_ch"], base_channels=32),
+            te_cfg=TextEncoderConfig(hidden_size=sc["hidden"] // 2, num_layers=2),
+            dtype=jnp.bfloat16,
+        )
+    frames = sc.get("frames", 0)
     # warmup (compiles the denoise scan + vae)
     t0 = time.time()
     gen.generate("warmup", height=sc["height"], width=sc["width"],
-                 num_inference_steps=steps, guidance_scale=args.guidance)
+                 num_inference_steps=steps, guidance_scale=args.guidance,
+                 num_frames=frames)
     print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     out = gen.generate(
@@ -69,6 +104,7 @@ def main():
         width=sc["width"],
         num_inference_steps=steps,
         guidance_scale=args.guidance,
+        num_frames=frames,
         seed=7,
     )
     mi = out["meta_info"]

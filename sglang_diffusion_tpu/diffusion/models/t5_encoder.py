@@ -199,3 +199,28 @@ class T5Encoder:
                 "unsqueeze0",
             )
         return m
+
+    @staticmethod
+    def convert_hf_weights(cfg: "T5Config", get, dtype=jnp.float32):
+        """Build our param tree from HF tensors via `get(name) -> array`
+        (used by the diffusers directory loader and the parity tests)."""
+        params: Dict[str, Any] = {}
+        for path, (tmpl, tf) in T5Encoder.hf_weight_map(cfg).items():
+            def fetch(name):
+                w = np.asarray(get(name))
+                if tf == "t":
+                    return w.T
+                if tf == "unsqueeze0":
+                    return w[None]
+                return w
+
+            if "{i}" in tmpl:
+                leaf = np.stack(
+                    [fetch(tmpl.format(i=i)) for i in range(cfg.num_layers)])
+            else:
+                leaf = fetch(tmpl)
+            node = params
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = jnp.asarray(leaf, dtype)
+        return params

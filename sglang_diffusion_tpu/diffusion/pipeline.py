@@ -385,9 +385,21 @@ class DiffusionPipeline:
 
     def vae_decode(self, latents: jax.Array):
         if self._decode_jit is None:
-            self._decode_jit = jax.jit(
-                lambda p, z: VAEDecoder.apply(p, z, self.vae_cfg)
-            )
+            kl_cfg = getattr(self, "vae_kl_cfg", None)
+            if kl_cfg is not None:
+                # real diffusers AutoencoderKL checkpoint ingested by the
+                # directory loader (diffusers_loader.py)
+                from sglang_diffusion_tpu.diffusion.models.autoencoder_kl import (
+                    AutoencoderKLDecoder,
+                )
+
+                self._decode_jit = jax.jit(
+                    lambda p, z: AutoencoderKLDecoder.apply(p, z, kl_cfg)
+                )
+            else:
+                self._decode_jit = jax.jit(
+                    lambda p, z: VAEDecoder.apply(p, z, self.vae_cfg)
+                )
         return self._decode_jit(self.params["vae"], latents)
 
     def vae_encode(self, images: jax.Array):
