@@ -827,80 +827,97 @@ class ApiServer:
                     }
                 )
 
+            # incremental tool-call deltas (reference analog:
+            # base_format_detector.parse_streaming_increment) — only for
+            # formats with a streaming spec; others fall back to plain
+            # content streaming and one-shot parse by the client
+            stream_tools = None
+            if parser is not None:
+                from sglang_diffusion_tpu.function_call.streaming import (
+                    SPECS,
+                    StreamingToolParser,
+                )
+
+                fmt = self.args.tool_call_parser or "json"
+                if fmt in SPECS:
+                    stream_tools = StreamingToolParser(fmt, tools)
+
             async def gen() -> AsyncIterator[bytes]:
                 q = self.eloop.submit(r)
                 first = True
+
+                def chunk(delta: Dict[str, Any], finish=None) -> bytes:
+                    return sse(
+                        {
+                            "id": cid,
+                            "object": "chat.completion.chunk",
+                            "created": created,
+                            "model": model_id,
+                            "choices": [
+                                {"index": 0, "delta": delta,
+                                 "finish_reason": finish}
+                            ],
+                        }
+                    )
+
+                def route(text: str) -> Optional[Dict[str, Any]]:
+                    """Split a content delta into content/tool_calls."""
+                    delta: Dict[str, Any] = {}
+                    if stream_tools is not None:
+                        normal, tds = stream_tools.feed(text)
+                        if normal:
+                            delta["content"] = normal
+                        if tds:
+                            delta["tool_calls"] = tds
+                    elif text:
+                        delta["content"] = text
+                    return delta or None
+
                 while True:
                     ev = await q.get()
                     if ev["type"] == "delta":
-                        delta: Dict[str, Any] = {}
+                        delta = {}
                         if reasoner is not None:
                             rd, nd = reasoner.parse_stream_chunk(ev["text"])
                             if rd:
                                 delta["reasoning_content"] = rd
                             if nd:
-                                delta["content"] = nd
-                            if not delta:
-                                continue  # held back (partial think token)
+                                delta.update(route(nd) or {})
                         else:
-                            delta["content"] = ev["text"]
+                            delta = route(ev["text"]) or {}
+                        if not delta:
+                            continue  # held back (partial marker)
                         if first:
                             delta["role"] = "assistant"
                             first = False
-                        yield sse(
-                            {
-                                "id": cid,
-                                "object": "chat.completion.chunk",
-                                "created": created,
-                                "model": model_id,
-                                "choices": [
-                                    {"index": 0, "delta": delta, "finish_reason": None}
-                                ],
-                            }
-                        )
+                        yield chunk(delta)
                     elif ev["type"] == "done":
                         out = ev["output"]
+                        tail: Dict[str, Any] = {}
+                        residual = ""
                         if reasoner is not None:
                             rd, nd = reasoner.flush()
-                            tail: Dict[str, Any] = {}
                             if rd:
                                 tail["reasoning_content"] = rd
-                            if nd:
-                                tail["content"] = nd
-                            if tail:
-                                if first:
-                                    tail["role"] = "assistant"
-                                    first = False
-                                yield sse(
-                                    {
-                                        "id": cid,
-                                        "object": "chat.completion.chunk",
-                                        "created": created,
-                                        "model": model_id,
-                                        "choices": [
-                                            {
-                                                "index": 0,
-                                                "delta": tail,
-                                                "finish_reason": None,
-                                            }
-                                        ],
-                                    }
-                                )
-                        yield sse(
-                            {
-                                "id": cid,
-                                "object": "chat.completion.chunk",
-                                "created": created,
-                                "model": model_id,
-                                "choices": [
-                                    {
-                                        "index": 0,
-                                        "delta": {},
-                                        "finish_reason": out["meta_info"]["finish_reason"],
-                                    }
-                                ],
-                            }
-                        )
+                            residual = nd
+                        if stream_tools is not None:
+                            n1, t1 = stream_tools.feed(residual)
+                            n2, t2 = stream_tools.flush()
+                            if n1 + n2:
+                                tail["content"] = n1 + n2
+                            if t1 + t2:
+                                tail["tool_calls"] = t1 + t2
+                        elif residual:
+                            tail["content"] = residual
+                        if tail:
+                            if first:
+                                tail["role"] = "assistant"
+                                first = False
+                            yield chunk(tail)
+                        finish = out["meta_info"]["finish_reason"]
+                        if stream_tools is not None and stream_tools.any_calls:
+                            finish = "tool_calls"
+                        yield chunk({}, finish)
                         break
                     else:
                         break
