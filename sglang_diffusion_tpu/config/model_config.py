@@ -40,13 +40,20 @@ class VisionConfig:
     @classmethod
     def from_hf(cls, cfg: Dict[str, Any], outer: Dict[str, Any]) -> "VisionConfig":
         strategy = outer.get("vision_feature_select_strategy", "default")
+
+        def scalar(v, default):
+            # some towers (InternViT) store image/patch size as [h, w]
+            if isinstance(v, (list, tuple)):
+                v = v[0]
+            return v if v is not None else default
+
         return cls(
             hidden_size=cfg.get("hidden_size", 1024),
             intermediate_size=cfg.get("intermediate_size", 4096),
             num_hidden_layers=cfg.get("num_hidden_layers", 24),
             num_attention_heads=cfg.get("num_attention_heads", 16),
-            image_size=cfg.get("image_size", 336),
-            patch_size=cfg.get("patch_size", 14),
+            image_size=scalar(cfg.get("image_size"), 336),
+            patch_size=scalar(cfg.get("patch_size"), 14),
             layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
             hidden_act=cfg.get("hidden_act", "gelu_pytorch_tanh"),
             feature_layer=outer.get("vision_feature_layer", -2),
@@ -196,7 +203,20 @@ class ModelConfig:
         if "text_config" in cfg and "vision_config" in cfg:
             outer = cfg
             inner = dict(cfg["text_config"])
-            inner.setdefault("architectures", ["LlamaForCausalLM"])
+            # text_config rarely carries architectures; derive the LM family
+            # from its model_type so family quirks (gemma norms, qwen bias)
+            # apply inside MM models
+            _mt_arch = {
+                "gemma3_text": "Gemma3ForCausalLM",
+                "gemma2": "Gemma2ForCausalLM",
+                "qwen2": "Qwen2ForCausalLM",
+                "qwen3": "Qwen3ForCausalLM",
+                "mistral": "MistralForCausalLM",
+            }
+            inner.setdefault(
+                "architectures",
+                [_mt_arch.get(inner.get("model_type"), "LlamaForCausalLM")],
+            )
             mc = cls.from_hf_config(inner)
             arch = (outer.get("architectures") or [None])[0]
             if arch is None:

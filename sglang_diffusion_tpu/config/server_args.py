@@ -133,7 +133,8 @@ class ServerArgs:
     max_new_tokens_default: int = 128
 
     # ---- speculative decoding ----
-    speculative_algorithm: Optional[str] = None  # None | ngram | eagle
+    # None | ngram | eagle | mtp (DeepSeek-V3 NextN head) | draft_model
+    speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
     # EAGLE draft head checkpoint (safetensors dir); random-init if unset
     speculative_draft_model_path: Optional[str] = None

@@ -141,10 +141,14 @@ class Engine:
                 k=self.args.speculative_num_draft_tokens,
                 draft_params=dparams,
             )
-        if self.args.speculative_algorithm == "eagle":
-            from sglang_diffusion_tpu.spec.eagle import EagleDrafter
+        if self.args.speculative_algorithm in ("eagle", "mtp"):
+            if self.args.speculative_algorithm == "mtp":
+                # DeepSeek-V3-style multi-token-prediction head
+                from sglang_diffusion_tpu.spec.mtp import MTPDrafter as _D
+            else:
+                from sglang_diffusion_tpu.spec.eagle import EagleDrafter as _D
 
-            self.scheduler.drafter = EagleDrafter(
+            self.scheduler.drafter = _D(
                 self.runner,
                 k=self.args.speculative_num_draft_tokens,
                 draft_path=self.args.speculative_draft_model_path,
@@ -955,6 +959,38 @@ class Engine:
                     "meta_info": {"prompt_tokens": len(ids)},
                 }
             )
+        return outs[0] if single else outs
+
+    # ---------------- classification / reward ----------------
+    def classify(self, prompt: Union[str, List[str]]) -> Union[Dict, List[Dict]]:
+        """Per-class logits from a sequence-classification / reward head
+        (reference analog: the /classify route served by
+        LlamaForSequenceClassification-style models)."""
+        from sglang_diffusion_tpu.models.registry import get_model_cls
+        from sglang_diffusion_tpu.utils.common import cdiv
+
+        cls = get_model_cls(self.model_config.architecture)
+        if not getattr(cls, "is_classification", False):
+            raise ValueError(
+                f"{self.model_config.architecture} has no score head")
+        score = cls.make_score_head(self.model_config)
+        single = isinstance(prompt, str)
+        prompts = [prompt] if single else prompt
+        outs = []
+        for p in prompts:
+            ids = self.tokenizer.encode(p)
+            pages = self.allocator.alloc(cdiv(len(ids), self.args.page_size))
+            try:
+                emb = self.runner.run_embedding(ids, pages)
+            finally:
+                self.allocator.free(pages)
+            logits = np.asarray(
+                score(self.runner.params, jnp.asarray(emb)), np.float32
+            )
+            outs.append({
+                "embedding": logits.tolist(),
+                "meta_info": {"prompt_tokens": len(ids)},
+            })
         return outs[0] if single else outs
 
     # ---------------- scoring ----------------

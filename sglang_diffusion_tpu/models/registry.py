@@ -39,6 +39,10 @@ def get_model_cls(architecture: str):
     import sglang_diffusion_tpu.models.gpt_oss  # noqa: F401
     import sglang_diffusion_tpu.models.qwen2_audio  # noqa: F401
     import sglang_diffusion_tpu.models.qwen2_vl  # noqa: F401
+    import sglang_diffusion_tpu.models.gemma3_mm  # noqa: F401
+    import sglang_diffusion_tpu.models.internvl  # noqa: F401
+    import sglang_diffusion_tpu.models.heads  # noqa: F401
+    import sglang_diffusion_tpu.models.mtp  # noqa: F401
 
     if architecture not in _REGISTRY:
         raise KeyError(

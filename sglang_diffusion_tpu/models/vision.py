@@ -141,6 +141,124 @@ def make_vision_forward(v: VisionConfig):
     return encode
 
 
+# ---------------- SigLIP tower (Gemma3-MM, PaliGemma) ----------------
+
+
+def init_siglip_params(rng: jax.Array, v: VisionConfig, dtype=jnp.bfloat16):
+    """SiglipVisionModel: patch conv WITH bias, learned pos embed over all
+    patches (no CLS), pre-LN blocks, post_layernorm at the end."""
+    E, F, L = v.hidden_size, v.intermediate_size, v.num_hidden_layers
+    Pd = 3 * v.patch_size * v.patch_size
+    keys = jax.random.split(rng, 10)
+
+    def init(key, shape, scale=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "patch_embed": init(keys[0], (Pd, E)),
+        "patch_embed_b": jnp.zeros((E,), dtype),
+        "pos_embed": init(keys[2], (v.num_patches, E)),
+        "post_ln": {"w": jnp.ones((E,), dtype), "b": jnp.zeros((E,), dtype)},
+        "layers": {
+            "ln1_w": jnp.ones((L, E), dtype),
+            "ln1_b": jnp.zeros((L, E), dtype),
+            "ln2_w": jnp.ones((L, E), dtype),
+            "ln2_b": jnp.zeros((L, E), dtype),
+            "wq": init(keys[3], (L, E, E)),
+            "bq": jnp.zeros((L, E), dtype),
+            "wk": init(keys[4], (L, E, E)),
+            "bk": jnp.zeros((L, E), dtype),
+            "wv": init(keys[5], (L, E, E)),
+            "bv": jnp.zeros((L, E), dtype),
+            "wo": init(keys[6], (L, E, E)),
+            "bo": jnp.zeros((L, E), dtype),
+            "w_fc1": init(keys[7], (L, E, F)),
+            "b_fc1": jnp.zeros((L, F), dtype),
+            "w_fc2": init(keys[8], (L, F, E)),
+            "b_fc2": jnp.zeros((L, E), dtype),
+        },
+    }
+
+
+def make_siglip_forward(v: VisionConfig):
+    """encode(params, pixel_values [N,3,H,W]) -> [N, T, E] — the
+    post-layernorm last hidden state (what Gemma3 feeds its projector)."""
+    E = v.hidden_size
+    H = v.num_attention_heads
+    D = E // H
+    eps = v.layer_norm_eps
+    act = _act(v.hidden_act)
+    L = v.num_hidden_layers
+    scale = 1.0 / np.sqrt(D)
+
+    def ln(x, w, b):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+    def block(l, hidden, layers):
+        lp = jax.tree.map(lambda x: x[l], layers)
+        n, t, _ = hidden.shape
+        h = ln(hidden, lp["ln1_w"], lp["ln1_b"])
+        q = (h @ lp["wq"] + lp["bq"]).reshape(n, t, H, D)
+        k = (h @ lp["wk"] + lp["bk"]).reshape(n, t, H, D)
+        val = (h @ lp["wv"] + lp["bv"]).reshape(n, t, H, D)
+        logits = jnp.einsum("nthd,nshd->nhts", q, k) * scale
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            q.dtype)
+        o = jnp.einsum("nhts,nshd->nthd", attn, val).reshape(n, t, E)
+        hidden = hidden + (o @ lp["wo"] + lp["bo"])
+        h = ln(hidden, lp["ln2_w"], lp["ln2_b"])
+        hidden = hidden + (
+            act((h @ lp["w_fc1"] + lp["b_fc1"]).astype(jnp.float32))
+            .astype(hidden.dtype) @ lp["w_fc2"] + lp["b_fc2"])
+        return hidden
+
+    def encode(params, pixel_values):
+        patches = patchify(pixel_values.astype(params["patch_embed"].dtype),
+                           v.patch_size)
+        x = patches @ params["patch_embed"] + params["patch_embed_b"]
+        x = x + params["pos_embed"]
+        x = jax.lax.fori_loop(
+            0, L, lambda l, h: block(l, h, params["layers"]), x
+        )
+        return ln(x, params["post_ln"]["w"], params["post_ln"]["b"])
+
+    return encode
+
+
+def siglip_hf_weight_map() -> Dict[Any, Any]:
+    pre = "vision_tower.vision_model"
+    lyr = pre + ".encoder.layers.{j}"
+    return {
+        ("vision", "patch_embed"): (
+            pre + ".embeddings.patch_embedding.weight", "conv"),
+        ("vision", "patch_embed_b"): (
+            pre + ".embeddings.patch_embedding.bias", None),
+        ("vision", "pos_embed"): (
+            pre + ".embeddings.position_embedding.weight", None),
+        ("vision", "post_ln", "w"): (pre + ".post_layernorm.weight", None),
+        ("vision", "post_ln", "b"): (pre + ".post_layernorm.bias", None),
+        ("vision", "layers", "ln1_w"): (lyr + ".layer_norm1.weight", None),
+        ("vision", "layers", "ln1_b"): (lyr + ".layer_norm1.bias", None),
+        ("vision", "layers", "ln2_w"): (lyr + ".layer_norm2.weight", None),
+        ("vision", "layers", "ln2_b"): (lyr + ".layer_norm2.bias", None),
+        ("vision", "layers", "wq"): (lyr + ".self_attn.q_proj.weight", "t"),
+        ("vision", "layers", "bq"): (lyr + ".self_attn.q_proj.bias", None),
+        ("vision", "layers", "wk"): (lyr + ".self_attn.k_proj.weight", "t"),
+        ("vision", "layers", "bk"): (lyr + ".self_attn.k_proj.bias", None),
+        ("vision", "layers", "wv"): (lyr + ".self_attn.v_proj.weight", "t"),
+        ("vision", "layers", "bv"): (lyr + ".self_attn.v_proj.bias", None),
+        ("vision", "layers", "wo"): (lyr + ".self_attn.out_proj.weight", "t"),
+        ("vision", "layers", "bo"): (lyr + ".self_attn.out_proj.bias", None),
+        ("vision", "layers", "w_fc1"): (lyr + ".mlp.fc1.weight", "t"),
+        ("vision", "layers", "b_fc1"): (lyr + ".mlp.fc1.bias", None),
+        ("vision", "layers", "w_fc2"): (lyr + ".mlp.fc2.weight", "t"),
+        ("vision", "layers", "b_fc2"): (lyr + ".mlp.fc2.bias", None),
+    }
+
+
 def vision_hf_weight_map() -> Dict[Any, Any]:
     """HF CLIPVisionModel tensor names ({j} = vision layer index). The patch
     conv weight [E, 3, p, p] is flattened+transposed to our [3*p*p, E] dense

@@ -244,6 +244,27 @@ class ApiServer:
             ok = self.eloop.abort(body.get("rid", ""))
             return Response({"success": ok})
 
+        @http.route("POST", "/classify")
+        async def classify(req: Request) -> Response:
+            """Reward / sequence-classification logits (reference analog:
+            srt/entrypoints/http_server.py /classify)."""
+            body = req.json()
+            inp = body.get("text", body.get("input", ""))
+            prompts = inp if isinstance(inp, list) else [inp]
+            loop = asyncio.get_running_loop()
+            outs = await loop.run_in_executor(
+                None, lambda: self.engine.classify(prompts)
+            )
+            return Response(
+                [
+                    {
+                        "embedding": o["embedding"],
+                        "meta_info": o["meta_info"],
+                    }
+                    for o in outs
+                ]
+            )
+
         @http.route("POST", "/v1/embeddings")
         async def embeddings(req: Request) -> Response:
             body = req.json()

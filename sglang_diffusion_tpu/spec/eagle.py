@@ -176,6 +176,21 @@ class EagleDrafter:
         def embed(tparams, toks):
             return jnp.take(tparams["embed"], toks, axis=0)
 
+        # MTP/NextN flavor (spec/mtp.py): embed and hidden are each
+        # RMS-normed before the 2E->E projection (DeepSeek-V3 MTP,
+        # reference srt/models/deepseek_nextn.py); plain EAGLE fuses raw
+        mtp = "enorm" in self.draft_params
+
+        def fuse(tparams, dparams, toks, feats):
+            e = embed(tparams, toks)
+            if mtp:
+                e = rms_norm(e, dparams["enorm"], eps)
+                feats = rms_norm(feats, dparams["hnorm"], eps)
+            return jnp.dot(
+                jnp.concatenate([e, feats.astype(e.dtype)], axis=-1),
+                dparams["fc"],
+            )
+
         def head_logits(tparams, dparams, g):  # g [B, E] -> logits f32
             from sglang_diffusion_tpu.quant.quantize import (
                 dense_maybe_quantized,
@@ -207,10 +222,7 @@ class EagleDrafter:
                 slot_ids=ext_slots,
                 logit_idx=jnp.zeros_like(ext_kv_lens),
             )
-            x = jnp.concatenate(
-                [embed(tparams, ext_tokens), ext_feats], axis=-1
-            )
-            h = jnp.dot(x, dparams["fc"])
+            h = fuse(tparams, dparams, ext_tokens, ext_feats)
             _, draft_kv = layer_body(
                 0, h, draft_kv, dparams["layers"], ext_pos, meta
             )
@@ -225,10 +237,7 @@ class EagleDrafter:
                     slot_ids=chain_slots[:, j][:, None],
                     logit_idx=jnp.zeros_like(pos),
                 )
-                x = jnp.concatenate(
-                    [embed(tparams, tok[:, None]), feat[:, None]], axis=-1
-                )
-                h = jnp.dot(x, dparams["fc"])
+                h = fuse(tparams, dparams, tok[:, None], feat[:, None])
                 g, draft_kv = layer_body(
                     0, h, draft_kv, dparams["layers"], pos[:, None], meta
                 )
