@@ -309,8 +309,15 @@ class PythonicDetector(BaseDetector):
     )
 
     def has_tool_call(self, text: str) -> bool:
-        t = text.replace("<|python_start|>", "").replace("<|python_end|>", "")
-        return bool(self._list.search(t.strip()))
+        # auto-detect guard: the _list regex matches call-looking spans in
+        # ordinary prose ("[see(figure)]", markdown "[f(x)]"); only claim
+        # the text when the model used the explicit wrapper or the WHOLE
+        # (stripped) output is the call list (explicit
+        # tool_call_parser="pythonic" still parses embedded lists)
+        if "<|python_start|>" in text:
+            return True
+        m = self._list.fullmatch(text.strip())
+        return bool(m)
 
     def detect(self, text, names):
         import ast

@@ -221,10 +221,29 @@ class Scheduler:
         if rem <= 1:
             return
         tok = g.manager.tokenizer
-        try:
-            ids = tok.encode(text, add_special_tokens=False)
-        except TypeError:
-            ids = tok.encode(text)
+
+        def enc(s):
+            try:
+                return tok.encode(s, add_special_tokens=False)
+            except TypeError:
+                return tok.encode(s)
+
+        # Re-tokenize a small decoded suffix together with the forced span
+        # so BPE merges across the boundary stay canonical (reference:
+        # xgrammar jump-forward re-tokenizes text + jump string). Only
+        # accepted when the suffix's own tokens survive unchanged —
+        # rewriting already-computed tokens would need grammar rollback.
+        ids = None
+        tail = req.all_ids()[-8:]
+        if tail:
+            try:
+                merged = enc(tok.decode(tail) + text)
+                if merged[: len(tail)] == list(tail):
+                    ids = merged[len(tail):]
+            except Exception:  # noqa: BLE001 — non-round-tripping tokenizer
+                ids = None
+        if ids is None:
+            ids = enc(text)
         # drop specials (BOS etc.): zero-text tokens contribute nothing to
         # the forced span and would fail grammar validation
         strs = g.manager.token_strings()
