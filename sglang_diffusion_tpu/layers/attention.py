@@ -54,6 +54,22 @@ def register_attention_backend(name: str):
 def get_attention_backend(name: str) -> AttentionFn:
     if name == "auto":
         name = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if name.startswith("sparse"):
+        # "sparse" or "sparse:<k>": top-k page-sparse decode (long-context
+        # opt-in; reference analog: NSA block selection). Prefill stays
+        # dense inside sparse_paged_attention's trace-time branch.
+        topk = int(name.split(":", 1)[1]) if ":" in name else 16
+
+        def _sparse_backend(q, kv_cache, layer_idx, meta: AttentionMetadata,
+                            sm_scale: float, window=None, softcap=None,
+                            sinks=None):
+            return attention_xla.sparse_paged_attention(
+                q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
+                meta.q_start_pos, sm_scale, topk_pages=topk, window=window,
+                softcap=softcap, tree_mask=meta.tree_mask, sinks=sinks,
+            )
+
+        return _sparse_backend
     if name not in _BACKENDS:
         raise KeyError(f"unknown attention backend {name}; have {list(_BACKENDS)}")
     return _BACKENDS[name]

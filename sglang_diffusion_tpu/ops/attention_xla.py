@@ -204,6 +204,85 @@ def paged_attention(
                       softcap, sinks)
 
 
+def sparse_paged_attention(
+    q: jax.Array,  # [B, Tq, Hq, D]
+    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    layer_idx,
+    page_table: jax.Array,  # [B, pages_per_seq]
+    kv_lens: jax.Array,  # [B]
+    q_start_pos: jax.Array,  # [B]
+    sm_scale: float,
+    topk_pages: int = 16,
+    window=None,
+    softcap: float = None,
+    tree_mask=None,
+    sinks=None,
+) -> jax.Array:
+    """Top-k page-sparse decode attention (long-context path).
+
+    Reference analog: NSA top-k block selection
+    (srt/layers/attention/nsa/nsa_indexer.py) / Quest-style page scoring,
+    re-designed for XLA: each page is scored by the query against two
+    representative cached keys (slot 0 and the page midpoint), the sink
+    page and the two most-recent pages are force-included, and attention
+    runs over only the top-k selected pages — HBM traffic per decode step
+    becomes O(k * page_size) instead of O(context).
+
+    Prefill (Tq > 1) and tree-verify batches fall back to dense paged
+    attention (static trace-time branch). Sequences short enough to fit
+    inside the k selected pages are EXACT (every real page selected).
+    """
+    b, tq = q.shape[0], q.shape[1]
+    pages_per_seq = page_table.shape[1]
+    if tq > 1 or tree_mask is not None or pages_per_seq <= topk_pages:
+        return paged_attention(
+            q, kv_cache, layer_idx, page_table, kv_lens, q_start_pos,
+            sm_scale, window=window, softcap=softcap, tree_mask=tree_mask,
+            sinks=sinks)
+    page_size = kv_cache.shape[3]
+    hq = q.shape[2]
+    d = q.shape[3]
+    hkv = kv_cache.shape[2] // 2
+    group = hq // hkv
+    k_sel = topk_pages
+
+    # ---- page scoring: q against two representative keys per page ----
+    # slot-slice FIRST (2/page_size of the pool), then page-gather, then
+    # the strided K-head slice on the small result — head-slicing the full
+    # pool would materialize half the cache per call
+    kc = jax.lax.dynamic_index_in_dim(kv_cache, layer_idx, 0, keepdims=False)
+    reps = kc[:, :, (0, page_size // 2), :]  # [P, 2Hkv, 2, D]
+    rep = reps[page_table][:, :, 0::2]  # [B, Pp, Hkv, 2, D]
+    qg = q[:, 0].reshape(b, hkv, group, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bphrd->bphgr", qg, rep.astype(jnp.float32))
+    score = s.max(axis=(3, 4)).sum(axis=2)  # [B, Pp]
+
+    n_pages = (kv_lens + page_size - 1) // page_size  # [B]
+    pidx = jnp.arange(pages_per_seq)[None, :]
+    valid = pidx < n_pages[:, None]
+    # force-include: the sink page and the two most-recent pages
+    force = (pidx == 0) | (pidx >= (n_pages - 2)[:, None])
+    score = jnp.where(valid, score, -jnp.inf)
+    score = jnp.where(force & valid, jnp.inf, score)
+    _, top = jax.lax.top_k(score, k_sel)
+    sel = jnp.sort(top, axis=-1)  # ascending logical page order
+
+    red_pt = jnp.take_along_axis(page_table, sel, axis=1)  # [B, k]
+    k, v = gather_kv(kv_cache, layer_idx, red_pt)  # [B, k*ps, Hkv, D]
+    kv_pos = (sel[:, :, None] * page_size
+              + jnp.arange(page_size)[None, None, :]).reshape(b, 1, -1)
+    q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]
+    mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
+    mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])
+    # selected-but-invalid pages (short seqs) are masked by kv_pos>=kv_len
+    if window is not None:
+        w = jnp.asarray(window, jnp.int32)
+        in_window = kv_pos > (q_pos[:, :, None] - w)
+        mask = mask & jnp.where(w >= 0, in_window, True)
+    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask,
+                      sm_scale, softcap, sinks)
+
+
 def full_attention(
     q: jax.Array,  # [B, T, Hq, D]
     k: jax.Array,  # [B, T, Hkv, D]

@@ -84,7 +84,10 @@ def setup_compilation_cache(cache_dir: str | None = None) -> str | None:
             import hashlib
             import platform as _plat
 
-            feat = _plat.machine()
+            # XLA_FLAGS join the key: codegen pseudo-features like
+            # prefer-no-scatter come from flags, not the CPU, and mismatch
+            # the AOT loader the same way real ISA features do
+            feat = _plat.machine() + os.environ.get("XLA_FLAGS", "")
             try:
                 with open("/proc/cpuinfo") as f:
                     for line in f:
