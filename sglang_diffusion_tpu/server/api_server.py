@@ -161,6 +161,18 @@ class ApiServer:
         http = self.http
         model_id = self.args.served_model_name or "default"
 
+        # Anthropic Messages + Ollama compatibility surfaces (reference:
+        # srt/entrypoints/anthropic/, srt/entrypoints/ollama/)
+        from sglang_diffusion_tpu.server.anthropic_api import (
+            register_anthropic_routes,
+        )
+        from sglang_diffusion_tpu.server.ollama_api import (
+            register_ollama_routes,
+        )
+
+        register_anthropic_routes(http, self)
+        register_ollama_routes(http, self)
+
         @http.route("GET", "/health")
         async def health(_req: Request) -> Response:
             return Response({"status": "ok"})
