@@ -961,6 +961,28 @@ class Engine:
             )
         return outs[0] if single else outs
 
+    # ---------------- RL memory release / resume ----------------
+    def release_memory_occupation(self, tags: Optional[List[str]] = None):
+        """Free KV cache and/or weights between RL phases (reference:
+        entrypoints/engine.py:948). tags subset of {"kv_cache",
+        "weights"}; default both. Requires an idle engine — cached KV is
+        invalidated, so the radix cache is flushed first."""
+        tags = list(tags or ("kv_cache", "weights"))
+        if self.scheduler.running or self.scheduler.waiting:
+            raise RuntimeError(
+                "release_memory_occupation requires an idle engine")
+        if "kv_cache" in tags:
+            if self.radix is not None:
+                self.radix.evict(self.runner.num_pages)
+            self._detoks.clear()
+        self.runner.release_memory(tags)
+        return {"released": tags}
+
+    def resume_memory_occupation(self, tags: Optional[List[str]] = None):
+        tags = list(tags or ("kv_cache", "weights"))
+        self.runner.resume_memory(tags)
+        return {"resumed": tags}
+
     # ---------------- classification / reward ----------------
     def classify(self, prompt: Union[str, List[str]]) -> Union[Dict, List[Dict]]:
         """Per-class logits from a sequence-classification / reward head

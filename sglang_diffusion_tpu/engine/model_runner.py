@@ -811,6 +811,38 @@ class ModelRunner:
         return tok[:b, None], lp[:b, None]
 
     # ------------- embeddings -------------
+    # ---------------- RL memory release / resume ----------------
+    def release_memory(self, tags) -> None:
+        """Free device memory between RL rollout phases (reference analog:
+        srt/entrypoints/engine.py release_memory_occupation + the
+        scheduler's GPU_MEMORY_TYPE_{KV_CACHE,WEIGHTS} handling). Weights
+        are staged to host RAM; the KV pool is dropped entirely (its
+        content is invalidated — callers flush the radix cache first)."""
+        if "kv_cache" in tags and self.kv_cache is not None:
+            self._kv_spec = (self.kv_cache.shape, self.kv_cache.dtype,
+                             self.kv_cache.sharding)
+            self.kv_cache.delete()
+            self.kv_cache = None
+        if "weights" in tags and getattr(self, "_released_params", None) is None \
+                and self.params is not None:
+            leaves, treedef = jax.tree_util.tree_flatten(self.params)
+            saved = [(np.asarray(l), l.sharding) for l in leaves]
+            for l in leaves:
+                l.delete()
+            self._released_params = (treedef, saved)
+            self.params = None
+
+    def resume_memory(self, tags) -> None:
+        if "weights" in tags and getattr(self, "_released_params", None):
+            treedef, saved = self._released_params
+            leaves = [jax.device_put(a, s) for a, s in saved]
+            self.params = jax.tree_util.tree_unflatten(treedef, leaves)
+            self._released_params = None
+        if "kv_cache" in tags and self.kv_cache is None:
+            shape, dtype, sharding = self._kv_spec
+            self.kv_cache = jax.device_put(
+                jnp.zeros(shape, dtype), sharding)
+
     def run_embedding(self, ids, pages) -> np.ndarray:
         """Hidden-state embedding for one sequence over caller-provided
         scratch pages (no scheduler involvement)."""

@@ -551,6 +551,21 @@ class ApiServer:
             )
             return Response(out, 200 if out["success"] else 400)
 
+        @http.route("POST", "/release_memory_occupation")
+        async def release_memory(req: Request) -> Response:
+            body = req.json() if req.body else {}
+            try:
+                out = self.engine.release_memory_occupation(body.get("tags"))
+            except RuntimeError as e:
+                return Response({"error": str(e)}, status=409)
+            return Response(out)
+
+        @http.route("POST", "/resume_memory_occupation")
+        async def resume_memory(req: Request) -> Response:
+            body = req.json() if req.body else {}
+            return Response(
+                self.engine.resume_memory_occupation(body.get("tags")))
+
         @http.route("POST", "/update_weights_from_disk")
         async def update_weights(req: Request) -> Response:
             body = req.json()
