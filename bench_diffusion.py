@@ -39,6 +39,13 @@ SCENARIOS = {
         family="wan", height=480, width=832, steps=4, frames=9,
         wan=dict(),  # Wan2.1-T2V-1.3B defaults (dim 1536, 30 layers)
     ),
+    # BASELINE.md row: qwen_image_t2i 14,959 ms e2e / 285.7 ms-step (H100)
+    "qwen_image_t2i": dict(
+        family="qwen_image", height=512, width=512, steps=8,
+        qwen=dict(num_layers=8, attention_head_dim=128,
+                  num_attention_heads=24, joint_attention_dim=1024,
+                  in_channels=64, out_channels=16),
+    ),
 }
 
 
@@ -61,6 +68,17 @@ def main():
 
         pipe = FluxPipeline(flux_cfg=FluxConfig(**sc["flux"]),
                             dtype=jnp.bfloat16)
+        gen = DiffGenerator(pipe)
+    elif sc.get("family") == "qwen_image":
+        from sglang_diffusion_tpu.diffusion.models.qwen_image import (
+            QwenImageConfig,
+        )
+        from sglang_diffusion_tpu.diffusion.qwen_image_pipeline import (
+            QwenImagePipeline,
+        )
+
+        pipe = QwenImagePipeline(qwen_cfg=QwenImageConfig(**sc["qwen"]),
+                                 dtype=jnp.bfloat16)
         gen = DiffGenerator(pipe)
     elif sc.get("family") == "wan":
         from sglang_diffusion_tpu.diffusion.models.wan import WanConfig
