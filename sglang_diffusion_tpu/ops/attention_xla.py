@@ -247,11 +247,17 @@ def sparse_paged_attention(
     k_sel = topk_pages
 
     # ---- page scoring: q against two representative keys per page ----
-    # slot-slice FIRST (2/page_size of the pool), then page-gather, then
-    # the strided K-head slice on the small result — head-slicing the full
-    # pool would materialize half the cache per call
+    # materialize the pool-wide landmark array first (one sequential
+    # strided sweep over the physical pool, prefetch-friendly), then
+    # page-gather from the small result — fusing the slice into the
+    # per-(b, page) gather makes every read a scattered 256 B touch
     kc = jax.lax.dynamic_index_in_dim(kv_cache, layer_idx, 0, keepdims=False)
-    reps = kc[:, :, (0, page_size // 2), :]  # [P, 2Hkv, 2, D]
+    # static slices (not a gather) so Mosaic/XLA lower them as strided
+    # reads; K heads sit at even indices of the interleaved head axis
+    k0 = jax.lax.slice_in_dim(kc, 0, 1, axis=2)
+    kmid = jax.lax.slice_in_dim(kc, page_size // 2, page_size // 2 + 1,
+                                axis=2)
+    reps = jnp.concatenate([k0, kmid], axis=2)  # [P, 2Hkv, 2, D]
     rep = reps[page_table][:, :, 0::2]  # [B, Pp, Hkv, 2, D]
     qg = q[:, 0].reshape(b, hkv, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bphrd->bphgr", qg, rep.astype(jnp.float32))

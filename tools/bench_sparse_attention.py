@@ -54,7 +54,10 @@ def main():
     scale = 1.0 / np.sqrt(D)
 
     def chain(fn):
-        def run(q):
+        # kv/pt/lens are jit ARGUMENTS — closing over them would bake the
+        # multi-GB cache into the program as a constant (and ship it to
+        # the remote compile service)
+        def run(q, kv, pt, kv_lens, q_start):
             def body(i, acc):
                 out = fn(q + 0.0 * acc[:, :1], kv, 0, pt, kv_lens, q_start,
                          scale)
@@ -68,10 +71,10 @@ def main():
         *a, topk_pages=args.topk, **k))
 
     for name, fn in (("dense", dense), ("sparse", sparse)):
-        out = fn(q)
+        out = fn(q, kv, pt, kv_lens, q_start)
         out.block_until_ready()  # compile + warm
         t0 = time.perf_counter()
-        out = fn(q)
+        out = fn(q, kv, pt, kv_lens, q_start)
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name}: {dt*1e6:.0f} us/step "
