@@ -74,30 +74,16 @@ def setup_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     try:
-        # Key the directory by backend platform, and for CPU also by a host
-        # CPU-feature fingerprint: XLA:CPU AOT executables are ISA-specific
-        # (loading an AMX-compiled entry on a non-AMX host can SIGILL), and
-        # the jax cache key does not include the machine type.
         backend = jax.default_backend()
-        sub = backend
-        if backend == "cpu":
-            import hashlib
-            import platform as _plat
-
-            # XLA_FLAGS join the key: codegen pseudo-features like
-            # prefer-no-scatter come from flags, not the CPU, and mismatch
-            # the AOT loader the same way real ISA features do
-            feat = _plat.machine() + os.environ.get("XLA_FLAGS", "")
-            try:
-                with open("/proc/cpuinfo") as f:
-                    for line in f:
-                        if line.startswith("flags"):
-                            feat += line
-                            break
-            except OSError:
-                pass
-            sub = f"cpu-{hashlib.sha256(feat.encode()).hexdigest()[:12]}"
-        cache_dir = os.path.join(cache_dir, sub)
+        if backend == "cpu" and not os.environ.get("SGLD_TPU_XLA_CACHE_CPU"):
+            # No persistent cache on CPU by default: XLA:CPU AOT entries are
+            # ISA-specific (SIGILL risk across hosts) and a CPU-feature
+            # fingerprint proved insufficient to isolate hosts (MULTICHIP_r03
+            # still drowned in cpu_aot_loader.cc feature-mismatch spam).
+            # CPU compiles are local and fast; the cache only pays for the
+            # remote-TPU tunnel. Opt back in with SGLD_TPU_XLA_CACHE_CPU=1.
+            return None
+        cache_dir = os.path.join(cache_dir, backend)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Over the remote-TPU tunnel even "fast" compiles cost seconds of
