@@ -32,6 +32,7 @@ class LlamaEncoderConfig:
     num_kv_heads: int = 32
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-5
+    qkv_bias: bool = False  # Qwen2 family (incl. the Qwen2.5-VL text tower)
 
     @property
     def head_dim(self) -> int:
@@ -66,19 +67,24 @@ class LlamaTextEncoder:
             scale = 1.0 / np.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
             return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
+        blocks = {
+            "input_norm": jnp.ones((L, E), dtype),
+            "post_norm": jnp.ones((L, E), dtype),
+            "wq": init(ks[1], (L, E, Hq * D)),
+            "wk": init(ks[2], (L, E, Hkv * D)),
+            "wv": init(ks[3], (L, E, Hkv * D)),
+            "wo": init(ks[4], (L, Hq * D, E)),
+            "w_gate": init(ks[5], (L, E, F)),
+            "w_up": init(ks[6], (L, E, F)),
+            "w_down": init(ks[7], (L, F, E)),
+        }
+        if cfg.qkv_bias:
+            blocks["bq"] = jnp.zeros((L, Hq * D), dtype)
+            blocks["bk"] = jnp.zeros((L, Hkv * D), dtype)
+            blocks["bv"] = jnp.zeros((L, Hkv * D), dtype)
         return {
             "embed": init(ks[0], (cfg.vocab_size, E)),
-            "blocks": {
-                "input_norm": jnp.ones((L, E), dtype),
-                "post_norm": jnp.ones((L, E), dtype),
-                "wq": init(ks[1], (L, E, Hq * D)),
-                "wk": init(ks[2], (L, E, Hkv * D)),
-                "wv": init(ks[3], (L, E, Hkv * D)),
-                "wo": init(ks[4], (L, Hq * D, E)),
-                "w_gate": init(ks[5], (L, E, F)),
-                "w_up": init(ks[6], (L, E, F)),
-                "w_down": init(ks[7], (L, F, E)),
-            },
+            "blocks": blocks,
             "final_norm": jnp.ones((E,), dtype),
         }
 
@@ -103,9 +109,14 @@ class LlamaTextEncoder:
 
         def body(hidden, bp):
             h = rms_norm(hidden, bp["input_norm"], eps)
-            q = jnp.dot(h, bp["wq"]).reshape(b, t, Hq, D)
-            k = jnp.dot(h, bp["wk"]).reshape(b, t, Hkv, D)
-            v = jnp.dot(h, bp["wv"]).reshape(b, t, Hkv, D)
+            q = jnp.dot(h, bp["wq"])
+            k = jnp.dot(h, bp["wk"])
+            v = jnp.dot(h, bp["wv"])
+            if cfg.qkv_bias:
+                q, k, v = q + bp["bq"], k + bp["bk"], v + bp["bv"]
+            q = q.reshape(b, t, Hq, D)
+            k = k.reshape(b, t, Hkv, D)
+            v = v.reshape(b, t, Hkv, D)
             q, k = apply_rope(q, k, positions, inv_freq)
             rep = Hq // Hkv
             k = jnp.repeat(k, rep, axis=2)
@@ -133,12 +144,14 @@ class LlamaTextEncoder:
         return hidden
 
     @staticmethod
-    def hf_weight_map():
-        """HF LlamaModel names (no lm_head — encoder trunk only)."""
-        lyr = "model.layers.{i}"
-        return {
-            ("embed",): ("model.embed_tokens.weight", None),
-            ("final_norm",): ("model.norm.weight", None),
+    def hf_weight_map(prefix: str = "model", qkv_bias: bool = False):
+        """HF LlamaModel/Qwen2Model names (no lm_head — encoder trunk only).
+        prefix "model.language_model" covers Qwen2.5-VL checkpoints that
+        nest the text tower."""
+        lyr = prefix + ".layers.{i}"
+        m = {
+            ("embed",): (prefix + ".embed_tokens.weight", None),
+            ("final_norm",): (prefix + ".norm.weight", None),
             ("blocks", "input_norm"): (lyr + ".input_layernorm.weight", None),
             ("blocks", "post_norm"): (
                 lyr + ".post_attention_layernorm.weight", None),
@@ -150,3 +163,31 @@ class LlamaTextEncoder:
             ("blocks", "w_up"): (lyr + ".mlp.up_proj.weight", "t"),
             ("blocks", "w_down"): (lyr + ".mlp.down_proj.weight", "t"),
         }
+        if qkv_bias:
+            m[("blocks", "bq")] = (lyr + ".self_attn.q_proj.bias", None)
+            m[("blocks", "bk")] = (lyr + ".self_attn.k_proj.bias", None)
+            m[("blocks", "bv")] = (lyr + ".self_attn.v_proj.bias", None)
+        return m
+
+    @staticmethod
+    def convert_hf_weights(cfg: "LlamaEncoderConfig", get, dtype=jnp.float32,
+                           prefix: str = "model"):
+        """Build the param tree from HF tensors via `get(name) -> array`
+        (Llama/Qwen2 trunks, incl. the Qwen2.5-VL text tower)."""
+        params: Dict[str, Any] = {}
+        wmap = LlamaTextEncoder.hf_weight_map(prefix, cfg.qkv_bias)
+        for path, (tmpl, tf) in wmap.items():
+            def fetch(name):
+                w = np.asarray(get(name))
+                return w.T if tf == "t" else w
+
+            if "{i}" in tmpl:
+                leaf = np.stack(
+                    [fetch(tmpl.format(i=i)) for i in range(cfg.num_layers)])
+            else:
+                leaf = fetch(tmpl)
+            node = params
+            for k in path[:-1]:
+                node = node.setdefault(k, {})
+            node[path[-1]] = jnp.asarray(leaf, dtype)
+        return params

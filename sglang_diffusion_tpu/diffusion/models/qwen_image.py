@@ -292,6 +292,70 @@ class QwenImageDiT:
 
         return forward
 
+    @staticmethod
+    def make_forward_parts(cfg: QwenImageConfig, attn_fn=joint_attention,
+                           front_blocks: int = 1):
+        """Split forward for Cache-DiT block caching (mirrors
+        FluxDiT.make_forward_parts). Carried hidden stream is the joint
+        [ctx; img] stream."""
+        block_body = QwenImageDiT._make_block_body(cfg, attn_fn)
+        E = cfg.dim
+        assert 0 < front_blocks < cfg.num_layers
+
+        def _bslice(params, lo, hi):
+            return jax.tree.map(lambda a: a[lo:hi], params["blocks"])
+
+        def front(params, tokens, text_emb, timesteps, grid):
+            x = jnp.dot(tokens, params["img_in"]) + params["img_in_b"]
+            ctx = _rms(text_emb, params["txt_norm"], 1e-6)
+            ctx = jnp.dot(ctx, params["txt_in"]) + params["txt_in_b"]
+            temb = QwenImageDiT._temb(params, timesteps)
+            temb_img = jax.nn.silu(temb)
+            if cfg.zero_cond_t:
+                temb_txt = jax.nn.silu(
+                    QwenImageDiT._temb(params, jnp.zeros_like(timesteps)))
+            else:
+                temb_txt = temb_img
+            cos, sin = qwen_rope(tuple(grid), ctx.shape[1], cfg)
+            tc = ctx.shape[1]
+
+            def dbody(carry, bp):
+                x, c = carry
+                return block_body(x, c, bp, temb_img, temb_txt, cos,
+                                  sin), None
+
+            (x, ctx), _ = jax.lax.scan(
+                dbody, (x, ctx), _bslice(params, 0, front_blocks))
+            meta = {"temb_img": temb_img, "temb_txt": temb_txt,
+                    "cos": cos, "sin": sin, "tc": tc}
+            return jnp.concatenate([ctx, x], axis=1), meta
+
+        def tail(params, s, meta):
+            tc = meta["tc"]
+            ctx, x = s[:, :tc], s[:, tc:]
+
+            def dbody(carry, bp):
+                x, c = carry
+                return block_body(x, c, bp, meta["temb_img"],
+                                  meta["temb_txt"], meta["cos"],
+                                  meta["sin"]), None
+
+            (x, ctx), _ = jax.lax.scan(
+                dbody, (x, ctx),
+                _bslice(params, front_blocks, cfg.num_layers))
+            return jnp.concatenate([ctx, x], axis=1)
+
+        def head(params, s, meta):
+            x = s[:, meta["tc"]:]
+            e = jnp.dot(meta["temb_img"],
+                        params["norm_out_w"].astype(jnp.float32)
+                        ) + params["norm_out_b"].astype(jnp.float32)
+            scale, shift = e[:, None, :E], e[:, None, E:]
+            x = (_ln(x, cfg.eps) * (1 + scale) + shift).astype(x.dtype)
+            return jnp.dot(x, params["proj_out"]) + params["proj_out_b"]
+
+        return front, tail, head
+
     # ---------------- diffusers checkpoint ingestion ----------------
 
     @staticmethod

@@ -180,8 +180,16 @@ class LatentPreparationStage(Stage):
         b = len(batch.prompts)
         lat_h, lat_w = p.height // 8, p.width // 8
         key = jax.random.PRNGKey(p.seed)
+        wan_cfg = getattr(pipe, "wan_vae_cfg", None)
         if p.num_frames > 0:
-            shape = (b, p.num_frames, lat_h, lat_w, pipe.vae_cfg.latent_channels)
+            f_lat = p.num_frames
+            ch = pipe.vae_cfg.latent_channels
+            if wan_cfg is not None:
+                # real AutoencoderKLWan: num_frames are PIXEL frames; the
+                # 3D causal VAE compresses 1+4k pixel frames -> 1+k latents
+                f_lat = 1 + (p.num_frames - 1) // wan_cfg.temporal_compression
+                ch = wan_cfg.z_dim
+            shape = (b, f_lat, lat_h, lat_w, ch)
         else:
             shape = (b, lat_h, lat_w, pipe.vae_cfg.latent_channels)
         noise = jax.random.normal(key, shape, jnp.float32)
@@ -238,7 +246,10 @@ class DecodingStage(Stage):
 
     def __call__(self, batch, pipe):
         z = batch.latents
-        if z.ndim == 5:  # video: decode frames through the 2D VAE
+        if z.ndim == 5 and getattr(pipe, "wan_vae_cfg", None) is not None:
+            # Wan 3D causal VAE consumes the whole latent video at once
+            imgs = np.asarray(pipe.vae_decode(z))
+        elif z.ndim == 5:  # video: decode frames through the 2D VAE
             b, f = z.shape[0], z.shape[1]
             imgs = pipe.vae_decode(z.reshape((b * f,) + z.shape[2:]))
             imgs = np.asarray(imgs).reshape((b, f) + imgs.shape[1:])
@@ -385,8 +396,22 @@ class DiffusionPipeline:
 
     def vae_decode(self, latents: jax.Array):
         if self._decode_jit is None:
+            wan_cfg = getattr(self, "wan_vae_cfg", None)
             kl_cfg = getattr(self, "vae_kl_cfg", None)
-            if kl_cfg is not None:
+            if wan_cfg is not None:
+                # real AutoencoderKLWan (3D causal) ingested from a
+                # diffusers dir: latents [B, T_lat, h, w, C] -> pixel
+                # video; 4D image latents ride as 1-frame videos
+                # (Qwen-Image uses the same architecture)
+                from sglang_diffusion_tpu.diffusion.models import wan_vae
+
+                def _wan_dec(p, z):
+                    if z.ndim == 4:
+                        return wan_vae.decode_mode(p, wan_cfg, z[:, None])[:, 0]
+                    return wan_vae.decode_mode(p, wan_cfg, z)
+
+                self._decode_jit = jax.jit(_wan_dec)
+            elif kl_cfg is not None:
                 # real diffusers AutoencoderKL checkpoint ingested by the
                 # directory loader (diffusers_loader.py)
                 from sglang_diffusion_tpu.diffusion.models.autoencoder_kl import (

@@ -59,8 +59,8 @@ class QwenImagePipeline(DiffusionPipeline):
         return QwenImageDiT.make_forward(self.qwen_cfg, attn_fn=attn_fn)
 
     def _make_forward_parts(self, attn_fn, front_blocks: int):
-        raise NotImplementedError(
-            "Cache-DiT parts for Qwen-Image land with its block cache")
+        return QwenImageDiT.make_forward_parts(
+            self.qwen_cfg, attn_fn=attn_fn, front_blocks=front_blocks)
 
     def _cond_signal(self, dit_params, t):
         from sglang_diffusion_tpu.diffusion.models.dit import (

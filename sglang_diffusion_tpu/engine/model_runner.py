@@ -156,11 +156,14 @@ class ModelRunner:
         )
 
         # ---- KV cache ----
+        # RPA layout (round 4): [L, P, S, 2Hkv, D] — slot-major pages with
+        # K/V interleaved on the combined-head axis, matching JAX's TPU
+        # ragged-paged-attention kernel
         kv_shape = (
             model_config.num_hidden_layers,
             self.num_pages,
-            model_config.kv_cache_heads,  # 2*Hkv, or 1 latent plane (MLA)
             args.page_size,
+            model_config.kv_cache_heads,  # 2*Hkv, or 1 latent plane (MLA)
             model_config.kv_cache_head_dim,
         )
         kv_sharding = mesh_ctx.kv_sharding_for(

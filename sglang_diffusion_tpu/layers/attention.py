@@ -90,10 +90,16 @@ def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_sca
     # Imported lazily to keep CPU-only environments working.
     from sglang_diffusion_tpu.ops import attention_pallas
 
-    if q.shape[-1] % 128 != 0 or sinks is not None:
-        # Mosaic requires 128-lane-aligned head_dim for the page DMA; small
-        # head dims (tiny test models) fall back to the XLA path. Attention
-        # sinks (gpt-oss) are XLA-only for now.
+    if (
+        q.shape[-1] % 128 != 0
+        or sinks is not None
+        or meta.tree_mask is not None
+        or (window is not None and not isinstance(window, int))
+    ):
+        # Mosaic requires 128-lane-aligned head_dim; attention sinks
+        # (gpt-oss), speculative tree masks, and TRACED per-layer sliding
+        # windows (gemma alternating layers) take the XLA path — the RPA
+        # kernel needs a static window.
         return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale, window,
                             softcap, sinks)
     return attention_pallas.paged_attention(
@@ -136,7 +142,7 @@ def make_sharded_attention(name: str, mesh) -> AttentionFn:
     from jax import shard_map
 
     q_spec = P("dp", None, "tp", None)
-    kv_spec = P(None, None, "tp", None, None)
+    kv_spec = P(None, None, None, "tp", None)
     b_spec = P("dp")
     rep = P()
 

@@ -48,11 +48,11 @@ _LORA_NORM_EPS = 1e-6  # HF DeepseekV3RMSNorm default for q_a/kv_a norms
 
 
 def write_latent_pages(kv_cache, layer_idx, latent, slot_ids):
-    """Scatter per-token latents [B,T,R] into cache [L,P,1,S,R_pad] (MLA
+    """Scatter per-token latents [B,T,R] into cache [L,P,S,1,R_pad] (MLA
     analog of ops/attention_xla.write_kv_pages; -1 slots dropped). The cache
     width may be 128-padded (config.kv_cache_head_dim) — pad lanes are kept
     zero so the mla_pallas kernel's full-width dot is unaffected."""
-    nl, num_pages, one, page_size, r = kv_cache.shape
+    nl, num_pages, page_size, one, r = kv_cache.shape
     if latent.shape[-1] < r:
         latent = jnp.pad(
             latent, [(0, 0)] * (latent.ndim - 1) + [(0, r - latent.shape[-1])]
@@ -70,8 +70,8 @@ def write_latent_pages(kv_cache, layer_idx, latent, slot_ids):
 
 
 def gather_latents(kv_cache, layer_idx, page_table):
-    """[L,P,1,S,R] + page table [B,PPS] -> latents [B, Lkv, R]."""
-    nl, num_pages, one, page_size, r = kv_cache.shape
+    """[L,P,S,1,R] + page table [B,PPS] -> latents [B, Lkv, R]."""
+    nl, num_pages, page_size, one, r = kv_cache.shape
     flat_pages = kv_cache.reshape(nl * num_pages, page_size, r)
     idx = layer_idx * num_pages + jnp.maximum(page_table, 0)
     pages = jnp.take(flat_pages, idx, axis=0)  # [B, PPS, S, R]

@@ -20,7 +20,7 @@ NEG_INF = -1e30
 
 
 def write_kv_pages(
-    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    kv_cache: jax.Array,  # [L, num_pages, page_size, 2*Hkv, D]
     layer_idx,  # scalar int layer index
     k: jax.Array,  # [B, T, Hkv, D]
     v: jax.Array,  # [B, T, Hkv, D]
@@ -28,74 +28,73 @@ def write_kv_pages(
 ) -> jax.Array:
     """Scatter new K/V tokens into one layer of the full paged cache.
 
+    Cache layout (round 4): [L, P, S, 2Hkv, D] with K/V head-interleaved on
+    the combined-head axis — the layout of the official TPU ragged-paged-
+    attention kernel (jax.experimental.pallas.ops.tpu.ragged_paged_attention),
+    and one scatter ROW per token ([2Hkv*D] contiguous) instead of 2Hkv rows.
+
     Operates on the WHOLE stacked cache (scatter rows carry the layer
     offset) so the enclosing layer loop can keep the cache as a loop carry
     that XLA updates in place — never copying a 100MB+ layer per step
     (which a scan-over-layers ys stack would do)."""
-    nl, num_pages, two_hkv, page_size, d = kv_cache.shape
-    flat = kv_cache.reshape(nl * num_pages * two_hkv * page_size, d)
-    kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv, d)  # [B*T, 2Hkv, D]
+    nl, num_pages, page_size, two_hkv, d = kv_cache.shape
+    flat = kv_cache.reshape(nl * num_pages * page_size, two_hkv * d)
+    # [B, T, Hkv, 2, D] -> interleaved [k0, v0, k1, v1, ...] token rows
+    kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv * d)
     kv = kv.astype(flat.dtype)
     slots = slot_ids.reshape(-1)  # [B*T], flat page*page_size+off
     pid = slots // page_size
     off = slots % page_size
-    h2 = jnp.arange(two_hkv)[None, :]
-    rows = (
-        (layer_idx * num_pages + pid[:, None]) * two_hkv + h2
-    ) * page_size + off[:, None]  # [BT, 2Hkv]
+    rows = (layer_idx * num_pages + pid) * page_size + off  # [BT]
     # redirect padding slots (<0) out of range; mode="drop" discards them
-    rows = jnp.where(slots[:, None] >= 0, rows, flat.shape[0])
-    flat = flat.at[rows.reshape(-1)].set(kv.reshape(-1, d), mode="drop")
-    return flat.reshape(nl, num_pages, two_hkv, page_size, d)
+    rows = jnp.where(slots >= 0, rows, flat.shape[0])
+    flat = flat.at[rows].set(kv, mode="drop")
+    return flat.reshape(nl, num_pages, page_size, two_hkv, d)
 
 
 def copy_kv_slots(
-    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    kv_cache: jax.Array,  # [L, num_pages, page_size, 2*Hkv, D]
     src_slots: jax.Array,  # [M] flat slots (page*page_size+off); -1 = skip
     dst_slots: jax.Array,  # [M]
 ) -> jax.Array:
     """Copy token KV across ALL layers from src slots to dst slots (used by
     speculative tree verify to move an accepted branch's KV into the
     sequential positions; reference analog: eagle_utils.cu tree reorder)."""
-    nl, num_pages, two_hkv, page_size, d = kv_cache.shape
-    per_layer = num_pages * two_hkv * page_size
-    flat = kv_cache.reshape(nl * per_layer, d)
+    nl, num_pages, page_size, two_hkv, d = kv_cache.shape
+    flat = kv_cache.reshape(nl * num_pages * page_size, two_hkv * d)
     sp, so = src_slots // page_size, src_slots % page_size
     dp, do = dst_slots // page_size, dst_slots % page_size
     l = jnp.arange(nl)[:, None]  # [L, 1]
-    h = jnp.arange(two_hkv)[None, :]  # [1, 2Hkv]
 
     def rows(pid, off):
-        # [M] -> [L, M, 2Hkv]
-        base = (l[:, :, None] * num_pages + pid[None, :, None]) * two_hkv + h[None]
-        return base * page_size + off[None, :, None]
+        # [M] -> [L, M]
+        return (l * num_pages + pid[None, :]) * page_size + off[None, :]
 
     src_rows = rows(sp, so).reshape(-1)
     dst_rows = rows(dp, do).reshape(-1)
     vals = jnp.take(flat, src_rows, axis=0, mode="clip")
     valid = jnp.broadcast_to(
-        src_slots[None, :, None] >= 0,
-        (nl, src_slots.shape[0], two_hkv),
+        src_slots[None, :] >= 0, (nl, src_slots.shape[0])
     ).reshape(-1)
     dst_rows = jnp.where(valid, dst_rows, flat.shape[0])
     flat = flat.at[dst_rows].set(vals, mode="drop")
-    return flat.reshape(nl, num_pages, two_hkv, page_size, d)
+    return flat.reshape(nl, num_pages, page_size, two_hkv, d)
 
 
 def gather_kv(
-    kv_cache: jax.Array,  # [L, num_pages, 2*Hkv, page_size, D]
+    kv_cache: jax.Array,  # [L, num_pages, page_size, 2*Hkv, D]
     layer_idx,  # scalar int
     page_table: jax.Array,  # [B, pages_per_seq]
 ) -> Tuple[jax.Array, jax.Array]:
     """Gather one layer's pages for each sequence -> K,V [B, Lkv, Hkv, D].
     One fused gather over the [(L*P), ...] view — no layer-slice copy."""
-    nl, num_pages, two_hkv, page_size, d = kv_cache.shape
-    flat_pages = kv_cache.reshape(nl * num_pages, two_hkv, page_size, d)
+    nl, num_pages, page_size, two_hkv, d = kv_cache.shape
+    flat_pages = kv_cache.reshape(nl * num_pages, page_size, two_hkv, d)
     idx = layer_idx * num_pages + jnp.maximum(page_table, 0)
     pages = jnp.take(flat_pages, idx, axis=0)
     b, pps = page_table.shape
-    # [B, PPS, 2Hkv, S, D] -> [B, PPS, S, 2Hkv, D] -> [B, Lkv, 2Hkv, D]
-    kv = pages.transpose(0, 1, 3, 2, 4).reshape(b, pps * page_size, two_hkv, d)
+    # [B, PPS, S, 2Hkv, D] -> [B, Lkv, 2Hkv, D] (slot axis already adjacent)
+    kv = pages.reshape(b, pps * page_size, two_hkv, d)
     k = kv[:, :, 0::2, :]
     v = kv[:, :, 1::2, :]
     return k, v
@@ -113,18 +112,26 @@ def _attn_core(
     b, tq, hq, d = q.shape
     hkv = k.shape[2]
     group = hq // hkv
-    qg = q.reshape(b, tq, hkv, group, d).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # Keep K/V in the QUERY's dtype (bf16 on the serving path) and let the
+    # MXU accumulate in f32 (preferred_element_type) — materializing f32
+    # copies of the K/V history was the round-3 decode bottleneck (~51 GB
+    # of f32 traffic per step at bs=256; round-4 microbench: attention was
+    # 83.7 of the 88.8 ms/token step).
+    cdt = q.dtype
+    qg = q.reshape(b, tq, hkv, group, d).astype(cdt)
+    kf = k.astype(cdt)
+    vf = v.astype(cdt)
     # Zero K/V in slots no query attends (stale/unwritten cache pages): the
     # score-side where() below sanitizes masked K, but 0-prob x NaN V still
     # NaNs the output einsum. Reused pages legitimately hold garbage beyond
     # kv_len — attention must be robust to non-finite values there.
     slot_live = jnp.any(mask, axis=1)[:, :, None, None]  # [B, Lkv, 1, 1]
-    kf = jnp.where(slot_live, kf, 0.0)
-    vf = jnp.where(slot_live, vf, 0.0)
-    # scores: [B, Hkv, group, Tq, Lkv]
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, kf) * sm_scale
+    kf = jnp.where(slot_live, kf, jnp.zeros((), cdt))
+    vf = jnp.where(slot_live, vf, jnp.zeros((), cdt))
+    # scores: [B, Hkv, group, Tq, Lkv] (f32 accumulation on the MXU)
+    scores = jnp.einsum(
+        "bthgd,bshd->bhgts", qg, kf, preferred_element_type=jnp.float32
+    ) * sm_scale
     if softcap is not None:
         # gemma2 attention logit softcapping
         scores = softcap * jnp.tanh(scores / softcap)
@@ -144,7 +151,72 @@ def _attn_core(
     # zero them out instead.
     any_valid = jnp.any(mask, axis=-1)[:, None, None, :, None]
     probs = jnp.where(any_valid, probs, 0.0)
-    out = jnp.einsum("bhgts,bshd->bthgd", probs, vf)
+    out = jnp.einsum(
+        "bhgts,bshd->bthgd", probs.astype(cdt), vf,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, tq, hq, d).astype(q.dtype)
+
+
+def _gather_pages(kv_cache, layer_idx, page_table):
+    """Gather pages for each sequence WITHOUT flattening the page axis:
+    K,V [B, PP, Hkv, S, D]. Keeping the page layout lets the attention
+    einsums run directly over (page, slot) axes — the [B, Lkv, Hkv, D]
+    transpose in gather_kv materializes an extra full copy of the batch's
+    KV history per layer (~1 ms/layer at bs=256), which the decode hot
+    path cannot afford."""
+    nl, num_pages, page_size, two_hkv, d = kv_cache.shape
+    flat_pages = kv_cache.reshape(nl * num_pages, page_size, two_hkv, d)
+    idx = layer_idx * num_pages + jnp.maximum(page_table, 0)
+    pages = jnp.take(flat_pages, idx, axis=0)  # [B, PP, S, 2Hkv, D]
+    b, pps = page_table.shape
+    kv = pages.reshape(b, pps, page_size, two_hkv // 2, 2, d)
+    return kv[..., 0, :], kv[..., 1, :]  # [B, PP, S, Hkv, D]
+
+
+def _attn_core_paged(
+    q: jax.Array,  # [B, Tq, Hq, D]
+    kp: jax.Array,  # [B, PP, S, Hkv, D]
+    vp: jax.Array,  # [B, PP, S, Hkv, D]
+    mask: jax.Array,  # [B, Tq, PP*S] bool, True = attend
+    sm_scale: float,
+    softcap: float = None,
+    sinks: jax.Array = None,
+) -> jax.Array:
+    """Attention over page-layout K/V: bf16 MXU inputs with f32
+    accumulation, no [B, Lkv] transpose materialization."""
+    b, tq, hq, d = q.shape
+    pp, s, hkv = kp.shape[1], kp.shape[2], kp.shape[3]
+    group = hq // hkv
+    cdt = q.dtype
+    qg = q.reshape(b, tq, hkv, group, d).astype(cdt)
+    maskp = mask.reshape(b, tq, pp, s)
+    # sanitize K/V slots no query attends (reused pages hold garbage)
+    slot_live = jnp.any(maskp, axis=1)[:, :, :, None, None]  # [B,PP,S,1,1]
+    zero = jnp.zeros((), cdt)
+    kf = jnp.where(slot_live, kp.astype(cdt), zero)
+    vf = jnp.where(slot_live, vp.astype(cdt), zero)
+    scores = jnp.einsum(
+        "bthgd,bpshd->bhgtps", qg, kf, preferred_element_type=jnp.float32
+    ) * sm_scale  # [B, Hkv, G, Tq, PP, S]
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
+    scores = jnp.where(maskp[:, None, None], scores, NEG_INF)
+    flat = scores.reshape(b, hkv, group, tq, pp * s)
+    if sinks is not None:
+        sk = sinks.astype(jnp.float32).reshape(1, hkv, group, 1)
+        m = jnp.maximum(flat.max(axis=-1), sk)
+        e = jnp.exp(flat - m[..., None])
+        denom = e.sum(axis=-1) + jnp.exp(sk - m)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(flat, axis=-1)
+    any_valid = jnp.any(mask, axis=-1)[:, None, None, :, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    probs = probs.reshape(b, hkv, group, tq, pp, s).astype(cdt)
+    out = jnp.einsum(
+        "bhgtps,bpshd->bthgd", probs, vf, preferred_element_type=jnp.float32
+    )
     return out.reshape(b, tq, hq, d).astype(q.dtype)
 
 
@@ -175,33 +247,36 @@ def paged_attention(
     (gemma-style) work inside a fori_loop over layers.
     """
     b, tq = q.shape[0], q.shape[1]
+    if tree_mask is None:
+        # hot path (decode + chunked prefill): page-layout core
+        kp, vp = _gather_pages(kv_cache, layer_idx, page_table)
+        lkv = kp.shape[1] * kp.shape[2]  # PP * S
+        kv_pos = jnp.arange(lkv)[None, None, :]
+        q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]
+        mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
+        mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])
+        if window is not None:
+            w = jnp.asarray(window, jnp.int32)
+            in_window = kv_pos > (q_pos[:, :, None] - w)
+            mask = mask & jnp.where(w >= 0, in_window, True)
+        return _attn_core_paged(q, kp, vp, mask, sm_scale, softcap, sinks)
+    # speculative tree verify: every query attends the full committed
+    # prefix (kv_pos < q_start); the in-batch node region follows the
+    # explicit ancestor mask (reference: tree masks in TARGET_VERIFY)
     k, v = gather_kv(kv_cache, layer_idx, page_table)
     lkv = k.shape[1]
     kv_pos = jnp.arange(lkv)[None, None, :]  # [1,1,Lkv]
-    if tree_mask is not None:
-        # speculative tree verify: every query attends the full committed
-        # prefix (kv_pos < q_start); the in-batch node region follows the
-        # explicit ancestor mask (reference: tree masks in TARGET_VERIFY)
-        base = q_start_pos[:, None, None]  # [B,1,1]
-        prefix = (kv_pos < base) & (kv_pos < kv_lens[:, None, None])
-        j = kv_pos - base  # in-batch node index of each kv slot row
-        jc = jnp.clip(j, 0, tq - 1)
-        node = jnp.take_along_axis(
-            tree_mask, jnp.broadcast_to(jc, (b, tq, lkv)), axis=2
-        )
-        in_batch = (j >= 0) & (j < tq) & (kv_pos < kv_lens[:, None, None])
-        mask = prefix | (in_batch & node)
-        return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask,
-                          sm_scale, softcap, sinks)
-    q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B,Tq]
-    mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < kv_lens[:, None, None])
-    mask = mask & (q_pos[:, :, None] < kv_lens[:, None, None])  # padding queries
-    if window is not None:
-        w = jnp.asarray(window, jnp.int32)
-        in_window = kv_pos > (q_pos[:, :, None] - w)
-        mask = mask & jnp.where(w >= 0, in_window, True)
-    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask, sm_scale,
-                      softcap, sinks)
+    base = q_start_pos[:, None, None]  # [B,1,1]
+    prefix = (kv_pos < base) & (kv_pos < kv_lens[:, None, None])
+    j = kv_pos - base  # in-batch node index of each kv slot row
+    jc = jnp.clip(j, 0, tq - 1)
+    node = jnp.take_along_axis(
+        tree_mask, jnp.broadcast_to(jc, (b, tq, lkv)), axis=2
+    )
+    in_batch = (j >= 0) & (j < tq) & (kv_pos < kv_lens[:, None, None])
+    mask = prefix | (in_batch & node)
+    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask,
+                      sm_scale, softcap, sinks)
 
 
 def sparse_paged_attention(
@@ -239,10 +314,10 @@ def sparse_paged_attention(
             q, kv_cache, layer_idx, page_table, kv_lens, q_start_pos,
             sm_scale, window=window, softcap=softcap, tree_mask=tree_mask,
             sinks=sinks)
-    page_size = kv_cache.shape[3]
+    page_size = kv_cache.shape[2]
     hq = q.shape[2]
     d = q.shape[3]
-    hkv = kv_cache.shape[2] // 2
+    hkv = kv_cache.shape[3] // 2
     group = hq // hkv
     k_sel = topk_pages
 
@@ -253,14 +328,14 @@ def sparse_paged_attention(
     # per-(b, page) gather makes every read a scattered 256 B touch
     kc = jax.lax.dynamic_index_in_dim(kv_cache, layer_idx, 0, keepdims=False)
     # static slices (not a gather) so Mosaic/XLA lower them as strided
-    # reads; K heads sit at even indices of the interleaved head axis
-    k0 = jax.lax.slice_in_dim(kc, 0, 1, axis=2)
+    # reads; slot axis is 1 in the [P, S, 2Hkv, D] layer layout
+    k0 = jax.lax.slice_in_dim(kc, 0, 1, axis=1)
     kmid = jax.lax.slice_in_dim(kc, page_size // 2, page_size // 2 + 1,
-                                axis=2)
-    reps = jnp.concatenate([k0, kmid], axis=2)  # [P, 2Hkv, 2, D]
-    rep = reps[page_table][:, :, 0::2]  # [B, Pp, Hkv, 2, D]
+                                axis=1)
+    reps = jnp.concatenate([k0, kmid], axis=1)  # [P, 2, 2Hkv, D]
+    rep = reps[page_table][:, :, :, 0::2]  # [B, Pp, 2, Hkv, D]
     qg = q[:, 0].reshape(b, hkv, group, d).astype(jnp.float32)
-    s = jnp.einsum("bhgd,bphrd->bphgr", qg, rep.astype(jnp.float32))
+    s = jnp.einsum("bhgd,bprhd->bphgr", qg, rep.astype(jnp.float32))
     score = s.max(axis=(3, 4)).sum(axis=2)  # [B, Pp]
 
     n_pages = (kv_lens + page_size - 1) // page_size  # [B]
@@ -274,7 +349,7 @@ def sparse_paged_attention(
     sel = jnp.sort(top, axis=-1)  # ascending logical page order
 
     red_pt = jnp.take_along_axis(page_table, sel, axis=1)  # [B, k]
-    k, v = gather_kv(kv_cache, layer_idx, red_pt)  # [B, k*ps, Hkv, D]
+    kp, vp = _gather_pages(kv_cache, layer_idx, red_pt)  # [B, k, Hkv, ps, D]
     kv_pos = (sel[:, :, None] * page_size
               + jnp.arange(page_size)[None, None, :]).reshape(b, 1, -1)
     q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]
@@ -285,8 +360,7 @@ def sparse_paged_attention(
         w = jnp.asarray(window, jnp.int32)
         in_window = kv_pos > (q_pos[:, :, None] - w)
         mask = mask & jnp.where(w >= 0, in_window, True)
-    return _attn_core(q, k.astype(q.dtype), v.astype(q.dtype), mask,
-                      sm_scale, softcap, sinks)
+    return _attn_core_paged(q, kp, vp, mask, sm_scale, softcap, sinks)
 
 
 def full_attention(

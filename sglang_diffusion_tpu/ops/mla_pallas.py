@@ -74,7 +74,7 @@ def _kernel(
     def start_dma(slot, page_idx):
         pid = page_table_ref[b, page_idx]
         return pltpu.make_async_copy(
-            kv_hbm.at[layer, pid, 0],  # [S, R]
+            kv_hbm.at[layer, pid, :, 0],  # [S, R]
             lat_buf.at[slot],
             sems.at[slot],
         )
@@ -144,7 +144,7 @@ def _kernel(
 )
 def mla_paged_attention(
     q_abs: jax.Array,  # [B, T, H, R]  (absorbed nope ++ roped q_pe)
-    kv_cache: jax.Array,  # [L, P, 1, S, R] latent plane
+    kv_cache: jax.Array,  # [L, P, S, 1, R] latent plane
     layer_idx,  # scalar int
     page_table: jax.Array,  # [B, PPS] int32
     kv_lens: jax.Array,  # [B] int32
@@ -157,7 +157,7 @@ def mla_paged_attention(
     """Returns context in LATENT space [B, T, H, r_kv] (caller expands
     through W_UV), matching models/deepseek.py:mla_attention."""
     b, t, h, r = q_abs.shape
-    nl, p, one, s, _ = kv_cache.shape
+    nl, p, s, one, _ = kv_cache.shape
     if q_block <= 0:
         q_block = max(1, 256 // h)
     tq = min(t, q_block)

@@ -55,10 +55,10 @@ class MeshContext:
 
     @property
     def kv_sharding(self) -> NamedSharding:
-        """KV cache [layers, pages, 2*kv_heads, page_size, dim]: heads over
+        """KV cache [layers, pages, page_size, 2*kv_heads, dim]: heads over
         tp; with pipeline parallelism the layer axis is stage-sharded."""
         layer_axis = PP_AXIS if self.pp_size > 1 else None
-        return NamedSharding(self.mesh, P(layer_axis, None, TP_AXIS, None, None))
+        return NamedSharding(self.mesh, P(layer_axis, None, None, TP_AXIS, None))
 
     def kv_sharding_for(self, kv_heads: int, num_pages: int,
                         dp_attention: bool = False) -> NamedSharding:

@@ -20,7 +20,7 @@ PAGE = 8
 
 
 def make_cache(num_pages, hkv, d, dtype=jnp.float32, nl=1):
-    return jnp.zeros((nl, num_pages, 2 * hkv, PAGE, d), dtype)
+    return jnp.zeros((nl, num_pages, PAGE, 2 * hkv, d), dtype)
 
 
 def test_write_then_gather_roundtrip():

@@ -19,7 +19,7 @@ def _setup(b, t_new, hq, hkv, d, ctx_lens, seed=0):
     max_tokens = max(c + t_new for c in ctx_lens)
     pps = -(-max_tokens // PAGE)
     num_pages = b * pps + 1
-    cache = jnp.zeros((1, num_pages, 2 * hkv, PAGE, d), jnp.float32)
+    cache = jnp.zeros((1, num_pages, PAGE, 2 * hkv, d), jnp.float32)
     page_table = np.zeros((b, pps), np.int32)
     for i in range(b):
         page_table[i] = np.arange(1 + i * pps, 1 + (i + 1) * pps)

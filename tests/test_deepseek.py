@@ -104,7 +104,7 @@ def _run_ours(cfg, params, ids_np, ctx_np=None):
     pps = -(-tot // PAGE)
     num_pages = b * pps + 1
     kv = jnp.zeros(
-        (cfg.num_hidden_layers, num_pages, cfg.kv_cache_heads, PAGE,
+        (cfg.num_hidden_layers, num_pages, PAGE, cfg.kv_cache_heads,
          cfg.kv_cache_head_dim), jnp.float32,
     )
     pt = jnp.asarray(

@@ -46,7 +46,7 @@ def test_fp8_kv_pallas_interpret_matches_xla():
     rng = np.random.default_rng(0)
     PAGE, b, t, hq, hkv, d = 8, 2, 1, 4, 2, 32
     ctx = 20
-    cache = jnp.zeros((1, 8, 2 * hkv, PAGE, d), jnp.float8_e4m3fn)
+    cache = jnp.zeros((1, 8, PAGE, 2 * hkv, d), jnp.float8_e4m3fn)
     pt = np.array([[1, 2, 3], [4, 5, 6]], np.int32)
     total = ctx + t
     k = rng.normal(size=(b, total, hkv, d)).astype(np.float32)

@@ -25,7 +25,7 @@ def _setup(b, t, h, rkv, dr, page_size, pps, kv_lens, q_start, seed=0):
     num_pages = b * pps + 1
     q = jnp.asarray(rng.randn(b, t, h, r), jnp.float32) * 0.3
     cache = jnp.asarray(
-        rng.randn(1, num_pages, 1, page_size, r), jnp.float32) * 0.3
+        rng.randn(1, num_pages, page_size, 1, r), jnp.float32) * 0.3
     page_table = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
     meta = AttentionMetadata(
         page_table=page_table,
@@ -39,9 +39,9 @@ def _setup(b, t, h, rkv, dr, page_size, pps, kv_lens, q_start, seed=0):
 
 def _dense(q, cache, meta, sm_scale, rkv):
     # gather all latents densely (same as models/deepseek.gather_latents)
-    nl, p, one, s, r = cache.shape
+    nl, p, s, one, r = cache.shape
     b, pps = meta.page_table.shape
-    pages = jnp.take(cache[0, :, 0], jnp.maximum(meta.page_table, 0), axis=0)
+    pages = jnp.take(cache[0, :, :, 0], jnp.maximum(meta.page_table, 0), axis=0)
     latents = pages.reshape(b, pps * s, r)
     return mla_attention(q, latents, meta, sm_scale, rkv)
 

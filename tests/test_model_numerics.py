@@ -67,8 +67,8 @@ def run_ours(cfg, params, input_ids_np, dtype=jnp.float32):
         (
             cfg.num_hidden_layers,
             num_pages,
-            2 * cfg.num_key_value_heads,
             PAGE,
+            2 * cfg.num_key_value_heads,
             cfg.actual_head_dim,
         ),
         dtype,

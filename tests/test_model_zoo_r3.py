@@ -35,7 +35,7 @@ def _run_mm(cfg, model_cls, params, input_ids, mm_embeds, mm_span):
     pages_per_seq = -(-t // PAGE)
     kv_cache = jnp.zeros(
         (cfg.num_hidden_layers, pages_per_seq + 1,
-         2 * cfg.num_key_value_heads, PAGE, cfg.actual_head_dim),
+         PAGE, 2 * cfg.num_key_value_heads, cfg.actual_head_dim),
         jnp.float32)
     pages = np.arange(1, pages_per_seq + 1, dtype=np.int32)
     page_table = np.zeros((1, pages_per_seq + 1), np.int32)

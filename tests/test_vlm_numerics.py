@@ -150,8 +150,8 @@ def test_llava_logits_parity_vs_hf():
     fwd = model_cls.make_forward(cfg, attn_fn, logits_mode="all")
     pages_per_seq = -(-t // PAGE)
     kv_cache = jnp.zeros(
-        (cfg.num_hidden_layers, pages_per_seq + 1, 2 * cfg.num_key_value_heads,
-         PAGE, cfg.actual_head_dim),
+        (cfg.num_hidden_layers, pages_per_seq + 1, PAGE,
+         2 * cfg.num_key_value_heads, cfg.actual_head_dim),
         jnp.float32,
     )
     pages = np.arange(1, pages_per_seq + 1, dtype=np.int32)

@@ -194,11 +194,7 @@ class TorchWan(nn.Module):
         return self.proj_out(x)
 
 
-def _params_from_torch(cfg: WanConfig, m: TorchWan, i2v=False):
-    """state-dict -> our tree, via the same rename the diffusers ingester
-    uses (exercises convert_diffusers_weights)."""
-    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
-    rename = {
+RENAME = {
         "patch_embedding.weight": "patch.weight",
         "patch_embedding.bias": "patch.bias",
         "condition_embedder.time_embedder.linear_1.weight": "t1.weight",
@@ -214,9 +210,8 @@ def _params_from_torch(cfg: WanConfig, m: TorchWan, i2v=False):
         "scale_shift_table": "head_table",
         "proj_out.weight": "proj_out.weight",
         "proj_out.bias": "proj_out.bias",
-    }
-    if i2v:
-        rename.update({
+}
+RENAME_I2V = {
             "condition_embedder.image_embedder.norm1.weight": "img_norm1.weight",
             "condition_embedder.image_embedder.norm1.bias": "img_norm1.bias",
             "condition_embedder.image_embedder.ff.net.0.proj.weight": "img_ff1.weight",
@@ -225,8 +220,8 @@ def _params_from_torch(cfg: WanConfig, m: TorchWan, i2v=False):
             "condition_embedder.image_embedder.ff.net.2.bias": "img_ff2.bias",
             "condition_embedder.image_embedder.norm2.weight": "img_norm2.weight",
             "condition_embedder.image_embedder.norm2.bias": "img_norm2.bias",
-        })
-    per_block = {
+}
+PER_BLOCK = {
         "attn1.to_q": "to_q", "attn1.to_k": "to_k", "attn1.to_v": "to_v",
         "attn1.to_out.0": "to_o", "attn1.norm_q": "norm_q",
         "attn1.norm_k": "norm_k", "norm2": "norm2",
@@ -234,12 +229,44 @@ def _params_from_torch(cfg: WanConfig, m: TorchWan, i2v=False):
         "attn2.to_out.0": "xo", "attn2.norm_q": "xnorm_q",
         "attn2.norm_k": "xnorm_k", "ffn.net.0.proj": "ff1",
         "ffn.net.2": "ff2",
-    }
+}
+PER_BLOCK_I2V = {
+    "attn2.add_k_proj": "add_k", "attn2.add_v_proj": "add_v",
+    "attn2.norm_added_k": "add_norm_k",
+}
+
+
+def diffusers_named_sd(m: TorchWan, i2v=False):
+    """TorchWan state dict re-keyed with the public diffusers names (the
+    layout convert_diffusers_weights expects)."""
+    sd = {k: v.detach() for k, v in m.state_dict().items()}
+    rename = dict(RENAME)
+    per_block = dict(PER_BLOCK)
     if i2v:
-        per_block.update({
-            "attn2.add_k_proj": "add_k", "attn2.add_v_proj": "add_v",
-            "attn2.norm_added_k": "add_norm_k",
-        })
+        rename.update(RENAME_I2V)
+        per_block.update(PER_BLOCK_I2V)
+    out = {}
+    for dn, tn in rename.items():
+        out[dn] = sd[tn]
+    nblocks = len(m.blocks)
+    for i in range(nblocks):
+        out[f"blocks.{i}.scale_shift_table"] = sd[f"blocks.{i}.table"].reshape(6, -1)
+        for dk, tk in per_block.items():
+            for suff in (".weight", ".bias"):
+                if f"blocks.{i}.{tk}{suff}" in sd:
+                    out[f"blocks.{i}.{dk}{suff}"] = sd[f"blocks.{i}.{tk}{suff}"]
+    return out
+
+
+def _params_from_torch(cfg: WanConfig, m: TorchWan, i2v=False):
+    """state-dict -> our tree, via the same rename the diffusers ingester
+    uses (exercises convert_diffusers_weights)."""
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    rename = dict(RENAME)
+    per_block = dict(PER_BLOCK)
+    if i2v:
+        rename.update(RENAME_I2V)
+        per_block.update(PER_BLOCK_I2V)
 
     def get(name):
         if name in rename:

@@ -23,8 +23,10 @@ sys.path.insert(0, ".")
 
 def fetch(x):
     import jax
+    import jax.numpy as jnp
 
-    return np.asarray(jax.device_get(x))
+    # fp8 slices can't always be materialized host-side; cast first
+    return np.asarray(jax.device_get(jnp.asarray(x, jnp.float32)))
 
 
 def main():
@@ -43,7 +45,7 @@ def main():
     kv_dtype = jnp.float8_e4m3fn
 
     rng = np.random.default_rng(0)
-    kv = jnp.zeros((L, P, 2 * HKV, PS, D), kv_dtype)
+    kv = jnp.zeros((L, P, PS, 2 * HKV, D), kv_dtype)
     pages_per_seq = 6
     pt = np.zeros((B, pages_per_seq), np.int32)
     for i in range(B):
@@ -61,7 +63,10 @@ def main():
         leaf = jax.tree_util.tree_leaves(out)[-1]
         fetch(leaf.reshape(-1)[:1])
         best = float("inf")
-        cur = args
+        # a donating probe consumed args[0] in the warmup call — feed the
+        # warmup output forward instead
+        cur = ((out if not isinstance(out, tuple) else out[0]),) + args[1:] \
+            if donate else args
         for _ in range(reps):
             t0 = time.perf_counter()
             out = jfn(*cur)
@@ -69,7 +74,8 @@ def main():
             fetch(leaf.reshape(-1)[:1])
             best = min(best, time.perf_counter() - t0)
             if donate:
-                cur = (out,) + args[1:]
+                cur = ((out if not isinstance(out, tuple)
+                        else out[0]),) + args[1:]
         per_step_ms = 1000 * best / K
         results[name] = round(per_step_ms, 3)
         print(f"{name}: {per_step_ms:.2f} ms/step ({best:.3f} s / {K})",
@@ -85,7 +91,7 @@ def main():
         return jax.lax.fori_loop(0, K, body, kv)
 
     wloop_d = jax.jit(lambda c: wloop(c), donate_argnums=(0,))
-    timeit("write_kv_L16", wloop_d, kv, donate=True)
+    timeit("write_kv_L16", wloop_d, jnp.zeros_like(kv), donate=True)
 
     # ---- 2. gather+attend alone: L layers x K steps ----
     @jax.jit
@@ -135,7 +141,7 @@ def main():
             0, K, body, (kv, jnp.zeros(q.shape, jnp.float32)))
 
     wa_d = jax.jit(lambda c, q: waloop(c, q), donate_argnums=(0,))
-    timeit("write_attend_L16", wa_d, kv, q, donate=True)
+    timeit("write_attend_L16", wa_d, jnp.zeros_like(kv), q, donate=True)
 
     # ---- 4. weight-shaped matmul sweep: all decode GEMMs (w4a16-ish) ----
     H, FF, V = 2048, 8192, 128256
