@@ -193,14 +193,31 @@ def main():
     itl_ms = 1000 * decode_s / max(args.output_len - 1, 1)
     extra["itl_ms_batch_avg"] = round(itl_ms, 2)
 
-    # ---- decode roofline: bytes touched per decode step / HBM bandwidth.
-    # Every decode step reads all weights once plus the KV history of the
-    # whole batch. This environment's measured effective bandwidth is
-    # ~100 GB/s (tunnel TPU; see .claude/skills/verify/SKILL.md) — a real
-    # v5e would be 819 GB/s. Override with SGLD_TPU_HBM_BW.
+    # ---- decode roofline: bytes touched per decode step / MEASURED HBM
+    # bandwidth. block_until_ready does not synchronize through the axon
+    # tunnel, so tools/hbm_probe.py times chained on-device traffic with a
+    # value fetch and subtracts the dispatch+fetch floor (round-4 finding:
+    # the chip streams at native v5e speed, ~600-900 GB/s). Override with
+    # SGLD_TPU_HBM_BW.
     import os as _os
 
-    HBM_BW = float(_os.environ.get("SGLD_TPU_HBM_BW", 100e9))
+    if _os.environ.get("SGLD_TPU_HBM_BW"):
+        HBM_BW = float(_os.environ["SGLD_TPU_HBM_BW"])
+    else:
+        sys.path.insert(0, _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)), "tools"))
+        try:
+            import hbm_probe
+
+            bw = hbm_probe.measure(size_mb=256.0)
+            HBM_BW = bw["best_gbps"] * 1e9
+            extra["hbm_probe_gbps"] = {
+                k: v for k, v in bw.items() if k.endswith("gbps")}
+            extra["dispatch_fetch_floor_ms"] = bw["dispatch_fetch_floor_ms"]
+        except Exception as e:  # noqa: BLE001 — probe is best-effort
+            print(f"hbm probe failed ({e}); assuming 819 GB/s", file=sys.stderr)
+            HBM_BW = 819e9
+    extra["hbm_bw_used_gbps"] = round(HBM_BW / 1e9, 1)
     import jax as _jax
 
     weight_bytes = sum(

@@ -137,9 +137,11 @@ class DeepSeekDetector(BaseDetector):
 
     name = "deepseek"
     markers = ("<｜tool▁calls▁begin｜>", "<｜tool▁call▁begin｜>")
+    # real wire format (reference deepseekv3_detector.py:50):
+    # <｜tool▁call▁begin｜>function<｜tool▁sep｜>NAME\n```json\n{args}\n```
     _re = re.compile(
-        r"<｜tool▁call▁begin｜>.*?(\w[\w.\-]*)\n?<｜tool▁sep｜>"
-        r"\s*(\{.*?\})\s*(?:```)?\s*<｜tool▁call▁end｜>",
+        r"<｜tool▁call▁begin｜>.*?<｜tool▁sep｜>\s*([\w.\-]+)\s*\n?"
+        r"\s*(?:```(?:json)?\s*)?(\{.*?\})\s*(?:```)?\s*<｜tool▁call▁end｜>",
         re.S,
     )
 

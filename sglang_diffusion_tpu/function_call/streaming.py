@@ -228,6 +228,242 @@ class _XmlCall(_JsonCall):
         }]
 
 
+class _DeepSeekCall(_JsonCall):
+    """DeepSeek-V3 body (reference deepseekv3_detector.py:50):
+    function<｜tool▁sep｜>NAME\n```json\n{args}\n```."""
+
+    SEP = "<｜tool▁sep｜>"
+    _name_re = re.compile(r"\s*([\w.\-]+)\s*\n")
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        out: List[Dict] = []
+        if self.invalid or self.done:
+            return out
+        if self.name is None:
+            at = self.buf.find(self.SEP)
+            if at >= 0:
+                m = self._name_re.match(self.buf, at + len(self.SEP))
+                if m:
+                    name = m.group(1)
+                    if self.names and name not in self.names:
+                        self.invalid = True
+                        return out
+                    self.name = name
+                    self.args_at = m.end()
+                    out.append({
+                        "index": self.index, "id": self.call_id,
+                        "type": "function",
+                        "function": {"name": name, "arguments": ""},
+                    })
+        if self.name is not None and self.args_at is not None:
+            if self.args_sent == 0:
+                # args are always an object, optionally behind a ```json
+                # fence: hold streaming until the '{' appears, then start
+                # the value exactly there
+                brace = self.buf.find("{", self.args_at)
+                if brace < 0:
+                    return out
+                self.args_at = brace
+            span, complete = _json_value_span(self.buf[self.args_at:])
+            new = self.buf[self.args_at + self.args_sent:
+                           self.args_at + span]
+            if new:
+                out.append({
+                    "index": self.index, "function": {"arguments": new},
+                })
+            self.args_sent = span
+            if complete:
+                self.done = True
+        return out
+
+
+class _GptOssCall(_JsonCall):
+    """GPT-OSS harmony body (after '<|channel|>commentary to='):
+    functions.NAME [<|constrain|>json] <|message|>{args}  (end: <|call|>)."""
+
+    MSG = "<|message|>"
+    _name_re = re.compile(r"\s*([\w.]+)")
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        out: List[Dict] = []
+        if self.invalid or self.done:
+            return out
+        if self.name is None:
+            at = self.buf.find(self.MSG)
+            if at >= 0:
+                m = self._name_re.match(self.buf[:at])
+                name = m.group(1).split(".")[-1] if m else None
+                if not name or (self.names and name not in self.names):
+                    self.invalid = True
+                    return out
+                self.name = name
+                self.args_at = at + len(self.MSG)
+                out.append({
+                    "index": self.index, "id": self.call_id,
+                    "type": "function",
+                    "function": {"name": name, "arguments": ""},
+                })
+        if self.name is not None and self.args_at is not None:
+            span, complete = _json_value_span(self.buf[self.args_at:])
+            new = self.buf[self.args_at + self.args_sent:
+                           self.args_at + span]
+            if new:
+                out.append({
+                    "index": self.index, "function": {"arguments": new},
+                })
+            self.args_sent = span
+            if complete:
+                self.done = True
+        return out
+
+
+class _Glm4Call(_JsonCall):
+    """GLM-4.5/4.6 MoE body: NAME\\n<arg_key>K</arg_key>
+    <arg_value>V</arg_value>... — name streams at the first newline,
+    typed arguments emit as one JSON delta at call end."""
+
+    _arg_re = re.compile(
+        r"<arg_key>(.*?)</arg_key>(?:\\n|\s)*<arg_value>(.*?)</arg_value>",
+        re.S)
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        out: List[Dict] = []
+        if self.invalid or self.done:
+            return out
+        if self.name is None:
+            nl = self.buf.find("\n")
+            if nl < 0:
+                nl = self.buf.find("<arg_key>")
+            if nl >= 0:
+                name = self.buf[:nl].strip()
+                if not name or (self.names and name not in self.names):
+                    self.invalid = True
+                    return out
+                self.name = name
+                out.append({
+                    "index": self.index, "id": self.call_id,
+                    "type": "function",
+                    "function": {"name": name, "arguments": ""},
+                })
+        return out
+
+    def finalize(self) -> List[Dict]:
+        if self.invalid or self.name is None or self.done:
+            return []
+        from sglang_diffusion_tpu.function_call.detectors import _coerce
+
+        args = {
+            k.strip(): _coerce(v.strip())
+            for k, v in self._arg_re.findall(self.buf)
+        }
+        self.done = True
+        return [{
+            "index": self.index,
+            "function": {"arguments": json.dumps(args)},
+        }]
+
+
+class _Step3Call(_JsonCall):
+    """Step-3 body (after '<steptml:invoke name="'): NAME">
+    <steptml:parameter name="k">v</steptml:parameter>... — name streams
+    at the closing quote, typed args emit at </steptml:invoke>."""
+
+    _param_re = re.compile(
+        r'<steptml:parameter name="([^"]+)">([^<]*)</steptml:parameter>',
+        re.S)
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        out: List[Dict] = []
+        if self.invalid or self.done:
+            return out
+        if self.name is None:
+            q = self.buf.find('">')
+            if q >= 0:
+                name = self.buf[:q]
+                if not name or (self.names and name not in self.names):
+                    self.invalid = True
+                    return out
+                self.name = name
+                out.append({
+                    "index": self.index, "id": self.call_id,
+                    "type": "function",
+                    "function": {"name": name, "arguments": ""},
+                })
+        return out
+
+    def finalize(self) -> List[Dict]:
+        if self.invalid or self.name is None or self.done:
+            return []
+        from sglang_diffusion_tpu.function_call.detectors import _coerce
+
+        args = {
+            k: _coerce(v.strip())
+            for k, v in self._param_re.findall(self.buf)
+        }
+        self.done = True
+        return [{
+            "index": self.index,
+            "function": {"arguments": json.dumps(args)},
+        }]
+
+
+class _MistralCall:
+    """Mistral body: a JSON ARRAY of {"name", "arguments"} objects — one
+    streaming sub-call per element, each with its own call index."""
+
+    def __init__(self, index: int, names):
+        self.base_index = index
+        self.names = names
+        self.buf = ""
+        self.pos = 0  # scan position: consumed separators
+        self.inner: Optional[_JsonCall] = None
+        self.calls_made = 0
+        self.invalid = False
+        self.done = False
+        self.name = "(array)"  # non-None so the parser counts the group
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        out: List[Dict] = []
+        while not self.done and not self.invalid:
+            if self.inner is None:
+                # expect: optional ws, then '[' (once), '{', ',', or ']'
+                while self.pos < len(self.buf) and \
+                        self.buf[self.pos] in " \t\r\n[,":
+                    self.pos += 1
+                if self.pos >= len(self.buf):
+                    break
+                c = self.buf[self.pos]
+                if c == "]":
+                    self.done = True
+                    break
+                if c != "{":
+                    self.invalid = True
+                    break
+                self.inner = _JsonCall(
+                    self.base_index + self.calls_made, self.names)
+                self._inner_fed = 0
+            new = self.buf[self.pos + self._inner_fed:]
+            if new:
+                out.extend(self.inner.feed(new))
+                self._inner_fed += len(new)
+            span, complete = _json_value_span(self.inner.buf)
+            if not complete:
+                break
+            if self.inner.name is not None and not self.inner.invalid:
+                self.calls_made += 1
+            self.pos += span
+            self.inner = None
+        return out
+
+    def object_complete(self) -> bool:
+        return self.done or self.invalid
+
+
 @dataclass
 class _Spec:
     start: str
@@ -247,6 +483,17 @@ SPECS: Dict[str, _Spec] = {
                      strip=("<|tool_calls_section_begin|>",
                             "<|tool_calls_section_end|>")),
     "qwen3_coder": _Spec("<tool_call>", "</tool_call>", _XmlCall),
+    "mistral": _Spec("[TOOL_CALLS]", None, _MistralCall),
+    "deepseek": _Spec("<｜tool▁call▁begin｜>", "<｜tool▁call▁end｜>",
+                      _DeepSeekCall,
+                      strip=("<｜tool▁calls▁begin｜>",
+                             "<｜tool▁calls▁end｜>")),
+    "glm4_moe": _Spec("<tool_call>", "</tool_call>", _Glm4Call),
+    "gpt_oss": _Spec("<|channel|>commentary to=", "<|call|>", _GptOssCall,
+                     strip=("<|start|>", "<|end|>", "<|return|>")),
+    "step3": _Spec('<steptml:invoke name="', "</steptml:invoke>",
+                   _Step3Call,
+                   strip=("<｜tool_calls_begin｜>", "<｜tool_calls_end｜>")),
 }
 
 

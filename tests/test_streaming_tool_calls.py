@@ -226,3 +226,87 @@ def test_chat_stream_tool_deltas():
     content = "".join(d.get("content", "") for d in deltas)
     assert "I will call." in content
     assert chunks[-1]["choices"][0]["finish_reason"] == "tool_calls"
+
+
+@pytest.mark.parametrize("chunk", [1, 3])
+def test_mistral_streaming(chunk):
+    text = ('Let me check.[TOOL_CALLS] [{"name": "get_weather", '
+            '"arguments": {"city": "Paris"}}, {"name": "search", '
+            '"arguments": {"q": "x"}}]')
+    normal, deltas, p = drive("mistral", text, chunk)
+    assert normal.strip() == "Let me check."
+    calls = calls_of(deltas)
+    assert [c["name"] for c in calls] == ["get_weather", "search"]
+    assert json.loads(calls[0]["arguments"]) == {"city": "Paris"}
+    assert json.loads(calls[1]["arguments"]) == {"q": "x"}
+
+
+@pytest.mark.parametrize("chunk", [1, 4])
+def test_deepseek_streaming(chunk):
+    text = ("ok<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>get_weather\n```json\n"
+            '{"city": "Tokyo", "days": 2}\n```<｜tool▁call▁end｜>'
+            "<｜tool▁calls▁end｜>")
+    normal, deltas, p = drive("deepseek", text, chunk)
+    calls = calls_of(deltas)
+    assert len(calls) == 1
+    assert calls[0]["name"] == "get_weather"
+    assert json.loads(calls[0]["arguments"]) == {"city": "Tokyo", "days": 2}
+    assert normal.strip() == "ok"
+    # name delta precedes the argument increments
+    assert deltas[0]["function"]["name"] == "get_weather"
+    if chunk == 1:
+        args_deltas = [d for d in deltas
+                       if "name" not in d.get("function", {})]
+        assert len(args_deltas) > 3
+
+
+@pytest.mark.parametrize("chunk", [2, 5])
+def test_glm4_moe_streaming(chunk):
+    text = ("<tool_call>get_weather\n<arg_key>city</arg_key>\n"
+            "<arg_value>Beijing</arg_value>\n<arg_key>days</arg_key>\n"
+            "<arg_value>3</arg_value>\n</tool_call>")
+    normal, deltas, p = drive("glm4_moe", text, chunk)
+    calls = calls_of(deltas)
+    assert len(calls) == 1
+    assert calls[0]["name"] == "get_weather"
+    assert json.loads(calls[0]["arguments"]) == {"city": "Beijing",
+                                                 "days": 3}
+    assert deltas[0]["function"]["name"] == "get_weather"
+
+
+@pytest.mark.parametrize("chunk", [1, 6])
+def test_gpt_oss_streaming(chunk):
+    text = ("<|channel|>commentary to=functions.search <|constrain|>json"
+            '<|message|>{"q": "tpu kernels"}<|call|>')
+    normal, deltas, p = drive("gpt_oss", text, chunk)
+    calls = calls_of(deltas)
+    assert len(calls) == 1
+    assert calls[0]["name"] == "search"
+    assert json.loads(calls[0]["arguments"]) == {"q": "tpu kernels"}
+
+
+@pytest.mark.parametrize("chunk", [3])
+def test_step3_streaming(chunk):
+    text = ("<｜tool_calls_begin｜>"
+            '<steptml:invoke name="get_weather">'
+            '<steptml:parameter name="city">Oslo</steptml:parameter>'
+            '<steptml:parameter name="days">7</steptml:parameter>'
+            "</steptml:invoke><｜tool_calls_end｜>")
+    normal, deltas, p = drive("step3", text, chunk)
+    calls = calls_of(deltas)
+    assert len(calls) == 1
+    assert calls[0]["name"] == "get_weather"
+    assert json.loads(calls[0]["arguments"]) == {"city": "Oslo", "days": 7}
+
+
+def test_deepseek_parallel_streaming():
+    text = ("<｜tool▁calls▁begin｜>"
+            "<｜tool▁call▁begin｜>function<｜tool▁sep｜>get_weather\n"
+            '{"city": "A"}<｜tool▁call▁end｜>'
+            "<｜tool▁call▁begin｜>function<｜tool▁sep｜>search\n"
+            '{"q": "b"}<｜tool▁call▁end｜><｜tool▁calls▁end｜>')
+    normal, deltas, p = drive("deepseek", text, 2)
+    calls = calls_of(deltas)
+    assert [c["name"] for c in calls] == ["get_weather", "search"]
+    assert {d["index"] for d in deltas} == {0, 1}

@@ -59,14 +59,18 @@ def main():
     results = {}
 
     def timeit(name, jfn, *args, reps=3, donate=False):
+        """Times jfn; with donate=True the caller must pass the ONLY live
+        reference to args[0] (it is consumed; the final output is returned
+        so the caller can keep using the buffer — peak stays ~1 cache)."""
         out = jfn(*args)
         leaf = jax.tree_util.tree_leaves(out)[-1]
         fetch(leaf.reshape(-1)[:1])
         best = float("inf")
-        # a donating probe consumed args[0] in the warmup call — feed the
-        # warmup output forward instead
-        cur = ((out if not isinstance(out, tuple) else out[0]),) + args[1:] \
+        rest = args[1:]
+        cur = ((out if not isinstance(out, tuple) else out[0]),) + rest \
             if donate else args
+        if donate:
+            args = None  # drop the borrowed reference to the donated buffer
         for _ in range(reps):
             t0 = time.perf_counter()
             out = jfn(*cur)
@@ -75,11 +79,12 @@ def main():
             best = min(best, time.perf_counter() - t0)
             if donate:
                 cur = ((out if not isinstance(out, tuple)
-                        else out[0]),) + args[1:]
+                        else out[0]),) + rest
         per_step_ms = 1000 * best / K
         results[name] = round(per_step_ms, 3)
         print(f"{name}: {per_step_ms:.2f} ms/step ({best:.3f} s / {K})",
               flush=True, file=sys.stderr)
+        return out if not isinstance(out, tuple) else out[0]
 
     # ---- 1. KV write scatter alone: L layers x K steps, donated carry ----
     @jax.jit
@@ -91,7 +96,7 @@ def main():
         return jax.lax.fori_loop(0, K, body, kv)
 
     wloop_d = jax.jit(lambda c: wloop(c), donate_argnums=(0,))
-    timeit("write_kv_L16", wloop_d, jnp.zeros_like(kv), donate=True)
+    kv = timeit("write_kv_L16", wloop_d, kv, donate=True)
 
     # ---- 2. gather+attend alone: L layers x K steps ----
     @jax.jit
@@ -141,7 +146,7 @@ def main():
             0, K, body, (kv, jnp.zeros(q.shape, jnp.float32)))
 
     wa_d = jax.jit(lambda c, q: waloop(c, q), donate_argnums=(0,))
-    timeit("write_attend_L16", wa_d, jnp.zeros_like(kv), q, donate=True)
+    kv = timeit("write_attend_L16", wa_d, kv, q, donate=True)
 
     # ---- 4. weight-shaped matmul sweep: all decode GEMMs (w4a16-ish) ----
     H, FF, V = 2048, 8192, 128256
