@@ -39,6 +39,12 @@ SCENARIOS = {
         family="wan", height=480, width=832, steps=4, frames=9,
         wan=dict(),  # Wan2.1-T2V-1.3B defaults (dim 1536, 30 layers)
     ),
+    # BASELINE.md row: turbo_wan2_1_t2v_1.3b (DMD distilled) 4,687 ms e2e /
+    # 319.6 ms-step on 1x H100 — 4 fixed timesteps, no CFG
+    "turbo_wan2_1_t2v": dict(
+        family="wan", height=480, width=832, steps=4, frames=9,
+        wan=dict(), dmd_steps=[988, 932, 852, 608],
+    ),
     # BASELINE.md row: qwen_image_t2i 14,959 ms e2e / 285.7 ms-step (H100)
     "qwen_image_t2i": dict(
         family="qwen_image", height=512, width=512, steps=8,
@@ -109,11 +115,14 @@ def main():
             dtype=jnp.bfloat16,
         )
     frames = sc.get("frames", 0)
+    extra_kw = {}
+    if sc.get("dmd_steps"):
+        extra_kw["dmd_steps"] = sc["dmd_steps"]
     # warmup (compiles the denoise scan + vae)
     t0 = time.time()
     gen.generate("warmup", height=sc["height"], width=sc["width"],
                  num_inference_steps=steps, guidance_scale=args.guidance,
-                 num_frames=frames)
+                 num_frames=frames, **extra_kw)
     print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     out = gen.generate(
@@ -124,6 +133,7 @@ def main():
         guidance_scale=args.guidance,
         num_frames=frames,
         seed=7,
+        **extra_kw,
     )
     mi = out["meta_info"]
     print(

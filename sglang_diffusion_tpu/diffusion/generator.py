@@ -69,6 +69,7 @@ class DiffGenerator:
         strength: float = 0.6,
         sampler: str = "euler",
         causal_chunk_frames: int = 0,  # >0: streaming/AR chunked video
+        dmd_steps=None,  # DMD distilled few-step denoising (turbo-Wan)
     ) -> Dict[str, Any]:
         gp = GenerationParams(
             prompt=prompt,
@@ -83,6 +84,7 @@ class DiffGenerator:
             image=image,
             strength=strength,
             sampler=sampler,
+            dmd_steps=dmd_steps,
         )
         t0 = time.perf_counter()
         if num_frames > 0 and causal_chunk_frames > 0:

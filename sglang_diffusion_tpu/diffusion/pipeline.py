@@ -90,6 +90,11 @@ class GenerationParams:
     # scheduler: "euler" (flow-match Euler) or "unipc" (order-2 UniPC,
     # the reference's Wan default)
     sampler: str = "euler"
+    # DMD distilled denoising (reference: pipelines_core/stages/
+    # denoising_dmd.py + TurboWan configs): a FIXED short timestep list
+    # (e.g. [988, 932, 852, 608]) replaces the sigma schedule; each step
+    # predicts the clean video and re-noises to the next level. No CFG.
+    dmd_steps: Any = None  # list[int] | None
 
     def __post_init__(self):
         if self.height % 16 or self.width % 16:
@@ -230,6 +235,13 @@ class DenoisingStage(Stage):
 
     def __call__(self, batch, pipe):
         p = batch.params
+        dmd = p.dmd_steps or getattr(pipe, "dmd_steps", None)
+        if dmd:
+            batch.latents = pipe.run_denoise_dmd(
+                batch.latents, batch.text_emb, tuple(int(t) for t in dmd),
+                seed=p.seed,
+            )
+            return
         latents = pipe.run_denoise(
             batch.latents,
             batch.text_emb,
@@ -472,6 +484,57 @@ class DiffusionPipeline:
 
     def _cond_dim(self, dit_params) -> int:
         return dit_params["t_mlp2"].shape[-1]
+
+    def run_denoise_dmd(self, latents, text_emb, steps, seed: int = 0,
+                        shift: float = 8.0):
+        """DMD / distilled few-step denoising (reference:
+        stages/denoising_dmd.py:58 + models/utils.py:95): at each fixed
+        timestep t_i the model's velocity converts to a clean-video
+        prediction x0 = x_t - sigma_i * v, which is re-noised with FRESH
+        noise to the next level x = (1-sigma_{i+1}) x0 + sigma_{i+1} eps.
+        No CFG (the distilled model bakes guidance in); sigma(t) uses the
+        shift-8 flow-match map sigma = shift*s / (1 + (shift-1)*s)."""
+        p = self.dit_cfg.patch_size
+        steps = tuple(int(t) for t in steps)
+
+        def loop(dit_params, latents, text_emb, key):
+            video = latents.ndim == 5
+            if video:
+                tokens, grid_hw = patchify_video(latents, p)
+            else:
+                tokens, grid_hw = patchify(latents, p)
+            ts = jnp.asarray(steps, jnp.float32)
+            s_frac = ts / 1000.0
+            sig = shift * s_frac / (1.0 + (shift - 1.0) * s_frac)
+
+            def body(carry, i):
+                x, key = carry
+                t = jnp.full((x.shape[0],), ts[i])
+                v = self.dit_forward(dit_params, x, text_emb, t, grid_hw)
+                x0 = x - sig[i] * v.astype(x.dtype)
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, x.shape, jnp.float32).astype(
+                    x.dtype)
+                is_last = i == len(steps) - 1
+                sig_next = jnp.where(is_last, 0.0, sig[jnp.minimum(
+                    i + 1, len(steps) - 1)])
+                x = (1.0 - sig_next) * x0 + sig_next * noise
+                return (x, key), None
+
+            (tokens, _), _ = jax.lax.scan(
+                body, (tokens, key), jnp.arange(len(steps)))
+            if video:
+                return unpatchify_video(tokens, grid_hw, p,
+                                        self.dit_cfg.in_channels)
+            return unpatchify(tokens, grid_hw, p, self.dit_cfg.in_channels)
+
+        if not hasattr(self, "_dmd_jits"):
+            self._dmd_jits = {}
+        if steps not in self._dmd_jits:
+            self._dmd_jits[steps] = jax.jit(loop)
+        key = jax.random.PRNGKey(seed + 1)
+        return self._dmd_jits[steps](
+            self.params["dit"], latents, text_emb, key)
 
     def run_denoise(self, latents, text_emb, neg_emb, sigmas, guidance_scale,
                     sampler: str = "euler"):

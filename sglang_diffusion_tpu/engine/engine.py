@@ -92,7 +92,10 @@ class Engine:
             self.args, model_config, self.mesh_ctx, params=params
         )
         self.allocator = PageAllocator(self.runner.num_pages, self.args.page_size)
-        if self.args.disable_radix_cache:
+        if self.args.disable_radix_cache or self.runner.has_linear_state:
+            # hybrid linear-attention families: prefix-cache reuse would
+            # skip recomputing the recurrent state (the reference solves
+            # this with a dedicated mamba radix cache; we recompute)
             self.radix = None
         elif self.args.enable_hierarchical_cache:
             # host tier needs the Python tree (holds per-node host blobs)
@@ -364,6 +367,8 @@ class Engine:
 
         if getattr(self.runner.model_cls, "uses_mrope", False):
             return self._process_images_mrope(input_ids, images)
+        if getattr(self.runner.model_cls, "mm_tiled", None):
+            return self._process_images_tiled(input_ids, images)
         if not hasattr(self, "_image_processor"):
             from sglang_diffusion_tpu.multimodal import ImageProcessor
 
@@ -380,6 +385,56 @@ class Engine:
             self.model_config.vocab_size,
         )
         return mm_embeds, new_ids, spans, None, 0
+
+    def _process_images_tiled(self, input_ids: List[int], images: List):
+        """Multi-view VLM preprocessing (reference:
+        srt/multimodal/processors/{gemma3,internvl}.py): each image
+        yields several same-size views — the resized original plus
+        pan-and-scan crops (Gemma3) or aspect-matched tiles plus a
+        thumbnail (InternVL). All views of one placeholder encode as one
+        batch and occupy one contiguous span of views*n_tok tokens."""
+        import jax.numpy as jnp_
+
+        from sglang_diffusion_tpu.multimodal import expand_mm_prompt
+
+        mode = self.runner.model_cls.mm_tiled
+        if not hasattr(self, "_tiled_processor"):
+            raw = self.model_config.raw or {}
+            v = self.model_config.vision
+            if mode == "pan_and_scan":
+                from sglang_diffusion_tpu.multimodal.processor import (
+                    Gemma3PanScanProcessor,
+                )
+
+                self._tiled_processor = Gemma3PanScanProcessor(
+                    image_size=v.image_size, patch_size=v.patch_size)
+            elif mode == "dynamic_tiling":
+                from sglang_diffusion_tpu.multimodal.processor import (
+                    InternVLTileProcessor,
+                )
+
+                self._tiled_processor = InternVLTileProcessor(
+                    image_size=v.image_size, patch_size=v.patch_size,
+                    max_num=int(raw.get("max_dynamic_patch", 12)),
+                    use_thumbnail=bool(raw.get("use_thumbnail", True)),
+                    downsample_ratio=float(
+                        raw.get("downsample_ratio", 0.5)),
+                )
+            else:
+                raise ValueError(f"unknown mm_tiled mode {mode!r}")
+        proc = self._tiled_processor
+        embeds, digests, counts = [], [], []
+        for im in images:
+            stack, digest, n_views = proc.preprocess_tiled(im)
+            emb = self.runner.encode_images(stack)  # [n_views, n_tok, E]
+            embeds.append(emb.reshape(-1, emb.shape[-1]))
+            digests.append(digest)
+            counts.append(int(emb.shape[0] * emb.shape[1]))
+        new_ids, spans = expand_mm_prompt(
+            input_ids, self.model_config.image_token_id, counts, digests,
+            self.model_config.vocab_size,
+        )
+        return embeds, new_ids, spans, None, 0
 
     def _process_images_mrope(self, input_ids: List[int], images: List):
         """Qwen2-VL path: dynamic-resolution patches, per-image vision

@@ -152,15 +152,21 @@ class ModelRunner:
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             params,
             specs,
-            is_leaf=lambda x: not isinstance(x, dict),
+            is_leaf=lambda x: not isinstance(x, (dict, list)),
         )
 
         # ---- KV cache ----
         # RPA layout (round 4): [L, P, S, 2Hkv, D] — slot-major pages with
         # K/V interleaved on the combined-head axis, matching JAX's TPU
         # ragged-paged-attention kernel
+        self.has_linear_state = getattr(
+            self.model_cls, "has_linear_state", False)
+        n_kv_layers = (
+            self.model_cls.kv_layers(model_config)
+            if self.has_linear_state else model_config.num_hidden_layers
+        )
         kv_shape = (
-            model_config.num_hidden_layers,
+            n_kv_layers,
             self.num_pages,
             args.page_size,
             model_config.kv_cache_heads,  # 2*Hkv, or 1 latent plane (MLA)
@@ -170,9 +176,24 @@ class ModelRunner:
             model_config.kv_cache_heads, self.num_pages,
             dp_attention=self.dp_attention,
         )
-        self.kv_cache = jax.device_put(
+        pages_arr = jax.device_put(
             jnp.zeros(kv_shape, _kv_dtype(args)), kv_sharding
         )
+        if self.has_linear_state:
+            # hybrid families (qwen3-next / mamba mixes): per-request conv
+            # + recurrent state pools, slot-indexed by each request's first
+            # page id (reference analog: HybridLinear pools,
+            # srt/mem_cache/memory_pool.py:1757). The pools ride the same
+            # donated carry as the paged cache.
+            if args.speculative_algorithm:
+                raise ValueError(
+                    "speculative decoding is not supported for hybrid "
+                    "linear-attention models yet")
+            pools = self.model_cls.init_linear_state(
+                model_config, self.num_pages, dtype)
+            self.kv_cache = {"pages": pages_arr, **pools}
+        else:
+            self.kv_cache = pages_arr
 
         # ---- compiled step ----
         from sglang_diffusion_tpu.layers.attention import (
@@ -265,7 +286,13 @@ class ModelRunner:
 
         def decode_multi(params, kv_cache, tokens0, positions0, page_table,
                          slots_km, samp_meta, key, all_greedy=False,
-                         output_counts=None, vocab_mask=None, rope_delta=None):
+                         output_counts=None, vocab_mask=None, rope_delta=None,
+                         pages_hint=None):
+            # pages_hint is STATIC and otherwise unused here: its value is
+            # read at trace time by the pallas backend (layers/attention
+            # set_decode_pages_hint) — carrying it as a static arg keys the
+            # executable cache so the kernel re-specializes as contexts
+            # grow past each power-of-two page bound.
             """K fused decode steps with device-side token feedback
             (lax.scan; the TPU analog of overlap-scheduling + CUDA-graph
             replay — one host dispatch per K tokens).
@@ -394,7 +421,8 @@ class ModelRunner:
                 step, donate_argnums=(1,), static_argnames=("all_greedy",)
             )
             self._decode_multi = jax.jit(
-                decode_multi, donate_argnums=(1,), static_argnames=("all_greedy",)
+                decode_multi, donate_argnums=(1,),
+                static_argnames=("all_greedy", "pages_hint"),
             )
             self._verify = jax.jit(verify_step, donate_argnums=(1,))
         self._rng_counter = 0
@@ -568,6 +596,15 @@ class ModelRunner:
             for i, r in enumerate(plan.reqs):
                 rd[i] = r.rope_delta
             rope_delta = jnp.asarray(rd)
+        # static page bound for the pallas decode kernel: max context this
+        # window can reach, in pages, rounded up to a power of two
+        from sglang_diffusion_tpu.layers.attention import (
+            set_decode_pages_hint,
+        )
+
+        max_ctx = int(plan.kv_lens.max()) + plan.horizon
+        hint = self._pages_hint_for(max_ctx)
+        set_decode_pages_hint(hint)
         toks, lps, self.kv_cache = self._decode_multi(
             self.params,
             self.kv_cache,
@@ -581,6 +618,7 @@ class ModelRunner:
             output_counts=output_counts,
             vocab_mask=vocab_mask,
             rope_delta=rope_delta,
+            pages_hint=hint,
         )
         return toks, lps
 
@@ -927,7 +965,7 @@ class ModelRunner:
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             params,
             specs,
-            is_leaf=lambda x: not isinstance(x, dict),
+            is_leaf=lambda x: not isinstance(x, (dict, list)),
         )
 
     def update_param_leaves(self, named_arrays) -> None:
@@ -945,6 +983,18 @@ class ModelRunner:
             node[keys[-1]] = value
 
     # ------------- step execution -------------
+    def _pages_hint_for(self, max_ctx: int) -> int:
+        """Static page bound for the pallas decode kernel: exact page
+        count for short contexts (no DMA waste), power-of-two beyond 8
+        pages (bounds the executable count as contexts grow)."""
+        need = max(1, cdiv(max_ctx, self.args.page_size))
+        if need > 8:
+            hint = 8
+            while hint < need:
+                hint *= 2
+            need = hint
+        return min(need, self.max_pages_per_seq)
+
     def step_key(self, plan: BatchPlan) -> tuple:
         """Identity of the compiled executable a plan will dispatch to
         (kind + padded bucket shapes). The engine uses this to tell a
@@ -953,7 +1003,9 @@ class ModelRunner:
         b = plan.token_ids.shape[0]
         bb = select_bucket(self.bs_buckets, b)
         if plan.kind == "decode":
-            return ("decode", bb, plan.horizon)
+            max_ctx = int(plan.kv_lens.max()) + plan.horizon
+            return ("decode", bb, plan.horizon,
+                    self._pages_hint_for(max_ctx))
         return (plan.kind, bb,
                 select_bucket(LQ_BUCKETS, plan.token_ids.shape[1]))
 

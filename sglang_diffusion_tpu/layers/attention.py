@@ -42,6 +42,16 @@ AttentionFn = Callable[..., jax.Array]
 
 _BACKENDS = {}
 
+# Trace-time hint: max valid pages per sequence in the current decode
+# batch. The runner sets it and threads a matching STATIC arg through its
+# jitted step so executables re-specialize when the bound changes (the
+# global alone would not invalidate jit caches).
+_DECODE_PAGES_HINT = [None]
+
+
+def set_decode_pages_hint(n) -> None:
+    _DECODE_PAGES_HINT[0] = n
+
 
 def register_attention_backend(name: str):
     def deco(fn):
@@ -113,6 +123,7 @@ def _pallas_backend_impl(q, kv_cache, layer_idx, meta: AttentionMetadata, sm_sca
         interpret=jax.default_backend() != "tpu",
         window=window,
         softcap=softcap,
+        kv_pages_hint=_DECODE_PAGES_HINT[0],
     )
 
 

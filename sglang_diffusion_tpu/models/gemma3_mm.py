@@ -34,6 +34,7 @@ class Gemma3MMFamily:
 
     supports_eagle = False
     is_multimodal = True
+    mm_tiled = "pan_and_scan"  # engine picks the multi-view preprocessor
 
     @staticmethod
     def _mm_tokens(cfg: ModelConfig) -> int:

@@ -37,6 +37,7 @@ class InternVLFamily:
 
     supports_eagle = False
     is_multimodal = True
+    mm_tiled = "dynamic_tiling"  # engine picks the multi-view preprocessor
 
     @staticmethod
     def _downsample(cfg: ModelConfig) -> int:

@@ -157,7 +157,18 @@ def _dense_mlp(h2, lp):
 
 @register_model("Qwen3NextForCausalLM")
 class Qwen3NextFamily:
-    is_hybrid_recurrent = True  # not a paged-KV family (like Mamba2Family)
+    is_hybrid_recurrent = True  # standalone generator path still available
+    # round 4: paged-engine integration (reference analog: HybridLinear KV
+    # pools, srt/mem_cache/memory_pool.py:1757). Full-attention layers use
+    # the paged cache (their own layer ordinals); linear-attention layers
+    # carry per-REQUEST conv + recurrent state in pools indexed by the
+    # request's FIRST page id — unique while the request is alive, freed
+    # with its pages, and reset on prefill start (q_start == 0), so slot
+    # reuse needs no extra bookkeeping. Radix prefix reuse is disabled for
+    # hybrid models (a cached-prefix skip would leave the recurrent state
+    # uncomputed; the reference uses a dedicated mamba radix cache).
+    has_linear_state = True
+    supports_eagle = False
 
     # ------------- weights -------------
     @staticmethod
@@ -241,6 +252,113 @@ class Qwen3NextFamily:
             params["lm_head"] = jnp.asarray(sd["lm_head.weight"].T, jnp.float32)
         return params
 
+    @staticmethod
+    def kv_layers(cfg: ModelConfig) -> int:
+        """Paged-cache layer count = number of full-attention layers."""
+        return sum(1 for t in _layer_types(cfg) if t == "full_attention")
+
+    @staticmethod
+    def init_linear_state(cfg: ModelConfig, n_slots: int, dtype=jnp.bfloat16):
+        d = _dims(cfg)
+        n_lin = sum(1 for t in _layer_types(cfg) if t == "linear_attention")
+        return {
+            "conv": jnp.zeros((n_lin, n_slots, d.kconv - 1, d.conv_dim),
+                              dtype),
+            # recurrent state in f32 (HF keeps the delta-rule state f32)
+            "recur": jnp.zeros((n_lin, n_slots, d.hv, d.dk, d.dv),
+                               jnp.float32),
+        }
+
+    @staticmethod
+    def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.bfloat16):
+        """Random init with the same tree as params_from_state_dict."""
+        d = _dims(cfg)
+        E = cfg.hidden_size
+        Hq, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                      cfg.actual_head_dim)
+        keys = iter(jax.random.split(rng, 16 + 16 * cfg.num_hidden_layers))
+
+        def init(shape, scale_dim=None):
+            sd_ = 1.0 / np.sqrt(scale_dim or shape[0])
+            return (jax.random.normal(next(keys), shape, jnp.float32)
+                    * sd_).astype(dtype)
+
+        layers = []
+        for l, lt in enumerate(_layer_types(cfg)):
+            lp = {
+                "input_norm": jnp.zeros((E,), dtype),
+                "post_norm": jnp.zeros((E,), dtype),
+            }
+            if lt == "linear_attention":
+                lp.update({
+                    "in_qkvz": init((E, 2 * d.key_dim + 2 * d.value_dim)),
+                    "in_ba": init((E, 2 * d.hv)),
+                    "conv_w": init((d.kconv, d.conv_dim), scale_dim=d.kconv),
+                    "A_log": jnp.zeros((d.hv,), jnp.float32),
+                    "dt_bias": jnp.zeros((d.hv,), jnp.float32),
+                    "norm_w": jnp.ones((d.dv,), dtype),
+                    "out_proj": init((d.value_dim, E)),
+                })
+            else:
+                lp.update({
+                    "wq": init((E, Hq * 2 * D)),
+                    "wk": init((E, Hkv * D)),
+                    "wv": init((E, Hkv * D)),
+                    "wo": init((Hq * D, E)),
+                    "q_norm": jnp.zeros((D,), dtype),
+                    "k_norm": jnp.zeros((D,), dtype),
+                })
+            if _is_moe(cfg, l):
+                X = cfg.num_experts
+                F = cfg.moe_intermediate_size or cfg.intermediate_size
+                Fs = cfg.raw.get("shared_expert_intermediate_size",
+                                 cfg.intermediate_size)
+                lp.update({
+                    "w_router": init((E, X)),
+                    "w_gate": init((X, E, F), scale_dim=E),
+                    "w_up": init((X, E, F), scale_dim=E),
+                    "w_down": init((X, F, E), scale_dim=F),
+                    "w_shared_gate": init((E, 1)),
+                    "w_shared_gate_proj": init((E, Fs)),
+                    "w_shared_up": init((E, Fs)),
+                    "w_shared_down": init((Fs, E)),
+                })
+            else:
+                F = cfg.intermediate_size
+                lp.update({
+                    "w_gate": init((E, F)),
+                    "w_up": init((E, F)),
+                    "w_down": init((F, E)),
+                })
+            layers.append(lp)
+        return {
+            "embed": init((cfg.vocab_size, E)),
+            "final_norm": jnp.zeros((E,), dtype),
+            "layers": layers,
+        }
+
+    @staticmethod
+    def partition_specs(cfg: ModelConfig):
+        from jax.sharding import PartitionSpec as P
+
+        # replicate everything (hybrid state pools dominate memory anyway);
+        # heads/ffn sharding can come later
+        def spec_like(tree):
+            if isinstance(tree, dict):
+                return {k: spec_like(v) for k, v in tree.items()}
+            if isinstance(tree, list):
+                return [spec_like(v) for v in tree]
+            return P()
+
+        # build from a shape-only skeleton: same structure as init_params
+        import jax as _jax
+
+        skeleton = _jax.eval_shape(
+            lambda: Qwen3NextFamily.init_params(
+                _jax.random.PRNGKey(0), cfg, jnp.float32)
+        )
+        return spec_like(skeleton)
+
     # ------------- shared layer math -------------
     @staticmethod
     def _linear_attn_proj(h, lp, d: _Dims):
@@ -253,9 +371,152 @@ class Qwen3NextFamily:
         )
         return q, k, v, z, beta, g
 
+    # ------------- paged-engine forward (round 4) -------------
+    @staticmethod
+    def make_paged_forward(cfg: ModelConfig, attn_fn,
+                           logits_mode: str = "last"):
+        """forward(params, input_ids, positions, kv_cache, meta) for the
+        paged runner. kv_cache is the PYTREE
+        {"pages": [L_full, P, S, 2Hkv, D], "conv": ..., "recur": ...};
+        linear-layer state lives in slot = page_table[:, 0] and resets
+        when q_start == 0 (sequence start)."""
+        from sglang_diffusion_tpu.ops.attention_xla import write_kv_pages
+
+        d = _dims(cfg)
+        eps = cfg.rms_norm_eps
+        Hq = cfg.num_attention_heads
+        Hkv = cfg.num_key_value_heads
+        D = cfg.actual_head_dim
+        rot_dim = int(D * cfg.partial_rotary_factor)
+        inv_freq = jnp.asarray(compute_inv_freq(rot_dim, cfg.rope_theta,
+                                                None))
+        sm_scale = 1.0 / np.sqrt(D)
+        types = _layer_types(cfg)
+
+        def forward(params, input_ids, positions, kv_cache, meta):
+            pages = kv_cache["pages"]
+            conv_pool = kv_cache["conv"]
+            recur_pool = kv_cache["recur"]
+            slot = jnp.maximum(meta.page_table[:, 0], 0)  # [B]
+            fresh = (meta.q_start_pos == 0)  # [B] sequence start
+            b, t = input_ids.shape
+            hidden = jnp.take(params["embed"], input_ids, axis=0)
+            # valid-token mask (right padding + chunk bounds)
+            q_pos = meta.q_start_pos[:, None] + jnp.arange(t)[None]
+            valid = (q_pos < meta.kv_lens[:, None])  # [B, T]
+            lf = 0  # full-attention ordinal (pages cache layer index)
+            ll = 0  # linear-attention ordinal (state pool index)
+            for l, lp in enumerate(params["layers"]):
+                h = _zc_norm(hidden, lp["input_norm"], eps)
+                if types[l] == "linear_attention":
+                    q, k, v, z, beta, g = Qwen3NextFamily._linear_attn_proj(
+                        h, lp, d)
+                    # padded tokens must be recurrence no-ops:
+                    # beta=0 (no write), g=0 (decay exp(0)=1)
+                    vm = valid[..., None]
+                    beta = jnp.where(vm, beta, 0.0)
+                    g = jnp.where(vm, g, 0.0)
+                    mixed = jnp.concatenate([
+                        q.reshape(b, t, -1), k.reshape(b, t, -1),
+                        v.reshape(b, t, -1),
+                    ], axis=-1)
+                    conv_st = jnp.take(conv_pool[ll], slot, axis=0)
+                    conv_st = jnp.where(fresh[:, None, None],
+                                        jnp.zeros_like(conv_st), conv_st)
+                    recur_st = jnp.take(recur_pool[ll], slot, axis=0)
+                    recur_st = jnp.where(fresh[:, None, None, None],
+                                         jnp.zeros_like(recur_st), recur_st)
+                    # zero padded conv inputs so they don't pollute the
+                    # rolling state, then take the last K-1 rows at each
+                    # sequence's true end
+                    mixed_in = jnp.where(vm, mixed, 0.0)
+                    mixed_out, _ = causal_conv1d(
+                        mixed_in, lp["conv_w"], None,
+                        conv_st.astype(mixed.dtype))
+                    # new conv state: rows [len-K+1, len) of [state ++ valid
+                    # tokens] (per sequence true length)
+                    lens = jnp.sum(valid, axis=1)  # [B]
+                    full_in = jnp.concatenate(
+                        [conv_st.astype(mixed.dtype), mixed_in], axis=1)
+                    idx = (lens[:, None] + jnp.arange(d.kconv - 1)[None])
+                    new_conv = jnp.take_along_axis(
+                        full_in, idx[:, :, None], axis=1)
+                    if t == 1:
+                        qc = mixed_out[..., : d.key_dim].reshape(
+                            b, d.hk, d.dk)
+                        kc = mixed_out[..., d.key_dim: 2 * d.key_dim].reshape(
+                            b, d.hk, d.dk)
+                        vc = mixed_out[..., 2 * d.key_dim:].reshape(
+                            b, d.hv, d.dv)
+                        qc = jnp.repeat(qc, d.rep, axis=1)
+                        kc = jnp.repeat(kc, d.rep, axis=1)
+                        out, rec = gated_delta_rule_step(
+                            qc, kc, vc, g[:, 0], beta[:, 0],
+                            recur_st)
+                        out = out[:, None]
+                    else:
+                        qc = mixed_out[..., : d.key_dim].reshape(
+                            b, t, d.hk, d.dk)
+                        kc = mixed_out[..., d.key_dim: 2 * d.key_dim].reshape(
+                            b, t, d.hk, d.dk)
+                        vc = mixed_out[..., 2 * d.key_dim:].reshape(
+                            b, t, d.hv, d.dv)
+                        qc = jnp.repeat(qc, d.rep, axis=2)
+                        kc = jnp.repeat(kc, d.rep, axis=2)
+                        out, rec = gated_delta_rule_chunked(
+                            qc, kc, vc, g, beta, chunk_size=64,
+                            initial_state=recur_st)
+                    out = _gated_norm(out, lp["norm_w"], z, eps)
+                    o = jnp.dot(out.reshape(b, t, -1), lp["out_proj"])
+                    conv_pool = conv_pool.at[ll, slot].set(
+                        new_conv.astype(conv_pool.dtype))
+                    recur_pool = recur_pool.at[ll, slot].set(
+                        rec.astype(recur_pool.dtype))
+                    ll += 1
+                else:
+                    qg = jnp.dot(h, lp["wq"]).reshape(b, t, Hq, 2 * D)
+                    q, gate = qg[..., :D], qg[..., D:]
+                    k = jnp.dot(h, lp["wk"]).reshape(b, t, Hkv, D)
+                    v = jnp.dot(h, lp["wv"]).reshape(b, t, Hkv, D)
+                    q = _zc_norm(q, lp["q_norm"], eps)
+                    k = _zc_norm(k, lp["k_norm"], eps)
+                    q, k = apply_rope_partial(q, k, positions, inv_freq,
+                                              rot_dim)
+                    pages = write_kv_pages(pages, lf, k, v, meta.slot_ids)
+                    attn_out = attn_fn(q, pages, lf, meta, sm_scale)
+                    o = attn_out.reshape(b, t, Hq * D) * jax.nn.sigmoid(
+                        gate.astype(jnp.float32)).reshape(
+                            b, t, Hq * D).astype(attn_out.dtype)
+                    o = jnp.dot(o.astype(hidden.dtype), lp["wo"])
+                    lf += 1
+                hidden = hidden + o
+                h2 = _zc_norm(hidden, lp["post_norm"], eps)
+                if _is_moe(cfg, l):
+                    mlp = _moe_mlp(h2.reshape(b * t, -1), lp, cfg).reshape(
+                        b, t, -1)
+                else:
+                    mlp = _dense_mlp(h2, lp)
+                hidden = hidden + mlp
+            hidden = _zc_norm(hidden, params["final_norm"], eps)
+            head = params.get("lm_head", params["embed"].T)
+            new_kv = {"pages": pages, "conv": conv_pool, "recur": recur_pool}
+            if logits_mode in ("all", "all_hidden"):
+                logits = jnp.dot(hidden, head).astype(jnp.float32)
+                return logits, new_kv
+            h_out = hidden[jnp.arange(b), meta.logit_idx]
+            logits = jnp.dot(h_out, head).astype(jnp.float32)
+            return logits, new_kv
+
+        return forward
+
     # ------------- full-sequence forward (prefill / parity) -------------
     @staticmethod
-    def make_forward(cfg: ModelConfig, logits_mode: str = "last"):
+    def make_forward(cfg: ModelConfig, attn_fn=None, logits_mode: str = "last",
+                     **_kw):
+        if attn_fn is not None:
+            # paged-runner path (the runner always passes an attention fn)
+            return Qwen3NextFamily.make_paged_forward(
+                cfg, attn_fn, logits_mode=logits_mode)
         d = _dims(cfg)
         eps = cfg.rms_norm_eps
         Hq = cfg.num_attention_heads

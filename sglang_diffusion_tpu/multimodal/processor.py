@@ -248,3 +248,113 @@ class Qwen2VLImageProcessor(ImageProcessor):
         x = proc.transpose(0, 3, 1, 2).reshape(gt, tp, 3, hr, wr)
         x = x.transpose(0, 2, 1, 3, 4)  # [gt, C, tp, H, W]
         return self._serialize(x, gh, gw), (gt, gh, gw), digest
+
+
+class Gemma3PanScanProcessor(ImageProcessor):
+    """Gemma3 pan-and-scan preprocessing (reference:
+    srt/multimodal/processors/gemma3.py + HF Gemma3ImageProcessor
+    .pan_and_scan): elongated images additionally yield up to
+    max_num_crops axis-aligned crops; the model sees the resized full
+    image followed by each crop, every one a full mm_tokens block."""
+
+    def __init__(self, image_size: int = 896, patch_size: int = 14,
+                 min_crop_size: int = 256, max_num_crops: int = 4,
+                 min_ratio_to_activate: float = 1.2):
+        super().__init__(image_size, patch_size)
+        self.min_crop_size = min_crop_size
+        self.max_num_crops = max_num_crops
+        self.min_ratio = min_ratio_to_activate
+
+    def _crops(self, arr: np.ndarray) -> List[np.ndarray]:
+        h, w = arr.shape[:2]
+        if w >= h:
+            if w / h < self.min_ratio:
+                return []
+            n_w = int(np.floor(w / h + 0.5))
+            n_w = min(int(np.floor(w / self.min_crop_size)), n_w)
+            n_w = min(self.max_num_crops, max(2, n_w))
+            n_h = 1
+        else:
+            if h / w < self.min_ratio:
+                return []
+            n_h = int(np.floor(h / w + 0.5))
+            n_h = min(int(np.floor(h / self.min_crop_size)), n_h)
+            n_h = min(self.max_num_crops, max(2, n_h))
+            n_w = 1
+        cw = int(np.ceil(w / n_w))
+        ch = int(np.ceil(h / n_h))
+        if min(cw, ch) < self.min_crop_size:
+            return []
+        return [
+            arr[y: y + ch, x: x + cw]
+            for y in range(0, n_h * ch, ch)
+            for x in range(0, n_w * cw, cw)
+        ]
+
+    def preprocess_tiled(self, image_data: Any):
+        """-> (pixel stack [1+k, 3, S, S], digest, 1+k)."""
+        arr, digest = self.load(image_data)
+        views = [arr] + self._crops(arr)
+        out = []
+        for v in views:
+            r = self._resize_bilinear(v, self.image_size, self.image_size)
+            out.append(((r - self.mean) / self.std).transpose(2, 0, 1))
+        return np.stack(out), digest, len(views)
+
+
+class InternVLTileProcessor(ImageProcessor):
+    """InternVL dynamic tiling (reference:
+    srt/multimodal/processors/internvl.py:143 dynamic_preprocess): pick
+    the (i, j) tile grid whose aspect ratio best matches the image,
+    resize to i*S x j*S, split into i*j tiles, append a thumbnail when
+    more than one tile."""
+
+    MEAN = np.array([0.485, 0.456, 0.406], np.float32)  # ImageNet
+    STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def __init__(self, image_size: int = 448, patch_size: int = 14,
+                 max_num: int = 12, use_thumbnail: bool = True,
+                 downsample_ratio: float = 0.5):
+        super().__init__(image_size, patch_size,
+                         mean=self.MEAN, std=self.STD)
+        self.max_num = max_num
+        self.use_thumbnail = use_thumbnail
+        self.downsample_ratio = downsample_ratio
+
+    @property
+    def tokens_per_tile(self) -> int:
+        side = self.image_size // self.patch_size
+        return int((side * self.downsample_ratio) ** 2)
+
+    def _best_grid(self, h: int, w: int) -> Tuple[int, int]:
+        ar = w / h
+        ratios = sorted(
+            {(i, j) for n in range(1, self.max_num + 1)
+             for i in range(1, n + 1) for j in range(1, n + 1)
+             if i * j <= self.max_num},
+            key=lambda x: x[0] * x[1])
+        best, best_diff = (1, 1), float("inf")
+        for i, j in ratios:
+            diff = abs(ar - i / j)
+            if diff < best_diff or (
+                    diff == best_diff and i * j > best[0] * best[1]):
+                best, best_diff = (i, j), diff
+        return best
+
+    def preprocess_tiled(self, image_data: Any):
+        """-> (pixel stack [tiles(+thumb), 3, S, S], digest, n_views)."""
+        arr, digest = self.load(image_data)
+        h, w = arr.shape[:2]
+        gi, gj = self._best_grid(h, w)
+        s = self.image_size
+        resized = self._resize_bilinear(arr, gj * s, gi * s)
+        tiles = [
+            resized[y: y + s, x: x + s]
+            for k in range(gi * gj)
+            for y, x in [((k // gi) * s, (k % gi) * s)]
+        ]
+        if self.use_thumbnail and len(tiles) > 1:
+            tiles.append(self._resize_bilinear(arr, s, s))
+        out = [((t - self.mean) / self.std).transpose(2, 0, 1)
+               for t in tiles]
+        return np.stack(out), digest, len(out)

@@ -36,7 +36,8 @@ from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "q_block", "interpret", "softcap", "window"),
+    static_argnames=("sm_scale", "q_block", "interpret", "softcap", "window",
+                     "kv_pages_hint"),
 )
 def paged_attention(
     q: jax.Array,  # [B, T, Hq, D]
@@ -50,6 +51,8 @@ def paged_attention(
     interpret: bool = False,  # True = XLA reference path (CPU tests)
     window=None,  # static int or None (traced windows fall back upstream)
     softcap: float = None,
+    kv_pages_hint: int = None,  # static: pages covering the batch's max
+    # context (the scheduler knows it; see model_runner pages-hint)
 ) -> jax.Array:
     if interpret:
         # ref_ragged_paged_attention is not traceable (concrete python
@@ -83,6 +86,18 @@ def paged_attention(
         else None,
         soft_cap=softcap,
     )
+    if t == 1:
+        # decode: round-4 sweep on the bench chip — covering each
+        # sequence's whole VALID context in ONE kv block minimizes both
+        # per-sequence while-loop visits and padded-page DMA waste
+        # (30.5 ms vs 54.5 ms tuned-default per fused step at
+        # bs=256/ctx145); small q blocks keep the wasted cross-sequence
+        # rows down. kv_pages_hint is the scheduler's bound on the
+        # batch's max valid page count (static per decode bucket).
+        nkv = kv_pages_hint or page_table.shape[1]
+        kw["num_kv_pages_per_block"] = max(1, min(nkv, page_table.shape[1],
+                                                  16))
+        kw["num_queries_per_block"] = 8
     if kv_cache.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
         # quantized cache: the kernel dequantizes on load via scales
         kw["k_scale"] = kw["v_scale"] = 1.0

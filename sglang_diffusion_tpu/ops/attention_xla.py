@@ -28,27 +28,34 @@ def write_kv_pages(
 ) -> jax.Array:
     """Scatter new K/V tokens into one layer of the full paged cache.
 
-    Cache layout (round 4): [L, P, S, 2Hkv, D] with K/V head-interleaved on
-    the combined-head axis — the layout of the official TPU ragged-paged-
-    attention kernel (jax.experimental.pallas.ops.tpu.ragged_paged_attention),
-    and one scatter ROW per token ([2Hkv*D] contiguous) instead of 2Hkv rows.
+    Cache layout (round 4): [L, P, S, 2Hkv, D] with K/V head-interleaved
+    on the combined-head axis — the layout of the official TPU
+    ragged-paged-attention kernel
+    (jax.experimental.pallas.ops.tpu.ragged_paged_attention).
+
+    Scatter rows stay ONE HEAD WIDE ([D]=128 lanes): a [2Hkv*D]-wide row
+    scatter measured 475.6 ms per fused decode step at bs=256 vs 6.5 ms
+    for 128-wide rows (round-4 probe) — XLA:TPU lowers wide scatter rows
+    catastrophically.
 
     Operates on the WHOLE stacked cache (scatter rows carry the layer
     offset) so the enclosing layer loop can keep the cache as a loop carry
     that XLA updates in place — never copying a 100MB+ layer per step
     (which a scan-over-layers ys stack would do)."""
     nl, num_pages, page_size, two_hkv, d = kv_cache.shape
-    flat = kv_cache.reshape(nl * num_pages * page_size, two_hkv * d)
-    # [B, T, Hkv, 2, D] -> interleaved [k0, v0, k1, v1, ...] token rows
-    kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv * d)
+    flat = kv_cache.reshape(nl * num_pages * page_size * two_hkv, d)
+    # [B, T, Hkv, 2, D] -> interleaved [k0, v0, k1, v1, ...] head rows
+    kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv, d)
     kv = kv.astype(flat.dtype)
     slots = slot_ids.reshape(-1)  # [B*T], flat page*page_size+off
     pid = slots // page_size
     off = slots % page_size
-    rows = (layer_idx * num_pages + pid) * page_size + off  # [BT]
+    h = jnp.arange(two_hkv)[None, :]
+    rows = ((layer_idx * num_pages + pid[:, None]) * page_size
+            + off[:, None]) * two_hkv + h  # [BT, 2Hkv]
     # redirect padding slots (<0) out of range; mode="drop" discards them
-    rows = jnp.where(slots >= 0, rows, flat.shape[0])
-    flat = flat.at[rows].set(kv, mode="drop")
+    rows = jnp.where(slots[:, None] >= 0, rows, flat.shape[0])
+    flat = flat.at[rows.reshape(-1)].set(kv.reshape(-1, d), mode="drop")
     return flat.reshape(nl, num_pages, page_size, two_hkv, d)
 
 
@@ -61,20 +68,23 @@ def copy_kv_slots(
     speculative tree verify to move an accepted branch's KV into the
     sequential positions; reference analog: eagle_utils.cu tree reorder)."""
     nl, num_pages, page_size, two_hkv, d = kv_cache.shape
-    flat = kv_cache.reshape(nl * num_pages * page_size, two_hkv * d)
+    flat = kv_cache.reshape(nl * num_pages * page_size * two_hkv, d)
     sp, so = src_slots // page_size, src_slots % page_size
     dp, do = dst_slots // page_size, dst_slots % page_size
-    l = jnp.arange(nl)[:, None]  # [L, 1]
+    l = jnp.arange(nl)[:, None, None]  # [L, 1, 1]
+    h = jnp.arange(two_hkv)[None, None, :]  # [1, 1, 2Hkv]
 
     def rows(pid, off):
-        # [M] -> [L, M]
-        return (l * num_pages + pid[None, :]) * page_size + off[None, :]
+        # [M] -> [L, M, 2Hkv] (128-wide rows; see write_kv_pages)
+        return ((l * num_pages + pid[None, :, None]) * page_size
+                + off[None, :, None]) * two_hkv + h
 
     src_rows = rows(sp, so).reshape(-1)
     dst_rows = rows(dp, do).reshape(-1)
     vals = jnp.take(flat, src_rows, axis=0, mode="clip")
     valid = jnp.broadcast_to(
-        src_slots[None, :] >= 0, (nl, src_slots.shape[0])
+        src_slots[None, :, None] >= 0,
+        (nl, src_slots.shape[0], two_hkv),
     ).reshape(-1)
     dst_rows = jnp.where(valid, dst_rows, flat.shape[0])
     flat = flat.at[dst_rows].set(vals, mode="drop")

@@ -69,22 +69,27 @@ def measure(size_mb: float = 512.0, iters: int = 16) -> dict:
     t = _timed_s(copy, x, floor_s)
     copy_gbps = 2 * nbytes * iters / t / 1e9
 
+    # reduce: carry-dependent max keeps XLA from hoisting the read out of
+    # the scan (sum(a) is loop-invariant and gets computed once)
     x2 = x.reshape(-1, 1024)
     red = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (c * 0.5 + jnp.sum(a, axis=0, dtype=jnp.float32), ()),
-        jnp.zeros((1024,), jnp.float32), None, length=iters)[0])
+        lambda c, _: (jnp.sum(jnp.maximum(a, c), axis=0,
+                              dtype=jnp.float32).astype(jnp.bfloat16)
+                      * jnp.bfloat16(1e-9), ()),
+        jnp.zeros((1024,), jnp.bfloat16), None, length=iters)[0])
     t = _timed_s(red, x2, floor_s)
     reduce_gbps = nbytes * iters / t / 1e9
 
-    # paged gather: 64-token pages of a (pages, 64, 16, 128) bf16 KV plane
+    # paged gather: 64-token pages of a (pages, 64, 16, 128) bf16 KV plane;
+    # iteration-dependent page ids defeat hoisting
     pages = max(nbytes // (64 * 16 * 128 * 2), 8)
     kv = jnp.ones((pages, 64, 16, 128), dtype=jnp.bfloat16)
     idx = jnp.asarray(np.random.default_rng(0).permutation(pages),
                       dtype=jnp.int32)
     gat = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (c * 0.5 + jnp.sum(a[idx], (0, 1, 2),
+        lambda c, i: (c * 0.5 + jnp.sum(a[(idx + i) % pages], (0, 1, 2),
                                         dtype=jnp.float32), ()),
-        jnp.zeros((128,), jnp.float32), None, length=iters)[0])
+        jnp.zeros((128,), jnp.float32), jnp.arange(iters))[0])
     t = _timed_s(gat, kv, floor_s)
     gather_gbps = kv.nbytes * iters / t / 1e9
 
