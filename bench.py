@@ -230,7 +230,13 @@ def main():
     )
     avg_ctx = args.input_len + args.output_len / 2
     kv_read = args.num_prompts * avg_ctx * kv_bytes_per_tok
-    ideal_step_s = (weight_bytes + kv_read) / HBM_BW
+    # achievable roofline: weights stream at copy bandwidth, but paged-KV
+    # reads are GATHERS, which this chip's XLA sustains at only ~1/3 of
+    # stream bandwidth (round-4 probes: ~250 vs ~700-1000 GB/s) — using
+    # stream bandwidth for the KV term would set an unreachable bar
+    gather_bw = (extra.get("hbm_probe_gbps", {}).get("gather_gbps",
+                                                     HBM_BW / 1e9) * 1e9)
+    ideal_step_s = weight_bytes / HBM_BW + kv_read / gather_bw
     ideal_tok_s = args.num_prompts / ideal_step_s
     extra["decode_roofline_ideal_tok_s"] = round(ideal_tok_s, 1)
     measured_decode_tok_s = args.num_prompts * 1000 / itl_ms

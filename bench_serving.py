@@ -102,16 +102,34 @@ def main():
         for _ in range(args.num_prompts)
     ]
     out_lens = [args.output_len] * args.num_prompts
-    # warmup compiles
+    vocab = cfg.vocab_size
+    # warmup compiles: run the FULL load shape once so every (bs, bucket)
+    # executable the timed run can hit is already built (a 2-prompt/4-token
+    # warmup left bs<=32 decode buckets compiling inside timed requests —
+    # the r4 artifact's 16 s TTFTs were compile time, not queueing)
     eng.generate(
-        input_ids=prompts[:2],
-        sampling_params=SamplingParams(temperature=0.0, max_new_tokens=4, ignore_eos=True),
+        input_ids=[[(t + 1) % vocab for t in p] for p in prompts],
+        sampling_params=SamplingParams(
+            temperature=0.0, max_new_tokens=args.output_len,
+            ignore_eos=True),
     )
+    for bs in (1, 2, 4):
+        eng.generate(
+            input_ids=[[(t + 3) % vocab for t in p] for p in prompts[:bs]],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_new_tokens=args.output_len,
+                ignore_eos=True),
+        )
     results, wall = asyncio.run(
         run_load(eng, prompts, out_lens, args.request_rate, cfg.vocab_size)
     )
     ttft = sorted(r["ttft"] for r in results)
     itl = sorted(r["itl"] for r in results)
+    # fused-horizon decode delivers tokens in bursts, so chunk-interval
+    # medians can be 0; the mean interval (e2e-ttft)/(n-1) is the honest
+    # per-token figure
+    mean_itls = sorted(
+        (r["e2e"] - r["ttft"]) / max(r["tokens"] - 1, 1) for r in results)
     e2e = sorted(r["e2e"] for r in results)
     tot_tokens = sum(r["tokens"] for r in results)
 
@@ -128,6 +146,8 @@ def main():
                 "median_ttft_ms": round(1000 * pct(ttft, 0.5), 1),
                 "p99_ttft_ms": round(1000 * pct(ttft, 0.99), 1),
                 "median_itl_ms": round(1000 * pct(itl, 0.5), 2),
+                "mean_itl_ms": round(1000 * pct(mean_itls, 0.5), 2),
+                "p99_itl_ms": round(1000 * pct(mean_itls, 0.99), 2),
                 "median_e2e_ms": round(1000 * pct(e2e, 0.5), 1),
             }
         )

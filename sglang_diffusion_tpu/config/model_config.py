@@ -287,8 +287,10 @@ class ModelConfig:
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             scoring_func=cfg.get(
                 "scoring_func",
-                # HF DeepseekV3 hardcodes sigmoid scoring in the router
-                "sigmoid" if archs[0].startswith("DeepseekV3") else "softmax",
+                # HF DeepseekV3 and Glm4Moe hardcode sigmoid router scoring
+                "sigmoid"
+                if archs[0].startswith(("DeepseekV3", "Glm4Moe"))
+                else "softmax",
             ),
             n_group=cfg.get("n_group", 1) or 1,
             topk_group=cfg.get("topk_group", 1) or 1,

@@ -83,6 +83,9 @@ class ServerArgs:
     # max decode steps fused into one compiled call (device-side token
     # feedback via lax.scan — the TPU analog of the reference's overlap
     # FutureMap + CUDA-graph replay; amortizes host->device dispatch)
+    # dLLM (LLaDA-style masked-diffusion) decoding (reference: srt/dllm/)
+    dllm_block_size: int = 32
+    dllm_algorithm: str = "low_confidence"  # low_confidence | joint_threshold
     decode_horizon: int = 16
     # pipeline consecutive fused decode calls: issue call N+1 from call N's
     # device-resident last tokens before fetching N's results (hides the

@@ -842,6 +842,33 @@ class Engine:
             ),
         }
 
+    def _generate_dllm(self, prompts, input_ids, sp) -> List[Dict[str, Any]]:
+        if not hasattr(self, "_dllm_gen"):
+            self._dllm_gen = self.runner.model_cls.make_dllm_generator(
+                self.model_config, self.runner.params,
+                block_size=self.args.dllm_block_size,
+                algorithm=self.args.dllm_algorithm,
+            )
+        id_lists = (input_ids if input_ids is not None
+                    else [self.tokenizer.encode(p) for p in prompts])
+        outs = []
+        for ids in id_lists:
+            r = self._dllm_gen.generate(ids, sp.max_new_tokens)
+            text = ""
+            try:
+                text = self.tokenizer.decode(r["output_ids"])
+            except Exception:  # noqa: BLE001 — byte tokenizer etc.
+                pass
+            outs.append({
+                "text": text,
+                "output_ids": r["output_ids"],
+                "meta_info": r["meta_info"] | {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": len(r["output_ids"]),
+                },
+            })
+        return outs
+
     # ---------------- sync API ----------------
     def generate(
         self,
@@ -860,6 +887,12 @@ class Engine:
         if input_ids is not None and input_ids and isinstance(input_ids[0], int):
             input_ids = [input_ids]
         sp = self._norm_sp(sampling_params)
+        if getattr(self.runner.model_cls, "is_dllm", False):
+            # masked-diffusion families (LLaDA): block-diffusion decode
+            # through the dLLM generator instead of the AR scheduler
+            # (reference: DLLM_EXTEND mode, srt/dllm/)
+            outs = self._generate_dllm(prompts, input_ids, sp)
+            return outs[0] if single else outs
         # image_data: per-request images; for a single request, a plain
         # image or list of images (reference GenerateReqInput.image_data)
         n_req = len(input_ids) if input_ids is not None else len(prompts)

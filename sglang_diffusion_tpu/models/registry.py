@@ -30,6 +30,11 @@ def get_model_cls(architecture: str):
     # import model modules lazily so registration happens on first use
     import sglang_diffusion_tpu.models.deepseek  # noqa: F401
     import sglang_diffusion_tpu.models.glm4  # noqa: F401
+    import sglang_diffusion_tpu.models.glm4_moe  # noqa: F401
+    import sglang_diffusion_tpu.models.falcon_h1  # noqa: F401
+    import sglang_diffusion_tpu.models.whisper  # noqa: F401
+    import sglang_diffusion_tpu.models.llada  # noqa: F401
+    import sglang_diffusion_tpu.models.bamba  # noqa: F401
     import sglang_diffusion_tpu.models.llama  # noqa: F401
     import sglang_diffusion_tpu.models.llava  # noqa: F401
     import sglang_diffusion_tpu.models.mixtral  # noqa: F401

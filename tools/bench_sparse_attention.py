@@ -41,8 +41,9 @@ def main():
     pages_per_seq = kv_len // PS
     n_pages = B * pages_per_seq + 1
     rng = np.random.default_rng(0)
+    # RPA layout (round 4): [L, P, S, 2Hkv, D]
     kv = jnp.asarray(
-        rng.standard_normal((1, n_pages, 2 * HKV, PS, D)) * 0.05,
+        rng.standard_normal((1, n_pages, PS, 2 * HKV, D)) * 0.05,
         jnp.bfloat16)
     pt = np.zeros((B, pages_per_seq), np.int32)
     for i in range(B):
