@@ -23,6 +23,17 @@ SCENARIOS = {
     "zimage_class_t2i": dict(
         hidden=1536, depth=19, heads=12, lat_ch=16, height=512, width=512, steps=8
     ),
+    # REAL Z-Image architecture (diffusion/models/zimage.py, parity-tested
+    # vs torch mirror), reduced depth to fit one chip; BASELINE row
+    # zimage_image_t2i: 1,293 ms e2e / 83.8 ms-step on 1x H100 at full
+    # 30-layer depth — still a class probe (random weights, 8 layers)
+    "zimage_real_t2i": dict(
+        family="zimage", height=512, width=512, steps=8,
+        zimage=dict(dim=1536, num_layers=8, n_refiner_layers=2,
+                    num_attention_heads=12, n_kv_heads=12,
+                    cap_feat_dim=1024, axes_dims=(32, 48, 48),
+                    axes_lens=(1024, 512, 512)),
+    ),
     "flux_class_t2i": dict(
         hidden=3072, depth=19, heads=24, lat_ch=16, height=512, width=512, steps=8
     ),
@@ -44,6 +55,17 @@ SCENARIOS = {
     "turbo_wan2_1_t2v": dict(
         family="wan", height=480, width=832, steps=4, frames=9,
         wan=dict(), dmd_steps=[988, 932, 852, 608],
+    ),
+    # BASELINE.md row: fast_hunyuan_video 16,672 ms e2e / 1,608.5 ms-step
+    # (1x H100); REAL architecture (diffusion/models/hunyuan_video.py,
+    # parity-tested), reduced depth, random weights, denoise only
+    "hunyuan_video_t2v": dict(
+        family="hunyuan", height=480, width=480, steps=6, frames=9,
+        hunyuan=dict(hidden_size=1536, num_attention_heads=12,
+                     num_layers=4, num_single_layers=8,
+                     num_refiner_layers=2, text_embed_dim=1024,
+                     pooled_projection_dim=256,
+                     rope_axes_dim=(16, 56, 56)),
     ),
     # BASELINE.md row: qwen_image_t2i 14,959 ms e2e / 285.7 ms-step (H100)
     "qwen_image_t2i": dict(
@@ -86,6 +108,121 @@ def main():
         pipe = QwenImagePipeline(qwen_cfg=QwenImageConfig(**sc["qwen"]),
                                  dtype=jnp.bfloat16)
         gen = DiffGenerator(pipe)
+    elif sc.get("family") == "hunyuan":
+        import time as _t
+
+        import numpy as _np
+
+        import jax
+        from sglang_diffusion_tpu.diffusion.models.hunyuan_video import (
+            HunyuanVideoConfig,
+            HunyuanVideoDiT,
+        )
+
+        hcfg = HunyuanVideoConfig(**sc["hunyuan"])
+        params = jax.jit(
+            lambda k: HunyuanVideoDiT.init_params(k, hcfg, jnp.bfloat16)
+        )(__import__("jax").random.PRNGKey(0))
+        fwd = HunyuanVideoDiT.make_forward(hcfg)
+        hl = sc["height"] // 8
+        wl = sc["width"] // 8
+        fr = sc["frames"]
+        rng = _np.random.default_rng(0)
+        txt = jnp.asarray(rng.standard_normal((1, 64, hcfg.text_embed_dim)),
+                          jnp.bfloat16)
+        pooled = jnp.asarray(
+            rng.standard_normal((1, hcfg.pooled_projection_dim)),
+            jnp.bfloat16)
+
+        @jax.jit
+        def denoise(params, lat, txt, pooled, sigmas):
+            def body(lat, i):
+                t = jnp.full((1,), sigmas[i] * 1000.0)
+                v = fwd(params, lat, txt, pooled, t)
+                lat = (lat + (sigmas[i + 1] - sigmas[i])
+                       * v.astype(jnp.float32)).astype(lat.dtype)
+                return lat, None
+
+            lat, _ = jax.lax.scan(body, lat, jnp.arange(steps))
+            return lat
+
+        sigmas = jnp.linspace(1.0, 0.0, steps + 1)
+        lat = jax.random.normal(jax.random.PRNGKey(7),
+                                (1, fr, hl, wl, hcfg.in_channels),
+                                jnp.bfloat16)
+        t0 = _t.time()
+        _np.asarray(jax.device_get(denoise(
+            params, lat, txt, pooled, sigmas)[0, 0, 0, 0, :1].astype(
+                jnp.float32)))
+        print(f"warmup: {_t.time()-t0:.1f}s", file=sys.stderr)
+        t0 = _t.time()
+        out = denoise(params, lat, txt, pooled, sigmas)
+        _np.asarray(jax.device_get(out[0, 0, 0, 0, :1].astype(jnp.float32)))
+        e2e = (_t.time() - t0) * 1000
+        print(json.dumps({
+            "metric": f"diffusion_{args.scenario}",
+            "e2e_ms": round(e2e, 1),
+            "avg_denoise_step_ms": round(e2e / steps, 1),
+            "steps": steps, "frames": fr,
+            "height": sc["height"], "width": sc["width"],
+            "note": "REAL hunyuan-video arch, reduced depth, random "
+                    "weights, denoise only (no VAE)",
+        }))
+        return
+    elif sc.get("family") == "zimage":
+        import time as _t
+
+        import numpy as _np
+
+        import jax
+        from sglang_diffusion_tpu.diffusion.models.zimage import (
+            ZImageConfig,
+            ZImageDiT,
+        )
+
+        zcfg = ZImageConfig(**sc["zimage"])
+        params = jax.jit(
+            lambda k: ZImageDiT.init_params(k, zcfg, jnp.bfloat16)
+        )(__import__("jax").random.PRNGKey(0))
+        fwd = ZImageDiT.make_forward(zcfg)
+        h = sc["height"] // 8
+        w = sc["width"] // 8
+        cap = jnp.asarray(
+            _np.random.default_rng(0).standard_normal((1, 64, zcfg.cap_feat_dim)),
+            jnp.bfloat16)
+
+        @jax.jit
+        def denoise(params, lat, cap, sigmas):
+            def body(lat, i):
+                t = jnp.full((1,), sigmas[i] * 1000.0)
+                v = fwd(params, lat, cap, t)
+                lat = (lat + (sigmas[i + 1] - sigmas[i])
+                       * v.astype(jnp.float32)).astype(lat.dtype)
+                return lat, None
+
+            lat, _ = jax.lax.scan(body, lat, jnp.arange(steps))
+            return lat
+
+        sigmas = jnp.linspace(1.0, 0.0, steps + 1)
+        key = jax.random.PRNGKey(7)
+        lat = jax.random.normal(key, (1, h, w, zcfg.in_channels),
+                                jnp.bfloat16)
+        t0 = _t.time()
+        _np.asarray(jax.device_get(denoise(params, lat, cap, sigmas)[0, 0, 0, :1].astype(jnp.float32)))
+        print(f"warmup: {_t.time()-t0:.1f}s", file=sys.stderr)
+        t0 = _t.time()
+        out = denoise(params, lat, cap, sigmas)
+        _np.asarray(jax.device_get(out[0, 0, 0, :1].astype(jnp.float32)))
+        e2e = (_t.time() - t0) * 1000
+        print(json.dumps({
+            "metric": f"diffusion_{args.scenario}",
+            "e2e_ms": round(e2e, 1),
+            "avg_denoise_step_ms": round(e2e / steps, 1),
+            "steps": steps, "height": sc["height"], "width": sc["width"],
+            "note": "REAL zimage arch, reduced depth, random weights, "
+                    "denoise only (no VAE)",
+        }))
+        return
     elif sc.get("family") == "wan":
         from sglang_diffusion_tpu.diffusion.models.wan import WanConfig
         from sglang_diffusion_tpu.diffusion.wan_pipeline import (
