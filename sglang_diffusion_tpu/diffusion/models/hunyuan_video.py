@@ -306,7 +306,8 @@ class HunyuanVideoDiT:
             c_t = t_embed(params["txt_in_t_w1"], params["txt_in_t_w2"], t)
             c_c = mlp2(params["txt_in_c_w1"], params["txt_in_c_w2"],
                        jnp.mean(txt_emb, axis=1), jax.nn.silu)
-            cvec = c_t + c_c
+            cvec = (c_t + c_c).astype(x.dtype)
+            vec = vec.astype(x.dtype)
             txt = ap(params["txt_in_input"], txt_emb)
 
             def rbody(txtc, bp):

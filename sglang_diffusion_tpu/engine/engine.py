@@ -38,6 +38,14 @@ from sglang_diffusion_tpu.utils.common import get_logger
 logger = get_logger("engine")
 
 
+
+def _compute_dtype(args):
+    """Model compute dtype from ServerArgs.dtype (reference analog:
+    server_args dtype plumbed into model loading)."""
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16, "auto": jnp.bfloat16}[args.dtype]
+
+
 class Engine:
     def __init__(
         self,
@@ -85,11 +93,13 @@ class Engine:
                 )
 
                 params = load_hf_params(
-                    self.args.model_path, model_config, dtype=jnp.bfloat16
+                    self.args.model_path, model_config,
+                    dtype=_compute_dtype(self.args),
                 )
 
         self.runner = ModelRunner(
-            self.args, model_config, self.mesh_ctx, params=params
+            self.args, model_config, self.mesh_ctx, params=params,
+            dtype=_compute_dtype(self.args),
         )
         self.allocator = PageAllocator(self.runner.num_pages, self.args.page_size)
         if self.args.disable_radix_cache or self.runner.has_linear_state:
@@ -638,6 +648,7 @@ class Engine:
             self.args.enable_decode_pipelining
             and plan.kind == "decode"
             and plan.horizon > 1
+            and self.scheduler.drafter is None
             and not self.scheduler.waiting
             and self.scheduler.chunked_req is None
             and not any(r.lora_slot for r in plan.reqs)
@@ -1337,7 +1348,7 @@ class Engine:
             pages_per_seq = -(-t // page)
             kv = jnp.zeros(
                 (cfg.num_hidden_layers, pages_per_seq + 1,
-                 cfg.kv_cache_heads, page, cfg.kv_cache_head_dim),
+                 page, cfg.kv_cache_heads, cfg.kv_cache_head_dim),
                 jnp.bfloat16,
             )
             pages = np.arange(1, pages_per_seq + 1, dtype=np.int32)

@@ -471,6 +471,10 @@ class Scheduler:
         h = max(1, self.args.decode_horizon)
         if self.waiting or self.chunked_req is not None:
             h = 1
+        # speculative decoding replaces fused multi-token decode: the
+        # drafter must see the history after EVERY accepted token
+        if self.drafter is not None:
+            h = 1
         # penalties depend on counts of tokens sampled so far; keep them
         # exact by stepping one token at a time when active
         if any(

@@ -80,7 +80,7 @@ def _run(cfg, params, ids):
     b, t = ids.shape
     pages_per_seq = -(-t // PAGE)
     kv = jnp.zeros((cfg.num_hidden_layers, b * pages_per_seq + 1,
-                    2 * cfg.num_key_value_heads, PAGE, cfg.actual_head_dim),
+                    PAGE, 2 * cfg.num_key_value_heads, cfg.actual_head_dim),
                    jnp.float32)
     pt = np.zeros((b, pages_per_seq + 1), np.int32)
     for i in range(b):

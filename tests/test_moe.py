@@ -106,7 +106,7 @@ def test_mixtral_forward_grouped_matches_dense():
     attn = get_attention_backend("xla")
 
     b, t, page = 2, 4, 8
-    kv = jnp.zeros((2, b * 2 + 1, 2 * 2, page, cfg.actual_head_dim), jnp.float32)
+    kv = jnp.zeros((2, b * 2 + 1, page, 2 * 2, cfg.actual_head_dim), jnp.float32)
     pt = jnp.asarray(np.arange(1, 1 + b * 2).reshape(b, 2), jnp.int32)
     ids = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
     pos = jnp.tile(jnp.arange(t)[None], (b, 1)).astype(jnp.int32)

@@ -42,7 +42,7 @@ def _setup(num_layers=4, b=4, t=6, hidden=64, heads=4, kv_heads=2, ctx=10):
 
     pps = -(-(ctx + t) // PAGE)
     num_pages = b * pps + 1
-    kv = jnp.zeros((num_layers, num_pages, 2 * kv_heads, PAGE, cfg.actual_head_dim),
+    kv = jnp.zeros((num_layers, num_pages, PAGE, 2 * kv_heads, cfg.actual_head_dim),
                    jnp.float32)
     page_table = jnp.asarray(
         np.arange(1, 1 + b * pps).reshape(b, pps), jnp.int32

@@ -111,7 +111,7 @@ def test_qwen2_audio_logits_parity():
     PAGE = 8
     pps = -(-t // PAGE)
     kv = jnp.zeros((cfg.num_hidden_layers, pps + 1,
-                    2 * cfg.num_key_value_heads, PAGE, cfg.actual_head_dim),
+                    PAGE, 2 * cfg.num_key_value_heads, cfg.actual_head_dim),
                    jnp.float32)
     pv = np.arange(1, pps + 1, dtype=np.int32)
     page_table = np.zeros((1, pps + 1), np.int32)

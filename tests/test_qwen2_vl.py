@@ -164,7 +164,7 @@ def test_full_model_logits_parity(setup):
                                      logits_mode="all")
     pages_per_seq = -(-t // PAGE)
     kv = jnp.zeros((cfg.num_hidden_layers, pages_per_seq + 1,
-                    2 * cfg.num_key_value_heads, PAGE, cfg.actual_head_dim),
+                    PAGE, 2 * cfg.num_key_value_heads, cfg.actual_head_dim),
                    jnp.float32)
     pages = np.arange(1, pages_per_seq + 1, dtype=np.int32)
     page_table = np.zeros((1, pages_per_seq + 1), np.int32)
@@ -205,7 +205,7 @@ def test_text_only_path_uses_plain_rope(setup):
     fwd = Qwen2VLFamily.make_forward(cfg, get_attention_backend("xla"))
     pages_per_seq = -(-t // PAGE)
     kv = jnp.zeros((cfg.num_hidden_layers, pages_per_seq + 1,
-                    2 * cfg.num_key_value_heads, PAGE, cfg.actual_head_dim),
+                    PAGE, 2 * cfg.num_key_value_heads, cfg.actual_head_dim),
                    jnp.float32)
     pages = np.arange(1, pages_per_seq + 1, dtype=np.int32)
     page_table = np.zeros((1, pages_per_seq + 1), np.int32)

@@ -20,7 +20,7 @@ def _setup(b=2, t=24, hq=4, hkv=2, d=16, seed=0):
     pages_per_seq = -(-t // PAGE)
     num_pages = b * pages_per_seq + 1
     kv = jnp.asarray(
-        rng.standard_normal((1, num_pages, 2 * hkv, PAGE, d)), jnp.float32
+        rng.standard_normal((1, num_pages, PAGE, 2 * hkv, d)), jnp.float32
     )
     q = jnp.asarray(rng.standard_normal((b, t, hq, d)), jnp.float32)
     page_table = np.zeros((b, pages_per_seq), np.int32)
@@ -85,7 +85,7 @@ def test_pallas_window_matches_xla():
     pages_per_seq = -(-t // PAGE)
     num_pages = b * pages_per_seq + 1
     kv = jnp.asarray(
-        rng.standard_normal((1, num_pages, 2 * hkv, PAGE, d)), jnp.float32
+        rng.standard_normal((1, num_pages, PAGE, 2 * hkv, d)), jnp.float32
     )
     q = jnp.asarray(rng.standard_normal((b, t, hq, d)), jnp.float32)
     page_table = np.zeros((b, pages_per_seq), np.int32)
@@ -107,7 +107,7 @@ def test_pallas_window_matches_xla():
         )
         got = attention_pallas.paged_attention(
             q, kv, 0, pt, klens, qstart, 0.1, interpret=True,
-            window=jnp.int32(window),
+            window=window if window >= 0 else None,
         )
         np.testing.assert_allclose(
             np.where(vmask, np.asarray(got), 0),
@@ -126,7 +126,7 @@ def test_decode_window_page_skip_equivalence():
     seq = 64
     pages_per_seq = seq // PAGE
     kv = jnp.asarray(
-        rng.standard_normal((1, pages_per_seq + 1, 2 * hkv, PAGE, d)),
+        rng.standard_normal((1, pages_per_seq + 1, PAGE, 2 * hkv, d)),
         jnp.float32,
     )
     q = jnp.asarray(rng.standard_normal((b, 1, hq, d)), jnp.float32)
@@ -137,7 +137,7 @@ def test_decode_window_page_skip_equivalence():
         q, kv, 0, pt, klens, qstart, 0.1, window=jnp.int32(12)
     )
     got = attention_pallas.paged_attention(
-        q, kv, 0, pt, klens, qstart, 0.1, interpret=True, window=jnp.int32(12)
+        q, kv, 0, pt, klens, qstart, 0.1, interpret=True, window=12
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
@@ -165,8 +165,8 @@ def test_model_alternating_layer_windows():
     pos = jnp.asarray(np.arange(t)[None], jnp.int32)
     pages_per_seq = -(-t // PAGE)
     kv = jnp.zeros(
-        (base.num_hidden_layers, pages_per_seq + 1, 2 * base.num_key_value_heads,
-         PAGE, base.actual_head_dim), jnp.float32,
+        (base.num_hidden_layers, pages_per_seq + 1, PAGE,
+         2 * base.num_key_value_heads, base.actual_head_dim), jnp.float32,
     )
     pv = np.arange(1, pages_per_seq + 1, dtype=np.int32)
     offs = np.arange(t)

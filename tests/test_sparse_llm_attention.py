@@ -20,7 +20,7 @@ HKV, HQ, D = 2, 4, 16
 
 def _build_cache(rng, n_pages_total, b, kv_len, n_layers=1):
     """Cache with one sequence of kv_len tokens over contiguous pages."""
-    kv = jnp.zeros((n_layers, n_pages_total, 2 * HKV, PS, D), jnp.float32)
+    kv = jnp.zeros((n_layers, n_pages_total, PS, 2 * HKV, D), jnp.float32)
     pages_per_seq = -(-kv_len // PS)
     pt = np.zeros((b, pages_per_seq), np.int32)
     for i in range(b):
@@ -74,7 +74,7 @@ def test_sparse_selects_high_mass_pages():
     rng = np.random.default_rng(2)
     n_seq_pages = 32
     kv_len = n_seq_pages * PS
-    kv = jnp.zeros((1, 64, 2 * HKV, PS, D), jnp.float32)
+    kv = jnp.zeros((1, 64, PS, 2 * HKV, D), jnp.float32)
     pt = np.arange(1, n_seq_pages + 1, dtype=np.int32)[None]
     # keys: small noise everywhere, a strong cluster aligned with q on
     # pages 10 and 20 (uniform within the page so the slot-0/mid

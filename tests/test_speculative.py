@@ -24,6 +24,10 @@ def make_engine(spec=None):
         context_length=512,
         speculative_algorithm=spec,
         speculative_num_draft_tokens=4,
+        # bf16 produces exact logit ties on random weights; tie-breaking is
+        # then shape-dependent (decode [B,V] vs verify [B,T,V] matmuls),
+        # breaking the greedy-equality invariant this test checks
+        dtype="float32",
     )
     cfg = ModelConfig.tiny_llama(vocab_size=512)
     return Engine(server_args=args, model_config=cfg, tokenizer=ByteTokenizer())

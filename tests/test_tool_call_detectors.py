@@ -57,12 +57,6 @@ def test_deepseek_blocks():
         "<｜tool▁sep｜>get_weather\n```json\n"  # some variants add fences
         '{"city": "Tokyo"}\n```<｜tool▁call▁end｜><｜tool▁calls▁end｜>'
     )
-    # our regex expects fn before sep; DeepSeek emits type<sep>name... use
-    # the canonical V3 layout:
-    text = (
-        "thinking...<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_weather"
-        '<｜tool▁sep｜>{"city": "Tokyo"}<｜tool▁call▁end｜><｜tool▁calls▁end｜>'
-    )
     normal, calls = DeepSeekDetector().detect(text, NAMES)
     assert normal == "thinking..."
     assert calls[0]["function"]["name"] == "get_weather"

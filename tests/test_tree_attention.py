@@ -16,7 +16,7 @@ def _setup(t_nodes, ctx, hq=2, hkv=2, d=16, seed=0):
     rng = np.random.default_rng(seed)
     total = ctx + t_nodes
     pps = -(-total // PAGE)
-    kv = jnp.asarray(rng.standard_normal((1, pps + 1, 2 * hkv, PAGE, d)),
+    kv = jnp.asarray(rng.standard_normal((1, pps + 1, PAGE, 2 * hkv, d)),
                      jnp.float32)
     q = jnp.asarray(rng.standard_normal((1, t_nodes, hq, d)), jnp.float32)
     pt = jnp.asarray(np.arange(1, pps + 1)[None], jnp.int32)
@@ -74,12 +74,12 @@ def test_tree_mask_siblings_do_not_attend_each_other():
 
 def test_copy_kv_slots():
     rng = np.random.default_rng(2)
-    kv = jnp.asarray(rng.standard_normal((2, 3, 4, PAGE, 5)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((2, 3, PAGE, 4, 5)), jnp.float32)
     src = jnp.asarray([2 * PAGE + 3, 1 * PAGE + 7, -1], jnp.int32)
     dst = jnp.asarray([0 * PAGE + 1, 0 * PAGE + 2, 0 * PAGE + 3], jnp.int32)
     out = np.asarray(attention_xla.copy_kv_slots(kv, src, dst))
     ref = np.asarray(kv).copy()
-    ref[:, 0, :, 1] = ref[:, 2, :, 3]
-    ref[:, 0, :, 2] = ref[:, 1, :, 7]
+    ref[:, 0, 1] = ref[:, 2, 3]
+    ref[:, 0, 2] = ref[:, 1, 7]
     # src=-1 skipped: dst slot 3 unchanged
     np.testing.assert_allclose(out, ref, atol=0)
