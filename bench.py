@@ -57,7 +57,11 @@ def main():
     ap.add_argument("--decode-horizon", type=int, default=32)
     ap.add_argument("--quantization", default="w4a16",
                     choices=[None, "none", "int8", "fp8", "w4a16"])
-    ap.add_argument("--kv-cache-dtype", default="fp8_e4m3")
+    # bf16 KV is FASTER than fp8 on v5e despite 2x the bytes: Mosaic's
+    # f8->bf16 conversion runs ~35 ms/step at bs=256 while the extra bf16
+    # bytes stream in ~3 ms (round-4 kernel microbench). fp8 stays
+    # available for memory-constrained runs.
+    ap.add_argument("--kv-cache-dtype", default="bfloat16")
     ap.add_argument("--decode-pipelining", action="store_true")
     ap.add_argument("--speculative-algorithm", default=None,
                     choices=[None, "ngram", "eagle"])

@@ -68,6 +68,31 @@ def paged_attention(
     b, t, hq, d = q.shape
     nl, p, s, two_hkv, _ = kv_cache.shape
 
+    if (
+        t == 1
+        and window is None
+        and softcap is None
+        and kv_pages_hint is not None
+        and kv_pages_hint <= page_table.shape[1]
+        and kv_cache.dtype == jnp.bfloat16
+        and hq % (two_hkv // 2) == 0
+    ):
+        # cross-sequence batched decode kernel: G sequences per grid step,
+        # DMA-saturating (see ops/decode_pallas.py). fp8 caches stay on the
+        # RPA path — Mosaic's f8->bf16 conversion is ~35 ms/step at bs=256,
+        # 5x the cost of streaming the bf16 bytes (round-4 microbench).
+        from sglang_diffusion_tpu.ops.decode_pallas import decode_attention
+
+        # largest G whose double-buffered page scratch fits ~12 MB VMEM
+        tile = kv_pages_hint * s * two_hkv * d * kv_cache.dtype.itemsize
+        g = 8
+        while g > 1 and 2 * g * tile > 12 * 1024 * 1024:
+            g //= 2
+        return decode_attention(
+            q, kv_cache, layer_idx, page_table, kv_lens, sm_scale,
+            pages_hint=kv_pages_hint, group_size=g,
+        )
+
     q_flat = q.reshape(b * t, hq, d)
     pages_flat = kv_cache.reshape(nl * p, s, two_hkv, d)
     idx = (

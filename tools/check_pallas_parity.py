@@ -18,7 +18,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_case(name, b, t, ctx, hq, hkv, d, page, pps, kv_dtype, results):
+def run_case(name, b, t, ctx, hq, hkv, d, page, pps, kv_dtype, results,
+             hint=None):
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +41,7 @@ def run_case(name, b, t, ctx, hq, hkv, d, page, pps, kv_dtype, results):
     scale = 1.0 / np.sqrt(d)
 
     out_p = attention_pallas.paged_attention(
-        q, cache, 1, pt, kv_lens, q_start, scale)
+        q, cache, 1, pt, kv_lens, q_start, scale, kv_pages_hint=hint)
     out_x = attention_xla.paged_attention(
         q, cache, 1, pt, kv_lens, q_start, scale)
     # only compare real (non-padding) rows
@@ -66,6 +67,9 @@ def main():
              results)
     run_case("prefill_bf16", 4, 128, 256, 16, 8, 128, 64, 4, jnp.bfloat16,
              results)
+    # cross-sequence batched decode kernel (bf16 + pages hint)
+    run_case("decode_xseq_bf16", 8, 1, 145, 16, 8, 128, 64, 4, jnp.bfloat16,
+             results, hint=4)
     ok = all(v < 0.05 for v in results.values())
     print(json.dumps({"pallas_parity_ok": ok, **results}))
 
