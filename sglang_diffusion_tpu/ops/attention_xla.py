@@ -43,6 +43,17 @@ def write_kv_pages(
     that XLA updates in place — never copying a 100MB+ layer per step
     (which a scan-over-layers ys stack would do)."""
     nl, num_pages, page_size, two_hkv, d = kv_cache.shape
+    if (
+        k.shape[1] == 1
+        and d % 128 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        # decode: direct DMA row writes (the XLA scatter costs ~0.4 ms
+        # per layer at bs=256; issuing B row copies from one pallas call
+        # is ~us-level — see ops/decode_pallas.py)
+        from sglang_diffusion_tpu.ops.decode_pallas import write_kv_decode
+
+        return write_kv_decode(kv_cache, layer_idx, k, v, slot_ids)
     flat = kv_cache.reshape(nl * num_pages * page_size * two_hkv, d)
     # [B, T, Hkv, 2, D] -> interleaved [k0, v0, k1, v1, ...] head rows
     kv = jnp.stack([k, v], axis=3).reshape(-1, two_hkv, d)

@@ -187,3 +187,64 @@ def decode_attention(
         interpret=interpret,
     )(pt, kv_lens.astype(jnp.int32), q2, kv_flat)
     return out[:b, None]
+
+
+def _write_kernel(slot_ref, rows_ref, kv_in, kv_out, sem, *, B, S):
+    del kv_in  # aliased with kv_out; declared so XLA donates in place
+    for b in range(B):
+        sl = slot_ref[b]
+
+        @pl.when(sl >= 0)
+        def _():
+            pltpu.make_async_copy(
+                rows_ref.at[b], kv_out.at[sl // S, sl % S], sem.at[b]
+            ).start()
+    for b in range(B):
+        sl = slot_ref[b]
+
+        @pl.when(sl >= 0)
+        def _():
+            pltpu.make_async_copy(
+                rows_ref.at[b], kv_out.at[sl // S, sl % S], sem.at[b]
+            ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_kv_decode(
+    kv_cache: jax.Array,  # [L, P, S, 2*Hkv, D]
+    layer_idx,            # scalar int
+    k: jax.Array,         # [B, 1, Hkv, D]
+    v: jax.Array,         # [B, 1, Hkv, D]
+    slot_ids: jax.Array,  # [B, 1] flat slots (page*S + off); -1 = skip
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode-step KV row write as direct VMEM->HBM DMAs (in-place via
+    input/output aliasing). XLA lowers the equivalent scatter to ~0.4 ms
+    per layer at bs=256 (6.3 ms per 16-layer step); issuing the 256 row
+    copies from one kernel costs ~us-level DMA issue latency instead."""
+    nl, p, s, two_hkv, d = kv_cache.shape
+    b = k.shape[0]
+    rows = jnp.stack([k[:, 0], v[:, 0]], axis=2).reshape(b, two_hkv, d)
+    rows = rows.astype(kv_cache.dtype)
+    sl = slot_ids[:, 0].astype(jnp.int32)
+    sl = jnp.where(sl >= 0, sl + jnp.asarray(layer_idx, jnp.int32) * (p * s),
+                   -1)
+    kv_flat = kv_cache.reshape(nl * p, s, two_hkv, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((b, two_hkv, d), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((b,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_write_kernel, B=b, S=s),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_flat.shape, kv_cache.dtype),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(sl, rows, kv_flat)
+    return out.reshape(kv_cache.shape)

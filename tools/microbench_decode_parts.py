@@ -38,11 +38,11 @@ def main():
 
     setup_compilation_cache()
 
-    L, P, HKV, PS, D = 16, 2048, 8, 64, 128
+    L, P, HKV, PS, D = 16, 1040, 8, 64, 128
     B, HQ = 256, 16
     K = 32  # fused steps
     ctx = 145
-    kv_dtype = jnp.float8_e4m3fn
+    kv_dtype = jnp.float8_e4m3fn if "fp8" in sys.argv else jnp.bfloat16
 
     rng = np.random.default_rng(0)
     kv = jnp.zeros((L, P, PS, 2 * HKV, D), kv_dtype)
@@ -120,7 +120,8 @@ def main():
             def body(s, acc):
                 def layer(l, acc):
                     o = attention_pallas.paged_attention(
-                        q, kv, l, pt, kv_lens, kv_lens - 1, scale)
+                        q, kv, l, pt, kv_lens, kv_lens - 1, scale,
+                        kv_pages_hint=6)
                     return acc + o.astype(jnp.float32)
                 return jax.lax.fori_loop(0, L, layer, acc)
             return jax.lax.fori_loop(0, K, body,
