@@ -27,11 +27,15 @@ def main():
     ctx = 200
     PPH = 4  # pages hint (4*64 = 256 >= ctx)
     kv_dtype = jnp.float8_e4m3fn if len(sys.argv) < 2 else {
-        "fp8": jnp.float8_e4m3fn, "bf16": jnp.bfloat16}[sys.argv[1]]
+        "fp8": jnp.float8_e4m3fn, "bf16": jnp.bfloat16, "int8": jnp.int8}[sys.argv[1]]
 
     rng = np.random.default_rng(0)
-    kv = jnp.asarray(
-        (rng.standard_normal((L, P, PS, 2 * HKV, D)) * 0.2), kv_dtype)
+    if kv_dtype == jnp.int8:
+        kv = jnp.asarray(
+            rng.integers(-127, 127, (L, P, PS, 2 * HKV, D)), jnp.int8)
+    else:
+        kv = jnp.asarray(
+            (rng.standard_normal((L, P, PS, 2 * HKV, D)) * 0.2), kv_dtype)
     pt = np.zeros((B, PPH), np.int32)
     for i in range(B):
         pt[i] = np.arange(1 + i * PPH, 1 + (i + 1) * PPH) % P
