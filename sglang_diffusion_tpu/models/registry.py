@@ -37,6 +37,7 @@ def get_model_cls(architecture: str):
     import sglang_diffusion_tpu.models.bamba  # noqa: F401
     import sglang_diffusion_tpu.models.llama  # noqa: F401
     import sglang_diffusion_tpu.models.llava  # noqa: F401
+    import sglang_diffusion_tpu.models.lfm2  # noqa: F401
     import sglang_diffusion_tpu.models.minimax  # noqa: F401
     import sglang_diffusion_tpu.models.mixtral  # noqa: F401
     import sglang_diffusion_tpu.models.phi3  # noqa: F401

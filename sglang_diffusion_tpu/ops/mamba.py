@@ -33,9 +33,11 @@ def causal_conv1d(
     w: jax.Array,  # [K, C] depthwise kernel
     b: Optional[jax.Array],  # [C]
     conv_state: jax.Array,  # [B, K-1, C] inputs preceding x
+    activation: Optional[str] = "silu",
 ) -> Tuple[jax.Array, jax.Array]:
     """Depthwise causal conv with carried state. Returns (y [B,T,C],
-    new_conv_state [B,K-1,C])."""
+    new_conv_state [B,K-1,C]). activation: "silu" (mamba default) or
+    None (LFM2-style ungated conv)."""
     k = w.shape[0]
     xp = jnp.concatenate([conv_state, x], axis=1)  # [B, K-1+T, C]
     # y_t = sum_j w[j] * xp[t + j]
@@ -46,7 +48,9 @@ def causal_conv1d(
     if b is not None:
         y = y + b.astype(jnp.float32)
     new_state = xp[:, t:]
-    return jax.nn.silu(y).astype(x.dtype), new_state
+    if activation == "silu":
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype), new_state
 
 
 def _segsum(a: jax.Array) -> jax.Array:

@@ -174,3 +174,81 @@ def test_minimax_chunked_lightning_matches_recurrence():
             atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(st_c[bi]),
                                    np.asarray(sts[bi]), atol=1e-4, rtol=1e-4)
+
+
+def test_lfm2_prefill_parity_vs_hf():
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    hf = Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        conv_L_cache=3, conv_bias=True, block_auto_adjust_ff_dim=True,
+        block_multiple_of=16, block_ffn_dim_multiplier=1.0,
+        layer_types=["conv", "full_attention", "conv", "full_attention"],
+        max_position_embeddings=128, tie_word_embeddings=True,
+        rope_theta=10000.0, norm_eps=1e-5,
+    )
+    torch.manual_seed(21)
+    model = Lfm2ForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["Lfm2ForCausalLM"]})
+    cls = get_model_cls("Lfm2ForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t = 12
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        ref = model(input_ids=ids).logits[0].numpy()
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"),
+                           logits_mode="all")
+    kv_pages, meta = _paged_ctx(cfg, t, n_layers=cls.kv_layers(cfg))
+    kv = {"pages": kv_pages, **cls.init_linear_state(cfg, 12, jnp.float32)}
+    logits, _ = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                    jnp.asarray(np.arange(t)[None]), kv, meta)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
+                               rtol=2e-2)
+
+
+def test_lfm2_decode_parity_vs_hf():
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    hf = Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        conv_L_cache=4, conv_bias=False, block_auto_adjust_ff_dim=False,
+        layer_types=["conv", "conv", "full_attention"],
+        max_position_embeddings=128, tie_word_embeddings=True,
+        rope_theta=10000.0, norm_eps=1e-5,
+    )
+    torch.manual_seed(22)
+    model = Lfm2ForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["Lfm2ForCausalLM"]})
+    cls = get_model_cls("Lfm2ForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t, steps = 9, 4
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        out = model.generate(ids, max_new_tokens=steps, do_sample=False)
+    ref_tokens = out[0, t:].numpy()
+
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"))
+    kv_pages, meta = _paged_ctx(cfg, t, n_layers=cls.kv_layers(cfg),
+                                extra_steps=steps)
+    kv = {"pages": kv_pages, **cls.init_linear_state(cfg, 12, jnp.float32)}
+    logits, kv = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                     jnp.asarray(np.arange(t)[None]), kv, meta)
+    got = []
+    tok = int(np.argmax(np.asarray(logits[0])))
+    got.append(tok)
+    for s in range(steps - 1):
+        pos = t + s
+        dm = _decode_meta(meta, pos)
+        logits, kv = fwd(params, jnp.asarray([[tok]], jnp.int32),
+                         jnp.asarray([[pos]]), kv, dm)
+        tok = int(np.argmax(np.asarray(logits[0])))
+        got.append(tok)
+    np.testing.assert_array_equal(np.asarray(got), ref_tokens)
