@@ -122,6 +122,8 @@ def load_hf_params(
     wmap = model_cls.hf_weight_map(cfg)
     get, has = _open_shards(model_path)
     get = _maybe_bnb_get(get, has)
+    from sglang_diffusion_tpu.quant.formats import maybe_format_get
+    get = maybe_format_get(get, has)
     L = cfg.num_hidden_layers
     params: Dict[str, Any] = {}
 
