@@ -65,10 +65,18 @@ def get_attention_backend(name: str) -> AttentionFn:
     if name == "auto":
         name = "pallas" if jax.default_backend() == "tpu" else "xla"
     if name.startswith("sparse"):
-        # "sparse" or "sparse:<k>": top-k page-sparse decode (long-context
-        # opt-in; reference analog: NSA block selection). Prefill stays
-        # dense inside sparse_paged_attention's trace-time branch.
-        topk = int(name.split(":", 1)[1]) if ":" in name else 16
+        # "sparse[:algo][:k]": top-k page-sparse decode (long-context
+        # opt-in; reference analog: srt/mem_cache/sparsity/ framework).
+        # Algorithm comes from the kv/sparsity.py registry (landmark /
+        # quest / recency); prefill stays dense inside
+        # sparse_paged_attention's trace-time branch.
+        from sglang_diffusion_tpu.kv.sparsity import (
+            get_sparsity_algorithm,
+            parse_sparse_backend,
+        )
+
+        algo, topk = parse_sparse_backend(name)
+        score_fn = get_sparsity_algorithm(algo)
 
         def _sparse_backend(q, kv_cache, layer_idx, meta: AttentionMetadata,
                             sm_scale: float, window=None, softcap=None,
@@ -77,6 +85,7 @@ def get_attention_backend(name: str) -> AttentionFn:
                 q, kv_cache, layer_idx, meta.page_table, meta.kv_lens,
                 meta.q_start_pos, sm_scale, topk_pages=topk, window=window,
                 softcap=softcap, tree_mask=meta.tree_mask, sinks=sinks,
+                score_fn=score_fn,
             )
 
         return _sparse_backend

@@ -313,6 +313,7 @@ def sparse_paged_attention(
     softcap: float = None,
     tree_mask=None,
     sinks=None,
+    score_fn=None,  # kv/sparsity.py algorithm; None = landmark scoring
 ) -> jax.Array:
     """Top-k page-sparse decode attention (long-context path).
 
@@ -342,22 +343,15 @@ def sparse_paged_attention(
     group = hq // hkv
     k_sel = topk_pages
 
-    # ---- page scoring: q against two representative keys per page ----
-    # materialize the pool-wide landmark array first (one sequential
+    # ---- page scoring (pluggable; kv/sparsity.py framework) ----
+    # landmark arrays are materialized pool-wide first (one sequential
     # strided sweep over the physical pool, prefetch-friendly), then
-    # page-gather from the small result — fusing the slice into the
+    # page-gathered from the small result — fusing the slice into the
     # per-(b, page) gather makes every read a scattered 256 B touch
-    kc = jax.lax.dynamic_index_in_dim(kv_cache, layer_idx, 0, keepdims=False)
-    # static slices (not a gather) so Mosaic/XLA lower them as strided
-    # reads; slot axis is 1 in the [P, S, 2Hkv, D] layer layout
-    k0 = jax.lax.slice_in_dim(kc, 0, 1, axis=1)
-    kmid = jax.lax.slice_in_dim(kc, page_size // 2, page_size // 2 + 1,
-                                axis=1)
-    reps = jnp.concatenate([k0, kmid], axis=1)  # [P, 2, 2Hkv, D]
-    rep = reps[page_table][:, :, :, 0::2]  # [B, Pp, 2, Hkv, D]
-    qg = q[:, 0].reshape(b, hkv, group, d).astype(jnp.float32)
-    s = jnp.einsum("bhgd,bprhd->bphgr", qg, rep.astype(jnp.float32))
-    score = s.max(axis=(3, 4)).sum(axis=2)  # [B, Pp]
+    if score_fn is None:
+        from sglang_diffusion_tpu.kv.sparsity import score_landmark
+        score_fn = score_landmark
+    score = score_fn(q, kv_cache, layer_idx, page_table, page_size)
 
     n_pages = (kv_lens + page_size - 1) // page_size  # [B]
     pidx = jnp.arange(pages_per_seq)[None, :]

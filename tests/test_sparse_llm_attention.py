@@ -147,3 +147,72 @@ def test_sparse_engine_e2e():
     assert len(outs[0]["output_ids"]) == 12
     again = sparse_eng.generate(long_prompt, sp)
     assert outs[0]["output_ids"] == again[0]["output_ids"]
+
+
+# ---------------- KV-sparsity framework (kv/sparsity.py) ----------------
+
+def test_sparsity_framework_algorithms_exact_when_fit():
+    """Every registered algorithm is exact when all real pages are
+    selected (k >= pages)."""
+    from sglang_diffusion_tpu.kv.sparsity import (
+        get_sparsity_algorithm,
+        parse_sparse_backend,
+    )
+
+    rng = np.random.default_rng(5)
+    kv_len = 4 * PS
+    kv, pt, _, _ = _build_cache(rng, 16, 1, kv_len)
+    # extend the page table so the sparse path is actually taken
+    pt_wide = jnp.concatenate(
+        [pt, jnp.zeros((1, 8), jnp.int32)], axis=1)
+    q = jnp.asarray(rng.standard_normal((1, 1, HQ, D)), jnp.float32)
+    kv_lens = jnp.asarray([kv_len], jnp.int32)
+    q_start = kv_lens - 1
+    dense = paged_attention(q, kv, 0, pt_wide, kv_lens, q_start, 0.25)
+    for algo in ("landmark", "quest", "recency"):
+        fn = get_sparsity_algorithm(algo)
+        out = sparse_paged_attention(
+            q, kv, 0, pt_wide, kv_lens, q_start, 0.25, topk_pages=6,
+            score_fn=fn)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                                   atol=1e-5,
+                                   err_msg=f"algorithm {algo}")
+
+
+def test_sparse_backend_spec_parsing():
+    from sglang_diffusion_tpu.kv.sparsity import parse_sparse_backend
+
+    assert parse_sparse_backend("sparse") == ("landmark", 16)
+    assert parse_sparse_backend("sparse:8") == ("landmark", 8)
+    assert parse_sparse_backend("sparse:quest") == ("quest", 16)
+    assert parse_sparse_backend("sparse:quest:32") == ("quest", 32)
+    with pytest.raises(KeyError):
+        parse_sparse_backend("sparse:nope")
+
+
+def test_quest_bound_dominates_landmark():
+    """Quest envelope score is an upper bound on the landmark max-dot
+    score (same landmark set), per page."""
+    from sglang_diffusion_tpu.kv.sparsity import (
+        score_landmark,
+        score_quest,
+    )
+
+    rng = np.random.default_rng(6)
+    kv_len = 6 * PS
+    kv, pt, _, _ = _build_cache(rng, 16, 1, kv_len)
+    q = jnp.asarray(rng.standard_normal((1, 1, HQ, D)), jnp.float32)
+    s_lm = np.asarray(score_landmark(q, kv, 0, pt, PS))
+    s_q = np.asarray(score_quest(q, kv, 0, pt, PS))
+    # per-head-group upper bound => summed score dominates too
+    assert np.all(s_q >= s_lm - 1e-4)
+
+
+def test_sparse_backend_registry_algo_selection():
+    from sglang_diffusion_tpu.layers.attention import get_attention_backend
+
+    for spec in ("sparse:quest:8", "sparse:recency", "sparse:24"):
+        fn = get_attention_backend(spec)
+        assert callable(fn)
+    with pytest.raises(KeyError):
+        get_attention_backend("sparse:bogus")
