@@ -394,3 +394,76 @@ def full_attention(
     )
     mask = mask & (pos[None, :, None] < seq_lens[:, None, None])
     return _attn_core(q, k, v, mask, sm_scale)
+
+
+def dual_chunk_paged_attention(
+    q_intra: jax.Array,  # [B, Tq, Hq, D] roped at p % chunk_len
+    q_succ: jax.Array,   # [B, Tq, Hq, D] roped at min(p%cl + cl, chunk)
+    q_inter: jax.Array,  # [B, Tq, Hq, D] roped at the constant position
+    kv_cache: jax.Array,
+    layer_idx,
+    page_table: jax.Array,  # [B, pages_per_seq]
+    kv_lens: jax.Array,  # [B]
+    q_start_pos: jax.Array,  # [B]
+    sm_scale: float,
+    chunk_len: int,  # chunk_size - local_size
+) -> jax.Array:
+    """Dual Chunk Attention over the paged cache (reference analog:
+    srt/layers/attention/dual_chunk_flashattention_backend.py).
+
+    The reference runs three flash passes (intra / succ / inter KV
+    ranges, each with its own roped query) and merges them by
+    log-sum-exp. Because the three ranges PARTITION the causal KV span
+    of every query, the merge is mathematically identical to ONE softmax
+    over all positions where each kv position's logit is computed with
+    the variant its range dictates — which is how it's fused here
+    (single gather, single softmax; XLA-friendly, no LSE bookkeeping):
+
+      cn = p // chunk_len
+      j >= cn*chunk_len          -> intra logits (q_intra . k_j)
+      (cn-1)*cl <= j < cn*cl     -> succ logits  (q_succ . k_j)
+      j < (cn-1)*cl              -> inter logits (q_inter . k_j)
+    """
+    b, tq, hq, d = q_intra.shape
+    kp, vp = _gather_pages(kv_cache, layer_idx, page_table)
+    pp, s, hkv = kp.shape[1], kp.shape[2], kp.shape[3]
+    group = hq // hkv
+    lkv = pp * s
+    cdt = q_intra.dtype
+
+    kv_pos = jnp.arange(lkv)[None, None, :]  # [1, 1, Lkv]
+    q_pos = q_start_pos[:, None] + jnp.arange(tq)[None, :]  # [B, Tq]
+    causal = (kv_pos <= q_pos[:, :, None]) & (
+        kv_pos < kv_lens[:, None, None])
+    causal = causal & (q_pos[:, :, None] < kv_lens[:, None, None])
+
+    slot_live = jnp.any(causal.reshape(b, tq, pp, s), axis=1)[
+        :, :, :, None, None]
+    zero = jnp.zeros((), cdt)
+    kf = jnp.where(slot_live, kp.astype(cdt), zero)
+    vf = jnp.where(slot_live, vp.astype(cdt), zero)
+
+    def scores_of(q):
+        qg = q.reshape(b, tq, hkv, group, d).astype(cdt)
+        return jnp.einsum("bthgd,bpshd->bhgtps", qg, kf,
+                          preferred_element_type=jnp.float32) * sm_scale
+
+    s_intra = scores_of(q_intra).reshape(b, hkv, group, tq, lkv)
+    s_succ = scores_of(q_succ).reshape(b, hkv, group, tq, lkv)
+    s_inter = scores_of(q_inter).reshape(b, hkv, group, tq, lkv)
+
+    cn = q_pos // chunk_len  # [B, Tq]
+    intra_start = (cn * chunk_len)[:, :, None]  # [B, Tq, 1]
+    succ_start = jnp.maximum(intra_start - chunk_len, 0)
+    is_intra = kv_pos >= intra_start  # [B, Tq, Lkv]
+    is_succ = (~is_intra) & (kv_pos >= succ_start)
+    sel = jnp.where(is_intra[:, None, None], s_intra,
+                    jnp.where(is_succ[:, None, None], s_succ, s_inter))
+    sel = jnp.where(causal[:, None, None], sel, NEG_INF)
+    probs = jax.nn.softmax(sel, axis=-1)
+    any_valid = jnp.any(causal, axis=-1)[:, None, None, :, None]
+    probs = jnp.where(any_valid, probs, 0.0)
+    probs = probs.reshape(b, hkv, group, tq, pp, s).astype(cdt)
+    out = jnp.einsum("bhgtps,bpshd->bthgd", probs, vf,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, tq, hq, d).astype(q_intra.dtype)

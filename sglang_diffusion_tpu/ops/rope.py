@@ -299,3 +299,42 @@ def apply_mrope(
         return (xf * cos + rotated * sin).astype(x.dtype)
 
     return rot(q), rot(k)
+
+
+def apply_rope_dual_chunk(
+    q: jax.Array,  # [B, T, H, D]
+    k: jax.Array,  # [B, T, Hkv, D]
+    positions: jax.Array,  # [B, T] absolute positions
+    inv_freq: jax.Array,  # [D/2]
+    chunk_size: int,
+    local_size: int,
+):
+    """Dual Chunk Attention rope (reference analog:
+    srt/layers/rotary_embedding/rope_variant.py:677
+    DualChunkRotaryEmbedding): keys and intra-queries are roped at
+    ``p % chunk_len``; succ-queries at ``min(p % chunk_len + chunk_len,
+    chunk_size)``; inter-queries at the constant
+    ``min(2*chunk_len - 1, chunk_size)``. Returns (q_intra, q_succ,
+    q_inter, k_roped)."""
+    chunk_len = chunk_size - local_size
+    p_mod = positions % chunk_len
+
+    def rope_at(x, pos):
+        freqs = pos[..., None].astype(jnp.float32) * inv_freq
+        cos = jnp.cos(freqs)
+        sin = jnp.sin(freqs)
+        cos = jnp.concatenate([cos, cos], axis=-1)[..., None, :]
+        sin = jnp.concatenate([sin, sin], axis=-1)[..., None, :]
+        xf = x.astype(jnp.float32)
+        half = x.shape[-1] // 2
+        x1, x2 = xf[..., :half], xf[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        return (xf * cos + rotated * sin).astype(x.dtype)
+
+    k_r = rope_at(k, p_mod)
+    q_intra = rope_at(q, p_mod)
+    q_succ = rope_at(q, jnp.minimum(p_mod + chunk_len, chunk_size))
+    p_inter = jnp.full_like(positions,
+                            min(2 * chunk_len - 1, chunk_size))
+    q_inter = rope_at(q, p_inter)
+    return q_intra, q_succ, q_inter, k_r
