@@ -26,8 +26,10 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -89,6 +91,12 @@ struct Config {
     int cb_cooldown_s = 10;
     int max_retries = 3;
     int connect_timeout_ms = 2000;
+    // rate limiting (reference analog: sgl-model-gateway/src/core/
+    // token_bucket.rs + middleware.rs concurrency_limit_middleware)
+    double rate_limit_rps = 0.0;   // 0 = disabled
+    double rate_limit_burst = 0.0; // 0 = default to rps (min 1)
+    int queue_timeout_ms = 0;      // 0 = reject immediately with 429
+    int concurrency_limit = 0;     // 0 = disabled (semaphore mode)
 };
 
 Config g_cfg;
@@ -106,6 +114,61 @@ int64_t now_ms() {
                std::chrono::steady_clock::now().time_since_epoch())
         .count();
 }
+
+// ---------------- token-bucket rate limiter ----------------
+// Reference analog: sgl-model-gateway/src/core/token_bucket.rs (smooth
+// refill + burst capacity) with the middleware's queue-with-timeout
+// behavior (middleware.rs concurrency_limit_middleware). refill_rate=0
+// gives pure concurrency limiting: tokens only come back via release().
+
+class TokenBucket {
+  public:
+    TokenBucket(double capacity, double refill_rate)
+        : capacity_(capacity), refill_rate_(refill_rate), tokens_(capacity),
+          last_refill_ms_(now_ms()) {}
+
+    bool acquire(int timeout_ms) {
+        std::unique_lock<std::mutex> lk(mu_);
+        int64_t deadline = now_ms() + timeout_ms;
+        for (;;) {
+            refill_locked();
+            if (tokens_ >= 1.0) {
+                tokens_ -= 1.0;
+                return true;
+            }
+            int64_t left = deadline - now_ms();
+            if (left <= 0) return false;
+            cv_.wait_for(lk, std::chrono::milliseconds(
+                                 std::min<int64_t>(left, 20)));
+        }
+    }
+
+    void release() {
+        std::lock_guard<std::mutex> lk(mu_);
+        tokens_ = std::min(capacity_, tokens_ + 1.0);
+        cv_.notify_one();
+    }
+
+  private:
+    void refill_locked() {
+        if (refill_rate_ <= 0.0) return;
+        int64_t t = now_ms();
+        tokens_ = std::min(
+            capacity_, tokens_ + refill_rate_ * (t - last_refill_ms_) / 1e3);
+        last_refill_ms_ = t;
+    }
+
+    double capacity_;
+    double refill_rate_;
+    double tokens_;
+    int64_t last_refill_ms_;
+    std::mutex mu_;
+    std::condition_variable cv_;
+};
+
+std::unique_ptr<TokenBucket> g_rate_bucket;   // refill = rps
+std::unique_ptr<TokenBucket> g_concurrency;   // refill = 0 (semaphore)
+std::atomic<int64_t> g_rate_limited_total{0};
 
 std::vector<std::shared_ptr<Worker>> snapshot_workers() {
     std::lock_guard<std::mutex> g(g_workers_mu);
@@ -434,7 +497,10 @@ std::string metrics_text() {
        << "# TYPE sgld_gateway_retries_total counter\n"
        << "sgld_gateway_retries_total " << g_retries_total.load() << "\n"
        << "# TYPE sgld_gateway_errors_total counter\n"
-       << "sgld_gateway_errors_total " << g_errors_total.load() << "\n";
+       << "sgld_gateway_errors_total " << g_errors_total.load() << "\n"
+       << "# TYPE sgld_gateway_rate_limited_total counter\n"
+       << "sgld_gateway_rate_limited_total " << g_rate_limited_total.load()
+       << "\n";
     for (auto& w : ws) {
         ss << "sgld_gateway_worker_requests_total{worker=\"" << w->url
            << "\"} " << w->requests.load() << "\n"
@@ -592,7 +658,31 @@ void handle_conn(int cfd) {
         if (r <= 0) break;
         body.append(buf, static_cast<size_t>(r));
     }
+    // rate / concurrency limiting before worker selection (429 JSON like
+    // the reference middleware; a queued request waits up to
+    // --queue-timeout-ms for a token)
+    if (g_rate_bucket && !g_rate_bucket->acquire(g_cfg.queue_timeout_ms)) {
+        g_rate_limited_total.fetch_add(1);
+        respond(cfd, 429, "Too Many Requests",
+                "{\"error\":\"Rate limit exceeded\"}");
+        close(cfd);
+        return;
+    }
+    bool held_concurrency = false;
+    if (g_concurrency) {
+        if (!g_concurrency->acquire(g_cfg.queue_timeout_ms)) {
+            g_rate_limited_total.fetch_add(1);
+            respond(cfd, 429, "Too Many Requests",
+                    "{\"error\":\"Concurrency limit exceeded\"}");
+            close(cfd);
+            return;
+        }
+        held_concurrency = true;
+    }
     proxy_request(cfd, head, body, extract_route_text(body));
+    // the proxy streams the full response (including SSE) synchronously,
+    // so releasing here matches the reference's TokenGuardBody semantics
+    if (held_concurrency) g_concurrency->release();
     close(cfd);
 }
 
@@ -631,8 +721,25 @@ int main(int argc, char** argv) {
             g_discovery_file = next();
         else if (a == "--discovery-interval")
             g_discovery_interval_s = atoi(next().c_str());
+        else if (a == "--rate-limit")
+            g_cfg.rate_limit_rps = atof(next().c_str());
+        else if (a == "--rate-limit-burst")
+            g_cfg.rate_limit_burst = atof(next().c_str());
+        else if (a == "--queue-timeout-ms")
+            g_cfg.queue_timeout_ms = atoi(next().c_str());
+        else if (a == "--concurrency-limit")
+            g_cfg.concurrency_limit = atoi(next().c_str());
     }
     for (auto& u : worker_urls) add_worker(u);
+    if (g_cfg.rate_limit_rps > 0.0) {
+        double burst = g_cfg.rate_limit_burst > 0.0
+                           ? g_cfg.rate_limit_burst
+                           : std::max(1.0, g_cfg.rate_limit_rps);
+        g_rate_bucket.reset(new TokenBucket(burst, g_cfg.rate_limit_rps));
+    }
+    if (g_cfg.concurrency_limit > 0)
+        g_concurrency.reset(
+            new TokenBucket(g_cfg.concurrency_limit, 0.0));
 
     int sfd = socket(AF_INET, SOCK_STREAM, 0);
     int one = 1;

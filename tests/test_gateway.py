@@ -280,3 +280,72 @@ def test_gateway_discovery_file(tmp_path):
         gw.shutdown()
         s1.shutdown()
         s2.shutdown()
+
+
+def test_gateway_rate_limit_429_and_refill():
+    """Token-bucket rate limiting (reference analog:
+    sgl-model-gateway/src/core/token_bucket.rs + middleware.rs): burst
+    tokens admit immediately, further requests 429, tokens refill over
+    time; the 429 count is exported in /metrics."""
+    s1, p1 = _start_worker("w1")
+    gport = _free_port()
+    gw = GatewayProcess(
+        gport, [f"http://127.0.0.1:{p1}"], policy="round_robin",
+        health_interval=1, rate_limit=2, rate_limit_burst=2,
+    )
+    try:
+        assert gw.wait_ready()
+        url = f"http://127.0.0.1:{gport}/generate"
+        ok = limited = 0
+        for i in range(8):
+            try:
+                _post(url, {"text": f"r{i}"})
+                ok += 1
+            except urllib.error.HTTPError as e:
+                assert e.code == 429
+                body = json.loads(e.read())
+                assert "Rate limit" in body["error"]
+                limited += 1
+        assert ok >= 2  # burst admitted
+        assert limited >= 1  # excess rejected
+        # refill: after a wait, requests are admitted again
+        time.sleep(1.2)
+        _post(url, {"text": "after-refill"})
+        metrics = _get(f"http://127.0.0.1:{gport}/metrics")
+        assert "sgld_gateway_rate_limited_total" in metrics
+        val = [l for l in metrics.splitlines()
+               if l.startswith("sgld_gateway_rate_limited_total")][0]
+        assert int(val.split()[-1]) == limited
+    finally:
+        gw.shutdown()
+        s1.shutdown()
+
+
+def test_gateway_concurrency_limit_queues():
+    """--concurrency-limit behaves as a semaphore with queuing: with a
+    generous queue timeout every request eventually succeeds even when
+    issued concurrently beyond the limit."""
+    s1, p1 = _start_worker("w1")
+    gport = _free_port()
+    gw = GatewayProcess(
+        gport, [f"http://127.0.0.1:{p1}"], policy="round_robin",
+        health_interval=1, concurrency_limit=2, queue_timeout_ms=5000,
+    )
+    try:
+        assert gw.wait_ready()
+        url = f"http://127.0.0.1:{gport}/generate"
+        results = []
+
+        def call(i):
+            results.append(_post(url, {"text": f"c{i}"})["worker"])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=15)
+        assert len(results) == 6
+    finally:
+        gw.shutdown()
+        s1.shutdown()
