@@ -252,3 +252,34 @@ def test_lfm2_decode_parity_vs_hf():
         tok = int(np.argmax(np.asarray(logits[0])))
         got.append(tok)
     np.testing.assert_array_equal(np.asarray(got), ref_tokens)
+
+
+def test_olmoe_parity_vs_hf():
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    hf = OlmoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=6, num_experts_per_tok=2, norm_topk_prob=False,
+        clip_qkv=8.0, max_position_embeddings=128,
+        tie_word_embeddings=False, rope_theta=10000.0,
+    )
+    torch.manual_seed(31)
+    model = OlmoeForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["OlmoeForCausalLM"]})
+    cls = get_model_cls("OlmoeForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t = 12
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        ref = model(input_ids=ids).logits[0].numpy()
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"),
+                           logits_mode="all")
+    kv, meta = _paged_ctx(cfg, t)
+    logits, _ = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                    jnp.asarray(np.arange(t)[None]), kv, meta)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
+                               rtol=2e-2)
