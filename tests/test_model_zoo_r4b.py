@@ -283,3 +283,35 @@ def test_olmoe_parity_vs_hf():
                     jnp.asarray(np.arange(t)[None]), kv, meta)
     np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
                                rtol=2e-2)
+
+
+def test_granite_parity_vs_hf():
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    hf = GraniteConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        embedding_multiplier=6.0, residual_multiplier=0.22,
+        attention_multiplier=0.02, logits_scaling=3.0,
+        max_position_embeddings=128, tie_word_embeddings=True,
+        rope_theta=10000.0, attention_bias=False,
+    )
+    torch.manual_seed(41)
+    model = GraniteForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["GraniteForCausalLM"]})
+    cls = get_model_cls("GraniteForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t = 12
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        ref = model(input_ids=ids).logits[0].numpy()
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"),
+                           logits_mode="all")
+    kv, meta = _paged_ctx(cfg, t)
+    logits, _ = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                    jnp.asarray(np.arange(t)[None]), kv, meta)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
+                               rtol=2e-2)
