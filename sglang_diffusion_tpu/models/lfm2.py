@@ -116,11 +116,14 @@ class Lfm2Family:
                     "k_norm": jnp.ones((D,), dtype),
                 })
             layers.append(lp)
-        return {
+        p = {
             "embed": init((cfg.vocab_size, E), scale_dim=E),
             "final_norm": jnp.ones((E,), dtype),
             "layers": layers,
         }
+        if not cfg.tie_word_embeddings:
+            p["lm_head"] = init((E, cfg.vocab_size))
+        return p
 
     @staticmethod
     def partition_specs(cfg: ModelConfig):
@@ -277,7 +280,9 @@ class Lfm2Family:
             bq = hidden.shape[0]
             h_out = (hidden if logits_mode in ("all", "all_hidden")
                      else hidden[jnp.arange(bq), meta.logit_idx])
-            logits = jnp.dot(h_out, params["lm_head"],
+            w_head = (params["lm_head"] if "lm_head" in params
+                      else params["embed"].T)
+            logits = jnp.dot(h_out, w_head,
                              preferred_element_type=jnp.float32)
             return logits, new_kv
 
