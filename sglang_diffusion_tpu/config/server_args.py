@@ -24,6 +24,9 @@ class ServerArgs:
     # ---- model ----
     model_path: str = ""
     tokenizer_path: Optional[str] = None  # defaults to model_path
+    # >1 = TokenizerPool replicas (reference analog: --tokenizer-worker-
+    # num / multi_tokenizer_mixin.py worker processes)
+    tokenizer_worker_num: int = 1
     trust_remote_code: bool = False
     context_length: Optional[int] = None  # override model's max context
     dtype: str = "bfloat16"  # model compute dtype

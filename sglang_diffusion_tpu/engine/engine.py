@@ -79,6 +79,12 @@ class Engine:
                 model_config = ModelConfig.from_pretrained(self.args.model_path)
         self.model_config = model_config
         self.tokenizer = tokenizer or get_tokenizer(self.args.tokenizer_path)
+        if tokenizer is None and self.args.tokenizer_worker_num > 1:
+            from sglang_diffusion_tpu.engine.tokenizer import TokenizerPool
+
+            self.tokenizer = TokenizerPool(
+                lambda: get_tokenizer(self.args.tokenizer_path),
+                n=self.args.tokenizer_worker_num)
 
         if params is None and self.args.model_path:
             if is_gguf:

@@ -93,3 +93,69 @@ class IncrementalDetokenizer:
         if delta:
             self.emitted = safe
         return delta, None, stable
+
+
+class TokenizerPool:
+    """Parallel tokenization pool (reference analog:
+    srt/managers/multi_tokenizer_mixin.py — the reference fans
+    tokenization out over worker PROCESSES behind a router; in the
+    single-controller design the same scaling comes from N tokenizer
+    replicas on a thread pool: HF fast tokenizers release the GIL in
+    their Rust core, so replica threads tokenize truly in parallel).
+
+    Presents the same encode/decode/apply_chat_template interface as a
+    single tokenizer, plus batch APIs that fan out across replicas:
+
+        pool = TokenizerPool(lambda: HFTokenizer(path), n=4)
+        ids_lists = pool.encode_batch(prompts)
+    """
+
+    def __init__(self, factory, n: int = 4):
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._replicas = [factory() for _ in range(max(1, n))]
+        self._locks = [threading.Lock() for _ in self._replicas]
+        self._pool = ThreadPoolExecutor(max_workers=len(self._replicas),
+                                        thread_name_prefix="tokenizer")
+        self._rr = 0
+
+    # -- single-item API (delegates round-robin; replica-safe) --
+    def _with_replica(self, fn):
+        i = self._rr % len(self._replicas)
+        self._rr += 1
+        with self._locks[i]:
+            return fn(self._replicas[i])
+
+    def encode(self, text: str, add_bos: bool = True):
+        return self._with_replica(lambda t: t.encode(text, add_bos=add_bos))
+
+    def decode(self, ids):
+        return self._with_replica(lambda t: t.decode(ids))
+
+    def apply_chat_template(self, messages, add_generation_prompt=True):
+        with self._locks[0]:
+            return self._replicas[0].apply_chat_template(
+                messages, add_generation_prompt=add_generation_prompt)
+
+    def __getattr__(self, name):
+        # passthrough for tokenizer attributes (eos_token_id, vocab, ...)
+        return getattr(self._replicas[0], name)
+
+    # -- batch API: fan out across replicas --
+    def _map(self, fn, items):
+        n = len(self._replicas)
+
+        def run(i_item):
+            i, item = i_item
+            r = i % n
+            with self._locks[r]:
+                return fn(self._replicas[r], item)
+
+        return list(self._pool.map(run, enumerate(items)))
+
+    def encode_batch(self, texts, add_bos: bool = True):
+        return self._map(lambda t, s: t.encode(s, add_bos=add_bos), texts)
+
+    def decode_batch(self, ids_lists):
+        return self._map(lambda t, ids: t.decode(ids), ids_lists)
