@@ -18,6 +18,9 @@ Algorithms (select with ``--attention-backend sparse[:algo][:k]``):
   envelope is built over the landmark slots and each page is scored by
   ``sum_d max(q_d * min_d, q_d * max_d)``, an upper bound on any
   landmark's dot product (arXiv:2406.10774 applied to sampled slots).
+- ``landmark_fp8``: landmark scoring over FP8-e4m3-quantized keys
+  (NSA-style quantized index reads; ranking-only, halves score-pass HBM
+  traffic).
 - ``recency``: StreamingLLM-style sink + most-recent pages only (no
   content scoring; selection is position-based).
 
@@ -70,13 +73,10 @@ def score_quest(q, kv_cache, layer_idx, page_table, page_size):
     kmin = rep.min(axis=2)  # [B, Pp, Hkv, D]
     kmax = rep.max(axis=2)
     qg = q[:, 0].reshape(b, hkv, group, d).astype(jnp.float32)
-    lo = jnp.einsum("bhgd,bphd->bphg", qg, kmin)
-    hi = jnp.einsum("bhgd,bphd->bphg", qg, kmax)
     # elementwise bound: sum_d max(q_d*min_d, q_d*max_d)
     per_d = jnp.maximum(qg[:, None] * kmin[:, :, :, None],
                         qg[:, None] * kmax[:, :, :, None])
     ub = per_d.sum(axis=-1)  # [B, Pp, Hkv, G]
-    del lo, hi
     return ub.max(axis=3).sum(axis=2)
 
 
@@ -88,8 +88,24 @@ def score_recency(q, kv_cache, layer_idx, page_table, page_size):
         jnp.arange(pp, dtype=jnp.float32)[None, :], (b, pp))
 
 
+def score_landmark_fp8(q, kv_cache, layer_idx, page_table, page_size):
+    """Landmark scoring over FP8-e4m3-quantized landmark keys (NSA-style
+    quantized index reads, srt/layers/attention/nsa/nsa_indexer.py's
+    fp8 index cache: the index tolerates low-precision keys because only
+    the page RANKING matters; HBM traffic for the score pass halves)."""
+    b, hq, d = q.shape[0], q.shape[2], q.shape[3]
+    hkv = kv_cache.shape[3] // 2
+    group = hq // hkv
+    rep = _landmark_keys(kv_cache, layer_idx, page_table, page_size)
+    rep = rep.astype(jnp.float8_e4m3fn).astype(jnp.float32)
+    qg = q[:, 0].reshape(b, hkv, group, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bprhd->bphgr", qg, rep)
+    return s.max(axis=(3, 4)).sum(axis=2)
+
+
 _ALGORITHMS: Dict[str, Callable] = {
     "landmark": score_landmark,
+    "landmark_fp8": score_landmark_fp8,
     "quest": score_quest,
     "recency": score_recency,
 }

@@ -169,7 +169,7 @@ def test_sparsity_framework_algorithms_exact_when_fit():
     kv_lens = jnp.asarray([kv_len], jnp.int32)
     q_start = kv_lens - 1
     dense = paged_attention(q, kv, 0, pt_wide, kv_lens, q_start, 0.25)
-    for algo in ("landmark", "quest", "recency"):
+    for algo in ("landmark", "landmark_fp8", "quest", "recency"):
         fn = get_sparsity_algorithm(algo)
         out = sparse_paged_attention(
             q, kv, 0, pt_wide, kv_lens, q_start, 0.25, topk_pages=6,
