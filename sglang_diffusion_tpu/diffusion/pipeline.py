@@ -403,7 +403,16 @@ class DiffusionPipeline:
                 out = cls.apply(p, i, self.te_cfg)
                 return out if isinstance(out, tuple) else (out, None)
 
-            self._encode_jit = jax.jit(enc)
+            if (self.sp_mesh is not None
+                    and self.sp_mesh.shape.get("sp", 1) > 1):
+                # SP text encoder (reference analog: multimodal_gen's
+                # sequence-parallel encoder pass): shard the TOKEN axis
+                # over "sp" and let GSPMD insert the attention
+                # collectives — encoder FLOPs/activations split across
+                # the sp group, output gathered back replicated.
+                self._encode_jit = sp_sharded_text_encode(enc, self.sp_mesh)
+            else:
+                self._encode_jit = jax.jit(enc)
         return self._encode_jit(self.params["text_encoder"], ids)
 
     def vae_decode(self, latents: jax.Array):
@@ -770,3 +779,31 @@ class DiffusionPipeline:
             stage(batch, self)
             batch.stage_timings[stage.name] = time.perf_counter() - t0
         return batch
+
+
+def sp_sharded_text_encode(enc_fn, mesh):
+    """Wrap a (params, ids) -> (emb, pooled) encoder so its token axis
+    shards over the mesh's "sp" axis (SP text encoder, SURVEY §2.8).
+    Non-divisible lengths (CLIP's 77) are pad-id padded to a multiple of
+    sp and the embedding sliced back; pooled outputs are unaffected
+    (mask-based pooling ignores pads; CLIP's argmax-eot pick is
+    unchanged by id-0 pads)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    sp = mesh.shape["sp"]
+    rep = NamedSharding(mesh, P())
+    jfn = jax.jit(enc_fn, in_shardings=(rep, NamedSharding(mesh, P(None, "sp"))),
+                  out_shardings=rep)
+
+    def call(params, ids):
+        t = ids.shape[1]
+        pad = (-t) % sp
+        if pad:
+            ids = jnp.pad(ids, ((0, 0), (0, pad)))
+        emb, pooled = jfn(params, ids)
+        if pad:
+            emb = emb[:, :t]
+        return emb, pooled
+
+    return call
