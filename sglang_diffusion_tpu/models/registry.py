@@ -28,6 +28,7 @@ def register_model(*arch_names: str):
 
 def get_model_cls(architecture: str):
     # import model modules lazily so registration happens on first use
+    import sglang_diffusion_tpu.models.cohere2  # noqa: F401
     import sglang_diffusion_tpu.models.deepseek  # noqa: F401
     import sglang_diffusion_tpu.models.glm4  # noqa: F401
     import sglang_diffusion_tpu.models.glm4_moe  # noqa: F401
