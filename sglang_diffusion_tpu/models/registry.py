@@ -32,6 +32,7 @@ def get_model_cls(architecture: str):
     import sglang_diffusion_tpu.models.deepseek  # noqa: F401
     import sglang_diffusion_tpu.models.glm4  # noqa: F401
     import sglang_diffusion_tpu.models.glm4_moe  # noqa: F401
+    import sglang_diffusion_tpu.models.exaone4  # noqa: F401
     import sglang_diffusion_tpu.models.falcon_h1  # noqa: F401
     import sglang_diffusion_tpu.models.whisper  # noqa: F401
     import sglang_diffusion_tpu.models.llada  # noqa: F401

@@ -380,3 +380,36 @@ def test_starcoder2_parity_vs_hf():
                     jnp.asarray(np.arange(t)[None]), kv, meta)
     np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
                                rtol=2e-2)
+
+
+def test_exaone4_parity_vs_hf():
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    hf = Exaone4Config(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, sliding_window=6, sliding_window_pattern=2,
+        layer_types=["sliding_attention", "full_attention",
+                     "sliding_attention", "full_attention"],
+        max_position_embeddings=128, tie_word_embeddings=False,
+        rope_theta=10000.0, rms_norm_eps=1e-5,
+    )
+    torch.manual_seed(71)
+    model = Exaone4ForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["Exaone4ForCausalLM"]})
+    cls = get_model_cls("Exaone4ForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t = 12
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        ref = model(input_ids=ids).logits[0].numpy()
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"),
+                           logits_mode="all")
+    kv, meta = _paged_ctx(cfg, t)
+    logits, _ = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                    jnp.asarray(np.arange(t)[None]), kv, meta)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
+                               rtol=2e-2)
