@@ -46,44 +46,35 @@ def llama32_1b_config():
     )
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--num-prompts", type=int, default=256)
-    ap.add_argument("--input-len", type=int, default=128)
-    ap.add_argument("--output-len", type=int, default=128)
-    ap.add_argument("--page-size", type=int, default=64)
-    ap.add_argument("--attention-backend", default="auto")
-    ap.add_argument("--max-total-tokens", type=int, default=131072)
-    ap.add_argument("--decode-horizon", type=int, default=32)
-    ap.add_argument("--quantization", default="w4a16",
-                    choices=[None, "none", "int8", "fp8", "w4a16"])
-    # bf16 KV is FASTER than fp8 on v5e despite 2x the bytes: Mosaic's
-    # f8->bf16 conversion runs ~35 ms/step at bs=256 while the extra bf16
-    # bytes stream in ~3 ms (round-4 kernel microbench). fp8 stays
-    # available for memory-constrained runs.
-    ap.add_argument("--kv-cache-dtype", default="bfloat16")
-    ap.add_argument("--decode-pipelining", action="store_true")
-    ap.add_argument("--speculative-algorithm", default=None,
-                    choices=[None, "ngram", "eagle"])
-    ap.add_argument("--speculative-num-draft-tokens", type=int, default=4)
-    ap.add_argument("--num-layers", type=int, default=None, help="override model depth")
-    ap.add_argument("--vocab-size", type=int, default=None, help="override vocab")
-    ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
-    ap.add_argument("--skip-diffusion", action="store_true",
-                    help="skip the diffusion scenario leg")
-    args = ap.parse_args()
-
+def llama31_8b_config():
+    """Llama-3.1-8B-Instruct exact dims (the BASELINE.json north-star
+    model and the reference CI's perf-gate model,
+    test_bench_serving_1gpu_part1.py:41)."""
     from sglang_diffusion_tpu.config.model_config import ModelConfig
+
+    return ModelConfig(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        max_position_embeddings=4096,
+        rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        tie_word_embeddings=False,
+    )
+
+
+def run_llm_bench(cfg, args, kv_cache_dtype, label):
+    """One offline-throughput measurement on `cfg`. Returns (tok_s, extra)."""
     from sglang_diffusion_tpu.config.server_args import ServerArgs
     from sglang_diffusion_tpu.engine.engine import Engine
     from sglang_diffusion_tpu.engine.tokenizer import ByteTokenizer
     from sglang_diffusion_tpu.sampling.params import SamplingParams
 
-    cfg = ModelConfig.tiny_llama() if args.tiny else llama32_1b_config()
-    if args.num_layers:
-        cfg.num_hidden_layers = args.num_layers
-    if args.vocab_size:
-        cfg.vocab_size = args.vocab_size
     sargs = ServerArgs(
         model_path="",
         tokenizer_path="byte",
@@ -95,16 +86,16 @@ def main():
         context_length=args.input_len + args.output_len + args.page_size,
         max_running_requests=max(256, args.num_prompts),
         decode_horizon=args.decode_horizon,
-        enable_decode_pipelining=args.decode_pipelining,
+        enable_decode_pipelining=not args.no_decode_pipelining,
         quantization=None if args.quantization in (None, "none") else args.quantization,
-        kv_cache_dtype=args.kv_cache_dtype,
+        kv_cache_dtype=kv_cache_dtype,
         speculative_algorithm=args.speculative_algorithm,
         speculative_num_draft_tokens=args.speculative_num_draft_tokens,
     )
     t0 = time.time()
     eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())
     init_s = time.time() - t0
-    print(f"engine init: {init_s:.1f}s", file=sys.stderr)
+    print(f"[{label}] engine init: {init_s:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     prompts = [
@@ -133,7 +124,7 @@ def main():
             temperature=0.0, max_new_tokens=1, ignore_eos=True
         ),
     )
-    print(f"warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"[{label}] warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     def timed_run(ids):
         keys_before = set(eng._seen_step_keys)
@@ -157,8 +148,8 @@ def main():
     total_tokens = out_tokens + sum(len(p) for p in prompts)
     tok_s = out_tokens / elapsed
     print(
-        f"prompts={args.num_prompts} in={args.input_len} out={args.output_len} "
-        f"elapsed={elapsed:.2f}s out_tok/s={tok_s:.1f} "
+        f"[{label}] prompts={args.num_prompts} in={args.input_len} "
+        f"out={args.output_len} elapsed={elapsed:.2f}s out_tok/s={tok_s:.1f} "
         f"total_tok/s={total_tokens/elapsed:.1f}",
         file=sys.stderr,
     )
@@ -196,6 +187,9 @@ def main():
     decode_s = max(elapsed - prefill_s, 1e-6)
     itl_ms = 1000 * decode_s / max(args.output_len - 1, 1)
     extra["itl_ms_batch_avg"] = round(itl_ms, 2)
+    # prefill throughput (reference treats it first-class: bench_one_batch)
+    extra["prefill_tok_s"] = round(
+        args.num_prompts * args.input_len / max(prefill_s, 1e-6), 1)
 
     # ---- decode roofline: bytes touched per decode step / MEASURED HBM
     # bandwidth. block_until_ready does not synchronize through the axon
@@ -207,20 +201,22 @@ def main():
 
     if _os.environ.get("SGLD_TPU_HBM_BW"):
         HBM_BW = float(_os.environ["SGLD_TPU_HBM_BW"])
+        bwinfo = {}
     else:
         sys.path.insert(0, _os.path.join(
             _os.path.dirname(_os.path.abspath(__file__)), "tools"))
         try:
             import hbm_probe
 
-            bw = hbm_probe.measure(size_mb=256.0)
-            HBM_BW = bw["best_gbps"] * 1e9
+            bwinfo = hbm_probe.measure(size_mb=256.0)
+            HBM_BW = bwinfo["best_gbps"] * 1e9
             extra["hbm_probe_gbps"] = {
-                k: v for k, v in bw.items() if k.endswith("gbps")}
-            extra["dispatch_fetch_floor_ms"] = bw["dispatch_fetch_floor_ms"]
+                k: v for k, v in bwinfo.items() if k.endswith("gbps")}
+            extra["dispatch_fetch_floor_ms"] = bwinfo["dispatch_fetch_floor_ms"]
         except Exception as e:  # noqa: BLE001 — probe is best-effort
             print(f"hbm probe failed ({e}); assuming 819 GB/s", file=sys.stderr)
             HBM_BW = 819e9
+            bwinfo = {}
     extra["hbm_bw_used_gbps"] = round(HBM_BW / 1e9, 1)
     import jax as _jax
 
@@ -230,7 +226,7 @@ def main():
     kv_bytes_per_tok = (
         cfg.num_hidden_layers * 2 * cfg.num_key_value_heads
         * cfg.actual_head_dim
-        * (1 if args.kv_cache_dtype == "fp8_e4m3" else 2)
+        * (1 if kv_cache_dtype == "fp8_e4m3" else 2)
     )
     avg_ctx = args.input_len + args.output_len / 2
     kv_read = args.num_prompts * avg_ctx * kv_bytes_per_tok
@@ -245,17 +241,87 @@ def main():
     extra["decode_roofline_ideal_tok_s"] = round(ideal_tok_s, 1)
     measured_decode_tok_s = args.num_prompts * 1000 / itl_ms
     extra["decode_roofline_frac"] = round(measured_decode_tok_s / ideal_tok_s, 3)
+    return tok_s, extra, eng
 
-    # ---- auxiliary legs (each a subprocess; release the engine first so
-    # the chip's HBM is free for them) ----
-    if not args.tiny and not args.skip_diffusion:
-        import gc
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-prompts", type=int, default=256)
+    ap.add_argument("--input-len", type=int, default=128)
+    ap.add_argument("--output-len", type=int, default=128)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--attention-backend", default="auto")
+    ap.add_argument("--max-total-tokens", type=int, default=131072)
+    ap.add_argument("--decode-horizon", type=int, default=32)
+    ap.add_argument("--quantization", default="w4a16",
+                    choices=[None, "none", "int8", "fp8", "w4a16"])
+    ap.add_argument("--kv-cache-dtype", default=None,
+                    help="override KV dtype for ALL legs (default: "
+                    "per-model choice)")
+    ap.add_argument("--no-decode-pipelining", action="store_true")
+    ap.add_argument("--speculative-algorithm", default=None,
+                    choices=[None, "ngram", "eagle"])
+    ap.add_argument("--speculative-num-draft-tokens", type=int, default=4)
+    ap.add_argument("--model", default="8b", choices=["8b", "1b", "tiny"],
+                    help="headline model (8b = north-star Llama-3.1-8B dims)")
+    ap.add_argument("--skip-secondary", action="store_true",
+                    help="skip the 1B secondary leg")
+    ap.add_argument("--tiny", action="store_true", help="tiny model smoke run")
+    ap.add_argument("--skip-diffusion", action="store_true",
+                    help="skip the diffusion scenario leg")
+    args = ap.parse_args()
+    if args.tiny:
+        args.model = "tiny"
+
+    import gc
+
+    from sglang_diffusion_tpu.config.model_config import ModelConfig
+
+    # ---- headline leg ----
+    if args.model == "8b":
+        # north star (BASELINE.json): Llama-3.1-8B W4A16 tok/s/chip.
+        # fp8 KV halves decode's dominant HBM term and is required to fit
+        # 64k KV tokens beside ~5 GB of W4A16 weights in 16 GB HBM.
+        cfg = llama31_8b_config()
+        kv_dtype = args.kv_cache_dtype or "fp8_e4m3"
+        args.max_total_tokens = min(args.max_total_tokens, 65536)
+        name = "llama3.1-8b"
+    elif args.model == "1b":
+        cfg = llama32_1b_config()
+        kv_dtype = args.kv_cache_dtype or "bfloat16"
+        name = "llama3.2-1b"
+    else:
+        cfg = ModelConfig.tiny_llama()
+        kv_dtype = args.kv_cache_dtype or "bfloat16"
+        args.max_total_tokens = min(args.max_total_tokens, 8192)
+        args.quantization = "none"  # tiny dims are below W4A16 kernel blocks
+        name = "tiny"
+
+    tok_s, extra, eng = run_llm_bench(cfg, args, kv_dtype, name)
+    del eng
+    gc.collect()
+
+    # ---- secondary leg: the 1B config tracked since round 1 ----
+    if args.model == "8b" and not args.skip_secondary:
+        try:
+            tok_s_1b, extra_1b, eng = run_llm_bench(
+                llama32_1b_config(), args,
+                args.kv_cache_dtype or "bfloat16", "llama3.2-1b")
+            del eng
+            gc.collect()
+            extra["secondary_1b"] = {
+                "out_tok_s": round(tok_s_1b, 1),
+                "ttft_ms_bs1_in128": extra_1b.get("ttft_ms_bs1_in128"),
+                "decode_roofline_frac": extra_1b.get("decode_roofline_frac"),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"1B secondary leg failed: {e}", file=sys.stderr)
+
+    # ---- auxiliary legs (each a subprocess so the chip's HBM is free) ----
+    if args.model != "tiny" and not args.skip_diffusion:
         import subprocess
 
-        del eng
-        gc.collect()
-
-        def run_json(cmd, timeout=900):
+        def run_json(cmd, timeout=1800):
             r = subprocess.run([sys.executable] + cmd, capture_output=True,
                                text=True, timeout=timeout)
             lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
@@ -283,36 +349,37 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"sparse bench skipped: {e}", file=sys.stderr)
 
-        # online serving percentiles (VERDICT r3 weak #11)
+        # online serving percentiles (round-5 gate: TTFT < 300 ms,
+        # ITL in (0, 25) ms — VERDICT r4 next-step #1)
         try:
             d = run_json(["bench_serving.py", "--num-prompts", "32",
-                          "--request-rate", "8"])
+                          "--request-rate", "8", "--output-len", "256"])
             extra["online_serving"] = {
                 k: d[k] for k in ("output_tok_s", "median_ttft_ms",
                                   "p99_ttft_ms", "median_itl_ms",
-                                  "median_e2e_ms")}
+                                  "mean_itl_ms", "median_e2e_ms")}
         except Exception as e:  # noqa: BLE001
             print(f"serving bench skipped: {e}", file=sys.stderr)
 
-        # diffusion scenario — the REAL Z-Image architecture (parity-
-        # tested) at reduced depth with random weights: still a class
-        # probe, NOT comparable to the H100 real-checkpoint baseline
-        # (VERDICT r3 weak #3: no vs_baseline ratio for this)
+        # diffusion scenarios at REAL depth with explicit H100-baseline
+        # ratios (VERDICT r4 next-step #4)
         try:
             d = run_json(["bench_diffusion.py", "--scenario",
                           "zimage_real_t2i"])
             extra["diffusion_zimage_real_probe_e2e_ms"] = d["e2e_ms"]
             extra["diffusion_zimage_real_probe_step_ms"] = (
                 d["avg_denoise_step_ms"])
+            if "vs_h100_baseline" in d:
+                extra["diffusion_zimage_vs_h100"] = d["vs_h100_baseline"]
         except Exception as e:  # noqa: BLE001
             print(f"diffusion bench skipped: {e}", file=sys.stderr)
 
     print(
         json.dumps(
             {
-                "metric": "offline_output_throughput_llama3.2-1b"
+                "metric": f"offline_output_throughput_{name}"
                 + (f"_{args.quantization}" if args.quantization not in (None, "none") else "_bf16")
-                + ("_fp8kv" if args.kv_cache_dtype == "fp8_e4m3" else ""),
+                + ("_fp8kv" if (args.model == "8b" and (args.kv_cache_dtype or "fp8_e4m3") == "fp8_e4m3") else ""),
                 "value": round(tok_s, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),

@@ -73,9 +73,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-prompts", type=int, default=32)
     ap.add_argument("--input-len", type=int, default=128)
-    ap.add_argument("--output-len", type=int, default=64)
+    ap.add_argument("--output-len", type=int, default=256)
     ap.add_argument("--request-rate", type=float, default=0.0)  # 0 = all at once
     ap.add_argument("--attention-backend", default="auto")
+    ap.add_argument("--decode-horizon", type=int, default=16)
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
@@ -94,6 +95,9 @@ def main():
         max_total_tokens=32768 if not args.tiny else 4096,
         attention_backend=args.attention_backend,
         context_length=args.input_len + args.output_len + 64,
+        max_running_requests=args.num_prompts,
+        decode_horizon=args.decode_horizon,
+        quantization=None if args.tiny else "w4a16",
     )
     eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())
     rng = np.random.default_rng(1)
@@ -103,23 +107,25 @@ def main():
     ]
     out_lens = [args.output_len] * args.num_prompts
     vocab = cfg.vocab_size
-    # warmup compiles: run the FULL load shape once so every (bs, bucket)
-    # executable the timed run can hit is already built (a 2-prompt/4-token
-    # warmup left bs<=32 decode buckets compiling inside timed requests —
-    # the r4 artifact's 16 s TTFTs were compile time, not queueing)
+    # Precompile the full executable lattice (decode buckets x horizons x
+    # page hints + prefill buckets) — the CUDA-graph-capture analog. The
+    # r4 artifact's 6.1 s median TTFT was decode buckets (8/16) compiling
+    # INSIDE the timed run; a load-shaped warmup can never cover every
+    # batch size the arrival process wanders through, so enumerate them.
+    t0 = time.perf_counter()
+    info = eng.warmup_compile(
+        max_bs=args.num_prompts,
+        max_ctx=args.input_len + args.output_len + 64,
+    )
+    print(f"warmup_compile: {info}", file=sys.stderr)
+    # one real generate to warm the radix/detok paths
     eng.generate(
-        input_ids=[[(t + 1) % vocab for t in p] for p in prompts],
+        input_ids=[[(t + 1) % vocab for t in p] for p in prompts[:2]],
         sampling_params=SamplingParams(
             temperature=0.0, max_new_tokens=args.output_len,
             ignore_eos=True),
     )
-    for bs in (1, 2, 4):
-        eng.generate(
-            input_ids=[[(t + 3) % vocab for t in p] for p in prompts[:bs]],
-            sampling_params=SamplingParams(
-                temperature=0.0, max_new_tokens=args.output_len,
-                ignore_eos=True),
-        )
+    print(f"warmup total: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     results, wall = asyncio.run(
         run_load(eng, prompts, out_lens, args.request_rate, cfg.vocab_size)
     )

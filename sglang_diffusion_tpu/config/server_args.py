@@ -93,8 +93,10 @@ class ServerArgs:
     # pipeline consecutive fused decode calls: issue call N+1 from call N's
     # device-resident last tokens before fetching N's results (hides the
     # host roundtrip; the full cross-call analog of the reference's
-    # overlap scheduler). Opt-in.
-    enable_decode_pipelining: bool = False
+    # overlap scheduler). Default ON since round 5 — output-identical
+    # (tests/test_decode_pipelining.py) and the serving loop streams
+    # per-window via the engine stream_hook.
+    enable_decode_pipelining: bool = True
     # decode batch-size buckets for the compiled decode step (analog of CUDA
     # graph batch sizes, reference srt/model_executor/cuda_graph_runner.py:434)
     decode_bs_buckets: List[int] = field(default_factory=lambda: [8, 16, 32, 64, 128, 256])

@@ -204,6 +204,16 @@ class Engine:
         # srt/managers/session_controller.py; prefix reuse via radix cache)
         self._sessions: Dict[str, List[int]] = {}
 
+        # serving hooks (set by server/engine_loop.py): intake_hook returns
+        # True when requests are queued OUTSIDE the scheduler (the asyncio
+        # intake queue) so the pipelined decode loop yields for prefill
+        # promptly; stream_hook flushes per-window deltas/finishes to
+        # clients without waiting for step() to return (reference analog:
+        # the detokenizer->tokenizer-manager streaming path running
+        # concurrently with the scheduler loop)
+        self.intake_hook = None
+        self.stream_hook = None
+
         # LoRA adapters (reference: srt/lora/lora_manager.py)
         self.lora_manager = None
         if self.args.lora_paths:
@@ -736,8 +746,9 @@ class Engine:
     # ------------- cross-call decode pipelining -------------
     def _derive_next_decode_plan(self, plan):
         """The follow-on decode window: same requests, positions advanced
-        by the horizon. Returns None when pipelining must stop (a request
-        could finish, memory is tight, or new work arrived)."""
+        by the horizon. Returns None when pipelining must stop (memory is
+        tight, new work arrived, or every request will have finished by
+        the end of the in-flight window)."""
         import numpy as _np
 
         from sglang_diffusion_tpu.sched.scheduler import BatchPlan
@@ -746,11 +757,18 @@ class Engine:
         k = plan.horizon
         if self.scheduler.waiting or self.scheduler.chunked_req is not None:
             return None
-        for req in plan.reqs:
-            # one window is in flight (its tokens not yet in output_ids):
-            # the next window needs 2k of remaining budget
-            if req.remaining_new_tokens() < 2 * k or req.finished:
-                return None
+        if self.intake_hook is not None and self.intake_hook():
+            return None
+        # the in-flight window consumes k tokens of each budget; a next
+        # window is useful only if someone still has work after that
+        # (windows may overshoot a finishing request — overshoot rows are
+        # dropped host-side, see scheduler._decode_horizon)
+        if all(r.remaining_new_tokens() <= k or r.finished
+               for r in plan.reqs):
+            return None
+        cap = self.runner.max_pages_per_seq * self.args.page_size
+        if int(plan.positions[:, 0].max()) + 2 * k > cap:
+            return None
         # grow page lists to cover the next window (device ordering makes
         # reuse of any pages freed later safe — see disagg/ notes)
         for i, req in enumerate(plan.reqs):
@@ -790,7 +808,14 @@ class Engine:
 
     def _run_decode_pipelined(self, first_plan) -> List[Req]:
         """Pure-decode phase with one fused call always in flight
-        (reference analog: event_loop_overlap, scheduler.py:1181)."""
+        (reference analog: event_loop_overlap, scheduler.py:1181).
+
+        The loop streams deltas after every window (stream_hook) and, when
+        a request finishes mid-phase, REBUILDS the batch from the
+        scheduler's running set and keeps pipelining instead of falling
+        back to the outer step loop — the batch-composition change costs
+        one host sync (the sampled tokens are already on host), not a
+        pipeline teardown."""
         import jax as _jax
 
         samp_np = self._samp_arrays(first_plan)
@@ -799,6 +824,12 @@ class Engine:
         cur_plan = first_plan
         inflight = None  # (plan, toks_dev, lps_dev)
         tokens0_dev = None
+
+        def flush(fin):
+            finished_total.extend(fin)
+            if self.stream_hook is not None:
+                self.stream_hook(fin)
+
         while True:
             issued = None
             if cur_plan is not None:
@@ -815,10 +846,11 @@ class Engine:
                     p_prev, t_np[:nb], l_np[:nb]
                 )
                 self._post_process(p_prev, fin)
-                finished_total.extend(fin)
+                flush(fin)
                 if fin:
-                    # drain the just-issued window: rows of finished reqs
-                    # are discarded by process_batch_result's finished-skip
+                    # batch composition changed: drain the just-issued
+                    # window (rows of finished reqs are discarded by
+                    # process_batch_result's finished-skip) ...
                     if issued is not None:
                         p_i, t_i, l_i = issued
                         t_np, l_np = _jax.device_get((t_i, l_i))
@@ -826,13 +858,69 @@ class Engine:
                             p_i, t_np[: len(p_i.reqs)], l_np[: len(p_i.reqs)]
                         )
                         self._post_process(p_i, fin2)
-                        finished_total.extend(fin2)
-                    return finished_total
+                        flush(fin2)
+                    # ... then rebuild from the survivors and continue
+                    # pipelining unless new work needs the outer loop
+                    if (
+                        not self.scheduler.running
+                        or self.scheduler.waiting
+                        or self.scheduler.chunked_req is not None
+                        or (self.intake_hook is not None and self.intake_hook())
+                    ):
+                        return finished_total
+                    cur_plan = self.scheduler._get_decode_batch()
+                    if cur_plan is None or cur_plan.horizon == 1:
+                        return finished_total
+                    samp_np = self._samp_arrays(cur_plan)
+                    samp, all_greedy = self.runner.build_samp(
+                        cur_plan, samp_np)
+                    inflight = None
+                    tokens0_dev = None
+                    continue
             if issued is None:
                 return finished_total
             inflight = issued
             tokens0_dev = issued[1][:, -1]  # device-resident last tokens
             cur_plan = self._derive_next_decode_plan(issued[0])
+
+    def warmup_compile(
+        self,
+        max_bs: Optional[int] = None,
+        max_ctx: Optional[int] = None,
+        prefill_bs=None,
+        include_stochastic: bool = False,
+    ) -> Dict[str, Any]:
+        """Precompile the serving executable lattice (decode buckets x
+        horizons x page hints + prefill buckets) so no XLA compile ever
+        lands inside a timed request (reference analog: CUDA-graph capture
+        at startup, model_runner.py:2121 init_device_graphs). With the
+        persistent compilation cache, re-runs cost ~1 s/executable."""
+        t0 = time.monotonic()
+        max_bs = max_bs or self.args.max_running_requests
+        max_ctx = max_ctx or self.runner.context_len
+        n_d = self.runner.warmup_decode_executables(
+            max_bs, max_ctx, include_stochastic=include_stochastic,
+        )
+        max_prefill = min(
+            self.args.chunked_prefill_size
+            if self.args.chunked_prefill_size > 0 else max_ctx,
+            self.args.max_prefill_tokens, max_ctx,
+        )
+        if prefill_bs is None:
+            # a waiting-queue burst can batch up to max_bs prompts into one
+            # prefill — cover every bs bucket (round 4's 6 s TTFT included
+            # a bs-8 prefill executable compiling mid-run)
+            from sglang_diffusion_tpu.utils.common import select_bucket
+
+            cap = select_bucket(self.runner.bs_buckets, max_bs)
+            prefill_bs = [b for b in self.runner.bs_buckets if b <= cap]
+        n_p = self.runner.warmup_prefill_executables(prefill_bs, max_prefill)
+        dt = time.monotonic() - t0
+        logger.info(
+            "warmup_compile: %d decode + %d prefill executables in %.1fs",
+            n_d, n_p, dt,
+        )
+        return {"decode": n_d, "prefill": n_p, "seconds": round(dt, 1)}
 
     def pop_stream_delta(self, rid: str) -> str:
         return self._pending_deltas.pop(rid, "")

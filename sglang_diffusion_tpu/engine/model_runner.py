@@ -97,19 +97,36 @@ class ModelRunner:
         )
 
         # ---- params ----
+        prequantized = False
         if params is None:
-            # One fused jit for the whole tree: per-leaf random.normal
-            # dispatches each cost a compile round trip over the remote-TPU
-            # tunnel (~49 s for a 1B model vs ~17 s fused, ~1 s from the
-            # persistent cache). Fall back to eager for models whose init
-            # is not traceable.
             key = jax.random.PRNGKey(args.random_seed)
-            try:
-                params = jax.jit(
-                    lambda k: self.model_cls.init_params(k, model_config, dtype)
-                )(key)
-            except Exception:  # noqa: BLE001 — non-jittable init path
-                params = self.model_cls.init_params(key, model_config, dtype)
+            if args.quantization in ("w4a16", "int8", "w8a8_int8", "fp8",
+                                     "awq", "gptq"):
+                # Large quantized models: materializing the full bf16 tree
+                # before quantizing can exceed HBM (an 8B model is ~16 GB
+                # bf16 on a 16 GB chip). When the bf16 estimate crowds the
+                # device, initialize leaf-by-leaf, quantizing each matmul
+                # weight as it is created (peak = one leaf, not the tree).
+                try:
+                    params = self._maybe_streaming_quantized_init(
+                        key, model_config, dtype)
+                    prequantized = params is not None
+                except Exception:  # noqa: BLE001 — fall back to dense init
+                    params = None
+            if params is None:
+                # One fused jit for the whole tree: per-leaf random.normal
+                # dispatches each cost a compile round trip over the
+                # remote-TPU tunnel (~49 s for a 1B model vs ~17 s fused,
+                # ~1 s from the persistent cache). Fall back to eager for
+                # models whose init is not traceable.
+                try:
+                    params = jax.jit(
+                        lambda k: self.model_cls.init_params(
+                            k, model_config, dtype)
+                    )(key)
+                except Exception:  # noqa: BLE001 — non-jittable init path
+                    params = self.model_cls.init_params(
+                        key, model_config, dtype)
         self.dp_attention = bool(
             args.enable_dp_attention and mesh_ctx.mesh.size > 1
         )
@@ -125,7 +142,8 @@ class ModelRunner:
                 quantize_params,
             )
 
-            params = quantize_params(params, args.quantization)
+            if not prequantized:
+                params = quantize_params(params, args.quantization)
             specs = quant_partition_specs(specs, args.quantization)
             logger.info("quantized weights: %s", args.quantization)
         self.pp_microbatches = (
@@ -433,6 +451,62 @@ class ModelRunner:
         self._fwd = fwd
         self._mm_step = None
         self._encode_images = None
+
+    def _maybe_streaming_quantized_init(self, key, model_config, dtype):
+        """Leaf-streaming random init with on-the-fly quantization, engaged
+        only when the dense bf16 tree would crowd HBM (est > 50% of the
+        device limit). Matmul leaves are created and quantized one at a
+        time so peak memory is one bf16 leaf + the quantized tree —
+        this is what lets an 8B-dim model (16 GB bf16) initialize as
+        W4A16 (~5 GB) on a 16 GB chip. Returns None when the dense path
+        is fine (small models keep exact init semantics)."""
+        from sglang_diffusion_tpu.quant.quantize import (
+            _QUANT_KEYS,
+            _quantize_leaf_fp8,
+            _quantize_leaf_int8,
+            _quantize_leaf_w4a16,
+        )
+
+        shapes = jax.eval_shape(
+            lambda k: self.model_cls.init_params(k, model_config, dtype),
+            key,
+        )
+        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        est = sum(int(np.prod(sd.shape)) * sd.dtype.itemsize
+                  for _, sd in flat)
+        try:
+            limit = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+        except Exception:  # noqa: BLE001 — CPU backend has no stats
+            limit = 0
+        if not limit or est < 0.5 * limit:
+            return None
+        logger.info(
+            "streaming quantized init: dense est %.1f GB > 50%% of "
+            "%.1f GB HBM", est / 1e9, limit / 1e9,
+        )
+        qfn = {"int8": _quantize_leaf_int8, "w8a8_int8": _quantize_leaf_int8,
+               "fp8": _quantize_leaf_fp8, "w4a16": _quantize_leaf_w4a16,
+               "awq": _quantize_leaf_w4a16,
+               "gptq": _quantize_leaf_w4a16}[self.args.quantization]
+
+        @functools.partial(jax.jit, static_argnames=("shape", "dt", "kind"))
+        def gen(k, shape, dt, kind):
+            if kind == "ones":  # norm gammas
+                return jnp.ones(shape, dt)
+            return (0.02 * jax.random.normal(k, shape, jnp.float32)).astype(dt)
+
+        leaves = []
+        for i, (path, sd) in enumerate(flat):
+            name = getattr(path[-1], "key", None) or str(path[-1])
+            sub = jax.random.fold_in(key, i)
+            kind = "ones" if len(sd.shape) <= 1 else "normal"
+            leaf = gen(sub, tuple(sd.shape), sd.dtype, kind)
+            if name in _QUANT_KEYS and len(sd.shape) >= 2:
+                qleaf = qfn(leaf)
+                leaf.delete()
+                leaf = qleaf
+            leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def _auto_kv_tokens(self) -> int:
         """Size the KV pool from free device memory (reference analog:
@@ -984,16 +1058,140 @@ class ModelRunner:
 
     # ------------- step execution -------------
     def _pages_hint_for(self, max_ctx: int) -> int:
-        """Static page bound for the pallas decode kernel: exact page
-        count for short contexts (no DMA waste), power-of-two beyond 8
-        pages (bounds the executable count as contexts grow)."""
+        """Static page bound for the pallas decode kernel: the power-of-two
+        cover of the batch's max page count. Power-of-two ALWAYS (round 5;
+        exact small hints multiplied the executable lattice and made decode
+        compiles land inside serving) — the kernel skips DMAs for pages
+        beyond each sequence's kv_len, so a loose hint costs VMEM scratch
+        but no HBM bandwidth."""
         need = max(1, cdiv(max_ctx, self.args.page_size))
-        if need > 8:
-            hint = 8
-            while hint < need:
-                hint *= 2
-            need = hint
-        return min(need, self.max_pages_per_seq)
+        hint = 1
+        while hint < need:
+            hint *= 2
+        return min(hint, self.max_pages_per_seq)
+
+    # ------------- executable warmup (CUDA-graph capture analog) -------------
+    def warmup_decode_executables(
+        self, max_bs: int, max_ctx: int, horizons=None,
+        include_stochastic: bool = False, progress_cb=None,
+    ) -> int:
+        """Precompile the fused-decode executable lattice so no decode
+        compile ever lands inside serving (reference analog: capturing
+        CUDA graphs for every batch size at startup,
+        cuda_graph_runner.py:673 — same upfront-cost philosophy). Dummy
+        batches write KV into reserved page 0. Returns #executables
+        visited (compiled or already cached)."""
+        from sglang_diffusion_tpu.sched.scheduler import BatchPlan
+
+        if self.args.disable_jit:
+            return 0
+        h_top = max(1, self.args.decode_horizon)
+        h_top = 1 << (h_top.bit_length() - 1)
+        horizons = sorted(set(horizons or {1, h_top}))
+        bs_cap = select_bucket(self.bs_buckets, max_bs)
+        bs_list = [b for b in self.bs_buckets if b <= bs_cap]
+        hints, h = [], 1
+        max_hint = self._pages_hint_for(max_ctx)
+        while h <= max_hint:
+            hints.append(min(h, self.max_pages_per_seq))
+            if h >= max_hint:
+                break
+            h *= 2
+        hints = sorted(set(hints))
+
+        class _Dummy:
+            rope_delta = 0
+            lora_slot = 0
+
+        n = 0
+        for bs in bs_list:
+            for hz in horizons:
+                for hint in hints:
+                    # positions such that kv_lens.max()+hz lands in `hint`
+                    # pages (step_key parity with real dispatches)
+                    pos = max(0, hint * self.args.page_size - hz - 1)
+                    plan = BatchPlan(
+                        kind="decode",
+                        reqs=[_Dummy()] * bs,
+                        token_ids=np.zeros((bs, 1), np.int32),
+                        positions=np.full((bs, 1), pos, np.int32),
+                        page_table=np.zeros(
+                            (bs, self.max_pages_per_seq), np.int32),
+                        kv_lens=np.full((bs,), pos + 1, np.int32),
+                        q_start=np.full((bs,), pos, np.int32),
+                        # all dummy rows write page 0's first slots
+                        slots=np.tile(np.arange(hz, dtype=np.int32),
+                                      (bs, 1)),
+                        logit_idx=np.zeros((bs,), np.int32),
+                        sample_mask=np.ones((bs,), bool),
+                        horizon=hz,
+                    )
+                    variants = [True] + ([False] if include_stochastic else [])
+                    for greedy in variants:
+                        samp_np = {
+                            "temperature": np.full(
+                                (bs,), 0.0 if greedy else 0.7, np.float32),
+                            "top_p": np.ones((bs,), np.float32),
+                            "top_k": np.full((bs,), -1, np.int32),
+                            "min_p": np.zeros((bs,), np.float32),
+                            "frequency_penalty": np.zeros((bs,), np.float32),
+                            "presence_penalty": np.zeros((bs,), np.float32),
+                            "seeds": np.full((bs,), -1, np.int32),
+                        }
+                        samp, all_greedy = self.build_samp(plan, samp_np)
+                        self.issue_decode(
+                            plan, samp, self.next_decode_key(), all_greedy,
+                            None, None,
+                        )
+                        n += 1
+                        if progress_cb is not None:
+                            progress_cb(n)
+        return n
+
+    def warmup_prefill_executables(
+        self, bs_list, max_tokens: int, progress_cb=None
+    ) -> int:
+        """Precompile prefill executables for the given batch sizes up to
+        the chunk-size token bucket."""
+        from sglang_diffusion_tpu.sched.scheduler import BatchPlan
+
+        if self.args.disable_jit:
+            return 0
+        lq_list = [t for t in LQ_BUCKETS
+                   if t <= select_bucket(LQ_BUCKETS, max_tokens)]
+        n = 0
+        for bs in sorted({select_bucket(self.bs_buckets, b)
+                          for b in bs_list}):
+            for lq in lq_list:
+                plan = BatchPlan(
+                    kind="prefill",
+                    reqs=[],
+                    token_ids=np.zeros((bs, lq), np.int32),
+                    positions=np.tile(np.arange(lq, dtype=np.int32), (bs, 1)),
+                    page_table=np.zeros(
+                        (bs, self.max_pages_per_seq), np.int32),
+                    kv_lens=np.full((bs,), lq, np.int32),
+                    q_start=np.zeros((bs,), np.int32),
+                    slots=np.tile(
+                        np.arange(lq, dtype=np.int32) % self.args.page_size,
+                        (bs, 1)),
+                    logit_idx=np.full((bs,), lq - 1, np.int32),
+                    sample_mask=np.ones((bs,), bool),
+                )
+                samp_np = {
+                    "temperature": np.zeros((bs,), np.float32),
+                    "top_p": np.ones((bs,), np.float32),
+                    "top_k": np.full((bs,), -1, np.int32),
+                    "min_p": np.zeros((bs,), np.float32),
+                    "frequency_penalty": np.zeros((bs,), np.float32),
+                    "presence_penalty": np.zeros((bs,), np.float32),
+                    "seeds": np.full((bs,), -1, np.int32),
+                }
+                self.run_batch(plan, samp_np)
+                n += 1
+                if progress_cb is not None:
+                    progress_cb(n)
+        return n
 
     def step_key(self, plan: BatchPlan) -> tuple:
         """Identity of the compiled executable a plan will dispatch to

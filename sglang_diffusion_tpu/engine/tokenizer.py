@@ -70,10 +70,18 @@ class IncrementalDetokenizer:
     def step(self, output_ids: List[int]) -> tuple:
         """Returns (new_text_delta, matched_stop_str_or_None, full_text)."""
         text = self.tokenizer.decode(output_ids)
-        # hold back a trailing replacement char (partial utf-8 / byte token)
+        # Hold back trailing replacement chars that may be a PARTIAL utf-8
+        # sequence still being produced — but at most 3 (the longest
+        # incomplete sequence is 3 continuation-pending bytes). Anything
+        # beyond that is genuinely invalid bytes and must stream out:
+        # unbounded stripping starved streaming entirely for byte-level
+        # models emitting non-ASCII runs (every delta came out empty and
+        # the text arrived in one burst at completion).
         stable = text
-        while stable.endswith("�"):
+        held = 0
+        while stable.endswith("�") and held < 3:
             stable = stable[:-1]
+            held += 1
         # stop-string scan over the full decoded text
         for s in self.stop_strs:
             idx = stable.find(s)

@@ -53,13 +53,22 @@ def _decode_kernel(
 ):
     i = pl.program_id(0)
 
+    # Per-page DMA skip: pages at or beyond a sequence's kv_len are never
+    # fetched, so a loose (power-of-two) PP hint costs no HBM bandwidth
+    # and short sequences in a mixed batch fetch only their own pages.
+    # Skipped pages leave stale/uninitialized VMEM, which the compute
+    # below zeroes row-wise before the PV dot (0 * NaN would poison it).
     def start_fetch(slot, blk):
         for g in range(G):
+            ln = len_ref[blk * G + g]
             for p in range(PP):
-                pid = pt_ref[blk * G + g, p]
-                pltpu.make_async_copy(
-                    kv_hbm.at[pid], kbuf.at[slot, g, p], sem.at[slot, g, p]
-                ).start()
+                @pl.when(p * S < ln)
+                def _():
+                    pid = pt_ref[blk * G + g, p]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[pid], kbuf.at[slot, g, p],
+                        sem.at[slot, g, p]
+                    ).start()
 
     @pl.when(i == 0)
     def _():
@@ -71,12 +80,26 @@ def _decode_kernel(
 
     slot = i % 2
     for g in range(G):
+        ln = len_ref[i * G + g]
         for p in range(PP):
-            pltpu.make_async_copy(
-                kv_hbm.at[pt_ref[i * G + g, p]],
-                kbuf.at[slot, g, p],
-                sem.at[slot, g, p],
-            ).wait()
+            @pl.when(p * S < ln)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm.at[pt_ref[i * G + g, p]],
+                    kbuf.at[slot, g, p],
+                    sem.at[slot, g, p],
+                ).wait()
+
+            # skipped page: zero the scratch tile. Stale/uninitialized
+            # VMEM could hold NaN bit patterns, and NaN survives the
+            # softmax's zero probabilities through the PV dot (0*NaN).
+            # A plain store lowers cleanly where a [ctx]-masked select
+            # does not ("changeBitwidth when minor tiling is not 128").
+            @pl.when(p * S >= ln)
+            def _():
+                kbuf[slot, g, p] = jnp.zeros(
+                    kbuf.shape[3:], kbuf.dtype
+                )
 
     # Block-diagonal Q trick: one [Hq, 2Hkv*D] x [2Hkv*D, CTX] dot scores
     # ALL kv heads at once. Row h' of Q_bd holds q[h'] in the column block
@@ -169,7 +192,7 @@ def decode_attention(
         grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec((G, hq, d), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((G, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=[
@@ -235,9 +258,9 @@ def write_kv_decode(
         grid=(1,),
         in_specs=[
             pl.BlockSpec((b, two_hkv, d), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((b,))],
     )
     out = pl.pallas_call(

@@ -464,13 +464,21 @@ class Scheduler:
 
     # ------- decode -------
     def _decode_horizon(self) -> int:
-        """Fused decode steps for the next call: long when the engine is in
-        pure-decode mode, short when prefill work is waiting (TTFT)."""
+        """Fused decode steps for the next call.
+
+        The horizon deliberately OVERSHOOTS requests that are about to
+        finish: tokens sampled past a stop/eos/max_new_tokens are dropped
+        host-side and their KV writes land in pages the request owns.
+        Clamping to min(remaining) would (a) let one nearly-done request
+        force every other request to single-token steps and (b) multiply
+        the compiled-executable set by every power of two — the round-4
+        online-serving TTFT collapse was decode buckets compiling inside
+        the timed run. Keeping h fixed means the executable lattice is
+        {1, decode_horizon} and can be precompiled at startup (the CUDA-
+        graph-capture analog, reference cuda_graph_runner.py:673)."""
         if not self.running:
             return 1
         h = max(1, self.args.decode_horizon)
-        if self.waiting or self.chunked_req is not None:
-            h = 1
         # speculative decoding replaces fused multi-token decode: the
         # drafter must see the history after EVERY accepted token
         if self.drafter is not None:
@@ -484,9 +492,11 @@ class Scheduler:
             for r in self.running
         ):
             h = 1
-        h = min(h, min(r.remaining_new_tokens() for r in self.running))
+        # never overshoot past the KV capacity of the page table
+        cap = self.max_pages_per_seq * self.page_size
+        room = min(cap - r.num_computed for r in self.running)
+        h = max(1, min(h, room))
         # round down to a power of two so the compiled-shape set stays small
-        h = max(1, h)
         return 1 << (h.bit_length() - 1)
 
     def _get_decode_batch(self) -> Optional[BatchPlan]:

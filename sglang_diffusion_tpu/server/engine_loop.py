@@ -30,6 +30,10 @@ class EngineLoop:
         self._wakeup = threading.Event()
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
+        # serving hooks: the pipelined decode loop yields for new arrivals
+        # and streams per-window instead of per-step() (round-5 online fix)
+        engine.intake_hook = lambda: not self._intake.empty()
+        engine.stream_hook = self._flush_streams
 
     def start(self, loop: asyncio.AbstractEventLoop) -> None:
         self.loop = loop
@@ -59,6 +63,22 @@ class EngineLoop:
             return
         self.loop.call_soon_threadsafe(q.put_nowait, event)
 
+    def _flush_streams(self, finished) -> None:
+        """Post pending deltas + completions to waiting asyncio handlers.
+        Runs on the engine thread; idempotent for completions (a finished
+        request's watcher is removed on first post, so the outer step loop
+        re-flushing the same request is a no-op)."""
+        for rid in list(self._watchers):
+            delta = self.engine.pop_stream_delta(rid)
+            if delta:
+                self._post(rid, {"type": "delta", "text": delta})
+        for req in finished:
+            if req.rid not in self._watchers:
+                continue
+            out = self.engine._build_output(req)
+            self._post(req.rid, {"type": "done", "output": out})
+            self._watchers.pop(req.rid, None)
+
     def _run(self) -> None:
         logger.info("engine loop thread started")
         while not self._stop:
@@ -82,13 +102,5 @@ class EngineLoop:
                 for rid in list(self._watchers):
                     self._post(rid, {"type": "error", "error": str(e)})
                 continue
-            # stream deltas
-            for rid in list(self._watchers):
-                delta = self.engine.pop_stream_delta(rid)
-                if delta:
-                    self._post(rid, {"type": "delta", "text": delta})
-            for req in finished:
-                out = self.engine._build_output(req)
-                self._post(req.rid, {"type": "done", "output": out})
-                self._watchers.pop(req.rid, None)
+            self._flush_streams(finished)
         logger.info("engine loop thread stopped")
