@@ -226,7 +226,7 @@ def run_llm_bench(cfg, args, kv_cache_dtype, label):
     kv_bytes_per_tok = (
         cfg.num_hidden_layers * 2 * cfg.num_key_value_heads
         * cfg.actual_head_dim
-        * (1 if kv_cache_dtype == "fp8_e4m3" else 2)
+        * (1 if kv_cache_dtype.startswith("fp8") else 2)
     )
     avg_ctx = args.input_len + args.output_len / 2
     kv_read = args.num_prompts * avg_ctx * kv_bytes_per_tok

@@ -30,7 +30,7 @@ class ServerArgs:
     trust_remote_code: bool = False
     context_length: Optional[int] = None  # override model's max context
     dtype: str = "bfloat16"  # model compute dtype
-    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | fp8_e4m3 | fp8_e5m2
     quantization: Optional[str] = None  # None | fp8 | int8 | awq | gptq
     random_seed: int = 0
 
@@ -149,6 +149,11 @@ class ServerArgs:
     # EAGLE tree drafting: keep the top-K first-step candidates as sibling
     # branches in the verify tree (1 = chain drafting)
     speculative_eagle_topk: int = 1
+    # fused multi-round spec decode (spec/fused_eagle.py): draft+verify+
+    # accept R rounds per device dispatch, pipelined across calls
+    # (reference analog: overlap-capable eagle_worker_v2.py). 0 = auto
+    # (decode_horizon // (k+1)). Requires enable_decode_pipelining.
+    speculative_fused_rounds: int = 0
 
     # ---- LoRA ----
     lora_paths: List[str] = field(default_factory=list)
@@ -171,7 +176,7 @@ class ServerArgs:
             ) * self.page_size
         if self.schedule_policy not in ("lpm", "fcfs", "lof", "random"):
             raise ValueError(f"unknown schedule_policy {self.schedule_policy}")
-        if self.kv_cache_dtype not in ("auto", "bfloat16", "fp8_e4m3"):
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "fp8_e4m3", "fp8_e5m2"):
             raise ValueError(f"unknown kv_cache_dtype {self.kv_cache_dtype}")
         self.decode_bs_buckets = sorted(set(self.decode_bs_buckets))
         self.prefill_token_buckets = sorted(set(self.prefill_token_buckets))

@@ -39,6 +39,10 @@ def _kv_dtype(args: ServerArgs):
         return jnp.bfloat16
     if args.kv_cache_dtype == "fp8_e4m3":
         return jnp.float8_e4m3fn
+    if args.kv_cache_dtype == "fp8_e5m2":
+        # e5m2 dequantizes to bf16 with a pure byte shift (it IS bf16's
+        # top byte) — the cheapest fp8 KV path on TPU
+        return jnp.float8_e5m2
     raise ValueError(args.kv_cache_dtype)
 
 
@@ -522,7 +526,7 @@ class ModelRunner:
             self.cfg.num_hidden_layers
             * self.cfg.kv_cache_heads
             * self.cfg.kv_cache_head_dim
-            * (1 if self.args.kv_cache_dtype == "fp8_e4m3" else 2)
+            * (1 if self.args.kv_cache_dtype.startswith("fp8") else 2)
         )
         if budget <= 0:
             return 65536  # CPU/test default

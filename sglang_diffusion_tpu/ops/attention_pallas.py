@@ -74,13 +74,16 @@ def paged_attention(
         and softcap is None
         and kv_pages_hint is not None
         and kv_pages_hint <= page_table.shape[1]
-        and kv_cache.dtype == jnp.bfloat16
+        and kv_cache.dtype in (jnp.bfloat16, jnp.float8_e4m3fn,
+                               jnp.float8_e5m2)
         and hq % (two_hkv // 2) == 0
     ):
         # cross-sequence batched decode kernel: G sequences per grid step,
-        # DMA-saturating (see ops/decode_pallas.py). fp8 caches stay on the
-        # RPA path — Mosaic's f8->bf16 conversion is ~35 ms/step at bs=256,
-        # 5x the cost of streaming the bf16 bytes (round-4 microbench).
+        # DMA-saturating (see ops/decode_pallas.py). fp8 caches dequantize
+        # in-kernel with integer bit math (decode_pallas._to_bf16) —
+        # Mosaic's native f8->bf16 convert is ~32 ms/step at bs=256, 6x
+        # the whole bf16 kernel, while the bit-twiddle path keeps fp8's
+        # halved DMA bytes a win.
         from sglang_diffusion_tpu.ops.decode_pallas import decode_attention
 
         # largest G whose double-buffered page scratch fits ~12 MB VMEM

@@ -30,6 +30,44 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _to_bf16(x):
+    """Upcast a KV tile to bf16 for the MXU dots.
+
+    Mosaic's native f8->bf16 convert costs ~32 ms per bs-256 decode step
+    (6x the whole bf16 kernel), so fp8 caches are dequantized with integer
+    bit math: rebias the fp8 exponent into bf16's 8-bit field and place
+    the mantissa below it. Subnormals are reconstructed arithmetically
+    (mant * 2^(1-bias-mbits) — exact in bf16, the mantissa is <= 3 bits).
+    Bit-exact vs jax's own convert over the full code space
+    (tests/test_decode_pallas.py::test_to_bf16_bit_exact).
+    """
+    if x.dtype == jnp.bfloat16:
+        return x
+    if x.dtype == jnp.float8_e5m2:
+        # e5m2 IS fp16's top byte: widen + shl 8 + bitcast to f16, then one
+        # native f16->bf16 convert (Mosaic converts f16 fast; it is only
+        # the f8 conversions that fall off the fast path)
+        u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.uint16)
+        return jax.lax.bitcast_convert_type(
+            u << 8, jnp.float16).astype(jnp.bfloat16)
+    if x.dtype == jnp.float8_e4m3fn:
+        mbits, bias = (3, 7) if x.dtype == jnp.float8_e4m3fn else (2, 15)
+        u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+        sign = (u & 0x80) << 8
+        exp = (u >> mbits) & ((1 << (7 - mbits)) - 1)
+        mant = u & ((1 << mbits) - 1)
+        normal = jax.lax.bitcast_convert_type(
+            (sign | ((exp + (127 - bias)) << 7) | (mant << (7 - mbits))
+             ).astype(jnp.uint16),
+            jnp.bfloat16,
+        )
+        sub = mant.astype(jnp.bfloat16) * jnp.bfloat16(
+            2.0 ** (1 - bias - mbits))
+        sub = jnp.where(sign != 0, -sub, sub)
+        return jnp.where(exp > 0, normal, sub)
+    return x.astype(jnp.bfloat16)
+
+
 def _decode_kernel(
     # scalar prefetch
     pt_ref,   # [B, PP] int32 page ids (already layer-offset)
@@ -115,8 +153,7 @@ def _decode_kernel(
     for g in range(G):
         ln = len_ref[i * G + g]
         valid = pos < ln  # [1, CTX]
-        kvb = kbuf[slot, g].reshape(ctx, 2 * hkv * kbuf.shape[-1]).astype(
-            jnp.bfloat16)
+        kvb = _to_bf16(kbuf[slot, g].reshape(ctx, 2 * hkv * kbuf.shape[-1]))
         d = kbuf.shape[-1]
         wide = 2 * hkv * d
         row = jax.lax.broadcasted_iota(jnp.int32, (hq, wide), 0)

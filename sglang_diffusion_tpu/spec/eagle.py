@@ -162,7 +162,10 @@ class EagleDrafter:
             if self.cfg.gemma_style else 1.0
 
     # ---------------- compiled draft step ----------------
-    def _build(self):
+    def closures(self):
+        """Reusable pieces for the draft head: (fuse, head_logits,
+        layer_body). Shared by the per-round draft_fn and the fused
+        multi-round spec step (spec/fused_eagle.py)."""
         import dataclasses
 
         from sglang_diffusion_tpu.models.llama import LlamaFamily
@@ -170,7 +173,6 @@ class EagleDrafter:
         cfg1 = dataclasses.replace(self.cfg, num_hidden_layers=1)
         layer_body = LlamaFamily.make_layer_body(cfg1, self.runner._attn_fn)
         eps = self.cfg.rms_norm_eps
-        k_steps = self.k
         tie = self.cfg.tie_word_embeddings
 
         def embed(tparams, toks):
@@ -202,6 +204,12 @@ class EagleDrafter:
                                preferred_element_type=jnp.float32)
             # lm_head may be a quantized leaf (shared with the target)
             return dense_maybe_quantized(g, tparams["lm_head"])
+
+        return fuse, head_logits, layer_body
+
+    def _build(self):
+        fuse, head_logits, layer_body = self.closures()
+        k_steps = self.k
 
         def head(tparams, dparams, g):  # g [B, E] -> token ids [B]
             return jnp.argmax(

@@ -57,3 +57,32 @@ def test_decode_xseq_gqa_group1():
     got = decode_attention(q, kv, 1, pt, lens, 0.09,
                            pages_hint=2, group_size=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+@pytest.mark.parametrize("fp8", [jnp.float8_e4m3fn, jnp.float8_e5m2])
+def test_decode_xseq_fp8_dequant_matches_xla(fp8):
+    # fp8 caches dequantize in-kernel via integer bit math
+    # (decode_pallas._to_bf16); the XLA reference upcasts natively — the
+    # bit-twiddle must agree exactly (subnormals included for e4m3)
+    q, kv, pt, lens = _setup(B=6, PPS=4, S=16, HKV=4, D=128, HQ=8, seed=3)
+    kv8 = jnp.asarray(kv, fp8)
+    want = attention_xla.paged_attention(
+        q, kv8, 1, pt, lens, lens - 1, 0.09)
+    got = decode_attention(q, kv8, 1, pt, lens, 0.09,
+                           pages_hint=4, group_size=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
+
+
+def test_to_bf16_bit_exact():
+    # the integer dequant must match jax's own fp8->bf16 convert bit-for-
+    # bit over the full 256-value code space (NaN codes excluded — the
+    # KV pool never stores NaN)
+    from sglang_diffusion_tpu.ops.decode_pallas import _to_bf16
+
+    for dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        codes = np.arange(256, dtype=np.uint8)
+        vals = jax.lax.bitcast_convert_type(jnp.asarray(codes), dt)
+        ref = np.asarray(vals.astype(jnp.bfloat16), np.float32)
+        got = np.asarray(_to_bf16(vals.reshape(16, 16)), np.float32).ravel()
+        mask = np.isfinite(ref)  # skip NaN/inf codes
+        np.testing.assert_array_equal(got[mask], ref[mask])

@@ -172,8 +172,12 @@ def test_eagle_oracle_acceptance():
     can flip on near-ties in a random-weight model (the reference has the
     same property unless batch-invariant ops are enabled,
     srt/batch_invariant_ops/)."""
+    # pin the per-round path: the fused phase (spec/fused_eagle.py) drafts
+    # on device and never calls propose_all, so the oracle monkeypatch
+    # below would not see it
     eng = _make_engine(
-        speculative_algorithm="eagle", speculative_num_draft_tokens=3
+        speculative_algorithm="eagle", speculative_num_draft_tokens=3,
+        enable_decode_pipelining=False,
     )
     ref = _make_engine()
     sp = SamplingParams(max_new_tokens=16, temperature=0.0)

@@ -27,7 +27,7 @@ def main():
     ctx = 200
     PPH = 4  # pages hint (4*64 = 256 >= ctx)
     kv_dtype = jnp.float8_e4m3fn if len(sys.argv) < 2 else {
-        "fp8": jnp.float8_e4m3fn, "bf16": jnp.bfloat16, "int8": jnp.int8}[sys.argv[1]]
+        "fp8": jnp.float8_e4m3fn, "e5m2": jnp.float8_e5m2, "bf16": jnp.bfloat16, "int8": jnp.int8}[sys.argv[1]]
 
     rng = np.random.default_rng(0)
     if kv_dtype == jnp.int8:
