@@ -74,6 +74,40 @@ SCENARIOS = {
                   num_attention_heads=24, joint_attention_dim=1024,
                   in_channels=64, out_channels=16),
     ),
+    # ---- FULL-DEPTH scenarios: real architecture dims at the baseline
+    # resolution, random weights. Step time IS comparable to the H100
+    # perf_baselines.json per-step numbers (same math per step), so these
+    # emit an explicit vs_h100_baseline ratio (h100_step/our_step; > 1
+    # means faster than the H100 CI pool). e2e is NOT compared (no real
+    # text encoder run in the zimage leg).
+    # Z-Image-Turbo true dims (reference configs/models/dits/zimage.py:
+    # dim 3840, 30 layers + 2/2 refiners, 30 heads, cap 2560), 1024x1024,
+    # 9 steps, no CFG; H100 avg 83.75 ms/step (zimage_image_t2i).
+    "zimage_full_t2i": dict(
+        family="zimage", height=1024, width=1024, steps=9,
+        h100_step_ms=83.75,
+        zimage=dict(dim=3840, num_layers=30, n_refiner_layers=2,
+                    num_attention_heads=30, n_kv_heads=30,
+                    cap_feat_dim=2560, axes_dims=(32, 48, 48),
+                    axes_lens=(1024, 512, 512)),
+    ),
+    # Wan2.1-T2V-1.3B true config (WanConfig defaults) at the baseline
+    # workload: 480x832, 81 frames, CFG 3.0 (two DiT passes per step);
+    # 10 of the 50 steps (per-step time is steady after step 0, see the
+    # reference's denoise_step_ms trace); H100 median 247.8 ms/step.
+    "wan2_1_t2v_full": dict(
+        family="wan", height=480, width=832, steps=10, frames=81,
+        guidance=3.0, h100_step_ms=247.8, wan=dict(),
+    ),
+    # Self-forcing causal DMD (diffusion/causal_wan.py; reference analog:
+    # causal_denoising.py + causal_wanvideo): full Wan-1.3B dims,
+    # blockwise autoregressive frames with a growing KV context, 3 DMD
+    # steps per block (Self-Forcing defaults). No direct H100 baseline
+    # row exists for the causal stage; times reported standalone.
+    "self_forcing_wan_t2v": dict(
+        family="causal_wan", height=480, width=832, frames=12,
+        steps=3, frames_per_block=3, dmd_steps=[999, 757, 522], wan=dict(),
+    ),
 }
 
 
@@ -85,6 +119,8 @@ def main():
     args = ap.parse_args()
     sc = SCENARIOS[args.scenario]
     steps = args.steps or sc["steps"]
+    if args.guidance == 1.0 and sc.get("guidance"):
+        args.guidance = sc["guidance"]
 
     from sglang_diffusion_tpu.diffusion.generator import DiffGenerator
 
@@ -214,13 +250,70 @@ def main():
         out = denoise(params, lat, cap, sigmas)
         _np.asarray(jax.device_get(out[0, 0, 0, :1].astype(jnp.float32)))
         e2e = (_t.time() - t0) * 1000
-        print(json.dumps({
+        rec = {
             "metric": f"diffusion_{args.scenario}",
             "e2e_ms": round(e2e, 1),
             "avg_denoise_step_ms": round(e2e / steps, 1),
             "steps": steps, "height": sc["height"], "width": sc["width"],
-            "note": "REAL zimage arch, reduced depth, random weights, "
-                    "denoise only (no VAE)",
+            "note": "REAL zimage arch, random weights, denoise only (no VAE)",
+        }
+        if sc.get("h100_step_ms"):
+            rec["h100_step_ms"] = sc["h100_step_ms"]
+            rec["vs_h100_baseline"] = round(
+                sc["h100_step_ms"] / (e2e / steps), 3)
+        print(json.dumps(rec))
+        return
+    elif sc.get("family") == "causal_wan":
+        import time as _t
+
+        import numpy as _np
+
+        import jax
+        from sglang_diffusion_tpu.diffusion.causal_wan import (
+            generate_causal_video,
+        )
+        from sglang_diffusion_tpu.diffusion.models.wan import (
+            WanConfig,
+            WanDiT,
+        )
+
+        wcfg = WanConfig(**sc["wan"])
+        params = jax.jit(
+            lambda k: WanDiT.init_params(k, wcfg, jnp.bfloat16)
+        )(__import__("jax").random.PRNGKey(0))
+        fr = sc["frames"]
+        hl, wl = sc["height"] // 8, sc["width"] // 8
+        rng = _np.random.default_rng(0)
+        lat = jnp.asarray(
+            rng.standard_normal((1, fr, hl, wl, wcfg.in_channels)),
+            jnp.float32)
+        txt = jnp.asarray(rng.standard_normal((1, 128, wcfg.text_dim)),
+                          jnp.bfloat16)
+        cache = {}
+        kw = dict(dmd_steps=sc["dmd_steps"],
+                  num_frames_per_block=sc["frames_per_block"],
+                  _compiled_cache=cache)
+        t0 = _t.time()
+        out = generate_causal_video(params, wcfg, lat, txt,
+                                    key=jax.random.PRNGKey(1), **kw)
+        _np.asarray(jax.device_get(out[0, 0, 0, 0, :1].astype(jnp.float32)))
+        print(f"warmup: {_t.time()-t0:.1f}s", file=sys.stderr)
+        t0 = _t.time()
+        out = generate_causal_video(params, wcfg, lat, txt,
+                                    key=jax.random.PRNGKey(2), **kw)
+        _np.asarray(jax.device_get(out[0, 0, 0, 0, :1].astype(jnp.float32)))
+        e2e = (_t.time() - t0) * 1000
+        n_blocks = fr // sc["frames_per_block"]
+        n_fwd = n_blocks * (len(sc["dmd_steps"]) + 1)  # + context pass
+        print(json.dumps({
+            "metric": f"diffusion_{args.scenario}",
+            "e2e_ms": round(e2e, 1),
+            "avg_block_ms": round(e2e / n_blocks, 1),
+            "avg_forward_ms": round(e2e / n_fwd, 1),
+            "blocks": n_blocks, "dmd_steps": sc["dmd_steps"],
+            "frames": fr, "height": sc["height"], "width": sc["width"],
+            "note": "self-forcing causal DMD, full Wan-1.3B dims, random "
+                    "weights, denoise only (no VAE)",
         }))
         return
     elif sc.get("family") == "wan":
@@ -273,20 +366,21 @@ def main():
         **extra_kw,
     )
     mi = out["meta_info"]
-    print(
-        json.dumps(
-            {
-                "metric": f"diffusion_{args.scenario}",
-                "e2e_ms": round(1000 * mi["e2e_s"], 1),
-                "avg_denoise_step_ms": round(mi["avg_denoise_step_ms"], 1),
-                "stage_ms": {
-                    k: round(1000 * v, 1) for k, v in mi["stage_timings"].items()
-                },
-                "steps": steps,
-                "resolution": f"{sc['height']}x{sc['width']}",
-            }
-        )
-    )
+    rec = {
+        "metric": f"diffusion_{args.scenario}",
+        "e2e_ms": round(1000 * mi["e2e_s"], 1),
+        "avg_denoise_step_ms": round(mi["avg_denoise_step_ms"], 1),
+        "stage_ms": {
+            k: round(1000 * v, 1) for k, v in mi["stage_timings"].items()
+        },
+        "steps": steps,
+        "resolution": f"{sc['height']}x{sc['width']}",
+    }
+    if sc.get("h100_step_ms"):
+        rec["h100_step_ms"] = sc["h100_step_ms"]
+        rec["vs_h100_baseline"] = round(
+            sc["h100_step_ms"] / mi["avg_denoise_step_ms"], 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
