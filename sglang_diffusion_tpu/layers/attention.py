@@ -89,6 +89,51 @@ def get_attention_backend(name: str) -> AttentionFn:
             )
 
         return _sparse_backend
+    if name.startswith("nsa"):
+        # "nsa[:topk]": NSA-style top-k page-sparse PREFILL (reference:
+        # srt/layers/attention/nsa_backend.py:85). Long prefill chunks
+        # route through ops/nsa.nsa_sparse_prefill with q-block top-k page
+        # selection; decode and special cases (windows, sinks, tree masks)
+        # fall back to dense. At the backend boundary the selection score
+        # is the landmark form (mean-pooled page keys against mean query
+        # heads) — the LEARNED indexer + fp8 index-key cache live in
+        # ops/nsa.py (index_scores/quantize_index_keys) for model-level
+        # wiring, mirroring how the reference's Indexer is a DeepSeek-V3.2
+        # model module, not a backend property.
+        topk = int(name.split(":")[1]) if ":" in name else 16
+
+        def _nsa_backend(q, kv_cache, layer_idx, meta: AttentionMetadata,
+                         sm_scale: float, window=None, softcap=None,
+                         sinks=None):
+            t = q.shape[1]
+            if (
+                t < 1024
+                or window is not None
+                or softcap is not None
+                or sinks is not None
+                or meta.tree_mask is not None
+            ):
+                return _xla_backend(q, kv_cache, layer_idx, meta, sm_scale,
+                                    window, softcap, sinks)
+            from sglang_diffusion_tpu.ops.attention_xla import _gather_pages
+            from sglang_diffusion_tpu.ops.nsa import nsa_sparse_prefill
+
+            kp, vp = _gather_pages(kv_cache, layer_idx, meta.page_table)
+            b, pp, s_pg, hkv, d = kp.shape
+            k = kp.reshape(b, pp * s_pg, hkv, d)
+            v = vp.reshape(b, pp * s_pg, hkv, d)
+            # landmark page scores: mean query head x per-page mean key
+            qm = q.mean(axis=2)  # [B, Tq, D]
+            pk = kp.mean(axis=(2, 3))  # [B, PP, D]
+            scores = jnp.einsum(
+                "btd,bpd->btp", qm.astype(jnp.bfloat16),
+                pk.astype(jnp.bfloat16)).astype(jnp.float32)
+            return nsa_sparse_prefill(
+                q, k, v, scores, sm_scale, page=s_pg, topk=topk,
+                q_start=meta.q_start_pos, kv_len=meta.kv_lens,
+            )
+
+        return _nsa_backend
     if name not in _BACKENDS:
         raise KeyError(f"unknown attention backend {name}; have {list(_BACKENDS)}")
     return _BACKENDS[name]
