@@ -136,6 +136,9 @@ def load_hf_params(
         elif tf == "conv":
             # patch-conv weight [E, C, p, p] -> dense [C*p*p, E]
             w = np.ascontiguousarray(w.reshape(w.shape[0], -1).T)
+        elif tf == "conv2d_hwio":
+            # conv2d weight [O, I, kh, kw] -> HWIO [kh, kw, I, O]
+            w = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
         return w
 
     for path, (tmpl, tf) in wmap.items():

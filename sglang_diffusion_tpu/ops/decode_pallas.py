@@ -43,16 +43,9 @@ def _to_bf16(x):
     """
     if x.dtype == jnp.bfloat16:
         return x
-    if x.dtype == jnp.float8_e5m2:
-        # e5m2 IS fp16's top byte: widen + shl 8 + bitcast to f16, then
-        # native f16->f32->bf16 converts (Mosaic has no direct f16->bf16
-        # cast; it is only the f8 conversions that fall off the fast path)
-        # shift in int32 (Mosaic cannot legalize 16-bit shli), then narrow
-        u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
-        f16 = jax.lax.bitcast_convert_type(
-            (u << 8).astype(jnp.uint16), jnp.float16)
-        return f16.astype(jnp.float32).astype(jnp.bfloat16)
-    if x.dtype == jnp.float8_e4m3fn:
+    if x.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # (an e5m2-as-fp16-top-byte shortcut would need a u16->f16 vreg
+        # bitcast, which Mosaic rejects; the integer rebias below lowers)
         mbits, bias = (3, 7) if x.dtype == jnp.float8_e4m3fn else (2, 15)
         u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
         sign = (u & 0x80) << 8
