@@ -87,6 +87,19 @@ def main():
     from sglang_diffusion_tpu.engine.tokenizer import ByteTokenizer
     from sglang_diffusion_tpu.sampling.params import SamplingParams
 
+    class BenchByteTokenizer(ByteTokenizer):
+        """Random-weight models sample ids over the whole vocab; map every
+        id onto a latin-1 byte so each token yields a text delta and
+        TTFT/ITL measure real streaming-event delivery (ByteTokenizer
+        proper drops ids >= 256 — with random weights that starved the
+        delta stream entirely and TTFT degenerated to completion time,
+        the r4 'burst' artifact)."""
+
+        def decode(self, ids):
+            return bytes(
+                i % 256 for i in ids if i not in (self.BOS, self.EOS)
+            ).decode("latin-1")
+
     cfg = ModelConfig.tiny_llama() if args.tiny else llama32_1b_config()
     sargs = ServerArgs(
         model_path="",
@@ -99,7 +112,8 @@ def main():
         decode_horizon=args.decode_horizon,
         quantization=None if args.tiny else "w4a16",
     )
-    eng = Engine(server_args=sargs, model_config=cfg, tokenizer=ByteTokenizer())
+    eng = Engine(server_args=sargs, model_config=cfg,
+                 tokenizer=BenchByteTokenizer())
     rng = np.random.default_rng(1)
     prompts = [
         rng.integers(0, cfg.vocab_size, size=(args.input_len,)).tolist()

@@ -1094,11 +1094,15 @@ class ModelRunner:
         horizons = sorted(set(horizons or {1, h_top}))
         bs_cap = select_bucket(self.bs_buckets, max_bs)
         bs_list = [b for b in self.bs_buckets if b <= bs_cap]
+        # hint ladder: every value _pages_hint_for can produce up to the
+        # serving context — powers of two AND the max_pages_per_seq clamp
+        # (round 5 fix: `while h <= max_hint` skipped the clamped top
+        # hint, so steady-state decode compiled INSIDE serving)
         hints, h = [], 1
         max_hint = self._pages_hint_for(max_ctx)
-        while h <= max_hint:
+        while True:
             hints.append(min(h, self.max_pages_per_seq))
-            if h >= max_hint:
+            if hints[-1] >= max_hint:
                 break
             h *= 2
         hints = sorted(set(hints))
@@ -1143,9 +1147,16 @@ class ModelRunner:
                             "seeds": np.full((bs,), -1, np.int32),
                         }
                         samp, all_greedy = self.build_samp(plan, samp_np)
-                        self.issue_decode(
+                        toks, _ = self.issue_decode(
                             plan, samp, self.next_decode_key(), all_greedy,
                             None, None,
+                        )
+                        # chain one window from device-resident tokens so
+                        # the pipelined path's tokens0_dev flavor (if its
+                        # aval keys a distinct executable) is warmed too
+                        self.issue_decode(
+                            plan, samp, self.next_decode_key(), all_greedy,
+                            None, None, tokens0_dev=toks[:, -1],
                         )
                         n += 1
                         if progress_cb is not None:
