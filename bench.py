@@ -361,16 +361,16 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"serving bench skipped: {e}", file=sys.stderr)
 
-        # diffusion scenarios at REAL depth with explicit H100-baseline
-        # ratios (VERDICT r4 next-step #4)
+        # diffusion at REAL depth/resolution with the explicit H100
+        # baseline ratio (VERDICT r4 next-step #4): full Z-Image-Turbo
+        # dims (3840 x 30 layers + refiners) at 1024x1024, 9 steps
         try:
             d = run_json(["bench_diffusion.py", "--scenario",
-                          "zimage_real_t2i"])
-            extra["diffusion_zimage_real_probe_e2e_ms"] = d["e2e_ms"]
-            extra["diffusion_zimage_real_probe_step_ms"] = (
+                          "zimage_full_t2i"], timeout=3000)
+            extra["diffusion_zimage_full_e2e_ms"] = d["e2e_ms"]
+            extra["diffusion_zimage_full_step_ms"] = (
                 d["avg_denoise_step_ms"])
-            if "vs_h100_baseline" in d:
-                extra["diffusion_zimage_vs_h100"] = d["vs_h100_baseline"]
+            extra["diffusion_zimage_vs_h100"] = d.get("vs_h100_baseline")
         except Exception as e:  # noqa: BLE001
             print(f"diffusion bench skipped: {e}", file=sys.stderr)
 

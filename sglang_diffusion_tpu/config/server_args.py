@@ -47,6 +47,13 @@ class ServerArgs:
     # FFNs stay tensor/expert-sharded; GSPMD inserts the gather/scatter
     # the reference hand-codes in layers/communicator.py
     enable_dp_attention: bool = False
+    # attention-TP subgroup under attn-DP (reference: parallel_state.py:1496
+    # attn-tp groups): with enable_dp_attention, shard attention over
+    # attn_tp_size-way head parallelism while the batch shards over the
+    # remaining tp/attn_tp_size * dp ranks; FFN/MoE stay sharded over the
+    # FULL model-parallel degree. Needed when attn-DP meets models whose
+    # KV heads exceed 1 per device. 1 = plain attn-DP (replicated attn).
+    attn_tp_size: int = 1
     # context parallelism for long prefill (reference: attn-CP groups,
     # parallel_state.py:1503 + NSA seq-split prefill): the prefill chunk's
     # token axis is sharded over every device; GSPMD partitions the QKV/FFN

@@ -60,10 +60,29 @@ class Engine:
         from sglang_diffusion_tpu.utils.common import setup_compilation_cache
 
         setup_compilation_cache()
-        self.mesh_ctx = mesh_ctx or create_mesh(
-            tp_size=self.args.tp_size, dp_size=self.args.dp_size,
-            pp_size=self.args.pp_size,
-        )
+        if mesh_ctx is not None:
+            self.mesh_ctx = mesh_ctx
+        elif self.args.enable_dp_attention and self.args.attn_tp_size > 1:
+            # attn-TP factorization (reference parallel_state.py:1496):
+            # mesh tp axis = attn_tp (attention head sharding), dp axis
+            # absorbs the rest (attention batch sharding); FFN/MoE specs
+            # widen "tp" -> ("dp","tp") so they keep full model
+            # parallelism (model_runner attn_tp spec transform)
+            if self.args.tp_size % self.args.attn_tp_size:
+                raise ValueError(
+                    f"attn_tp_size={self.args.attn_tp_size} must divide "
+                    f"tp_size={self.args.tp_size}")
+            self.mesh_ctx = create_mesh(
+                tp_size=self.args.attn_tp_size,
+                dp_size=self.args.dp_size
+                * (self.args.tp_size // self.args.attn_tp_size),
+                pp_size=self.args.pp_size,
+            )
+        else:
+            self.mesh_ctx = create_mesh(
+                tp_size=self.args.tp_size, dp_size=self.args.dp_size,
+                pp_size=self.args.pp_size,
+            )
         is_gguf = self.args.model_path.endswith(".gguf")
         if model_config is None:
             if is_gguf:

@@ -34,6 +34,44 @@ BS_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
 LQ_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
 
 
+# weights that stay sharded at attn_tp degree in attn-TP mode; everything
+# else widens "tp" -> ("dp","tp") (reference: attn-tp subgroup weights,
+# parallel_state.py:1496 — attention projections live in the sub-TP group)
+_ATTN_KEYS = frozenset({
+    "wq", "wk", "wv", "wo", "wqkv", "bq", "bk", "bv", "bo", "bqkv",
+    "wq_a", "wq_b", "wkv_a", "wkv_b", "q_norm", "k_norm", "q_a_norm",
+    "kv_a_norm",
+})
+
+
+def _attn_tp_specs(specs):
+    """Widen non-attention "tp" shardings to ("dp","tp")."""
+    from jax.sharding import PartitionSpec as _P
+
+    def widen_leaf(p):
+        if not isinstance(p, _P):
+            return p
+        out = []
+        for ax in p:
+            if ax == "tp":
+                out.append(("dp", "tp"))
+            elif isinstance(ax, (tuple, list)) and "tp" in ax and "dp" not in ax:
+                out.append(tuple(ax) + ("dp",))
+            else:
+                out.append(ax)
+        return _P(*out)
+
+    def walk(node, is_attn=False):
+        if isinstance(node, dict):
+            return {k: walk(v, is_attn or k in _ATTN_KEYS)
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, is_attn) for v in node]
+        return node if is_attn else widen_leaf(node)
+
+    return walk(specs)
+
+
 def _kv_dtype(args: ServerArgs):
     if args.kv_cache_dtype in ("auto", "bfloat16"):
         return jnp.bfloat16
@@ -134,7 +172,17 @@ class ModelRunner:
         self.dp_attention = bool(
             args.enable_dp_attention and mesh_ctx.mesh.size > 1
         )
-        if self.dp_attention and hasattr(
+        self.attn_tp = bool(
+            self.dp_attention and args.attn_tp_size > 1
+        )
+        if self.attn_tp:
+            # attn-TP subgroups (reference parallel_state.py:1496):
+            # attention stays head-sharded over the mesh "tp" axis
+            # (= attn_tp ranks) while every other weight widens its "tp"
+            # sharding to ("dp","tp") — full model-parallel degree
+            specs = _attn_tp_specs(
+                self.model_cls.partition_specs(model_config))
+        elif self.dp_attention and hasattr(
             self.model_cls, "partition_specs_dp_attention"
         ):
             specs = self.model_cls.partition_specs_dp_attention(model_config)
@@ -196,7 +244,7 @@ class ModelRunner:
         )
         kv_sharding = mesh_ctx.kv_sharding_for(
             model_config.kv_cache_heads, self.num_pages,
-            dp_attention=self.dp_attention,
+            dp_attention=self.dp_attention, attn_tp=self.attn_tp,
         )
         pages_arr = jax.device_put(
             jnp.zeros(kv_shape, _kv_dtype(args)), kv_sharding
@@ -242,14 +290,20 @@ class ModelRunner:
         _cp = bool(args.enable_context_parallel and mesh_ctx.mesh.size > 1
                    and not self.dp_attention)
 
+        _attn_tp_mode = self.attn_tp
+        _dp_div = mesh_ctx.dp_size if _attn_tp_mode else _n_all
+
         def seed_dp(*arrays):
-            """with_sharding_constraint batch rows over every device
-            (dp-attention); no-op otherwise or for indivisible batches."""
-            if not _dp_attn or arrays[0].shape[0] % _n_all:
+            """with_sharding_constraint batch rows over the attention-DP
+            ranks: every device in plain dp-attention, the "dp" axis only
+            under attn-TP (heads shard over "tp" there); no-op otherwise
+            or for indivisible batches."""
+            if not _dp_attn or arrays[0].shape[0] % _dp_div:
                 return arrays
+            batch_axes = "dp" if _attn_tp_mode else ("dp", "tp")
             out = []
             for x in arrays:
-                spec = _P(("dp", "tp"), *([None] * (x.ndim - 1)))
+                spec = _P(batch_axes, *([None] * (x.ndim - 1)))
                 out.append(
                     jax.lax.with_sharding_constraint(x, _NS(_mesh, spec))
                 )

@@ -61,7 +61,8 @@ class MeshContext:
         return NamedSharding(self.mesh, P(layer_axis, None, None, TP_AXIS, None))
 
     def kv_sharding_for(self, kv_heads: int, num_pages: int,
-                        dp_attention: bool = False) -> NamedSharding:
+                        dp_attention: bool = False,
+                        attn_tp: bool = False) -> NamedSharding:
         """KV sharding that accounts for the model's cache geometry:
 
         - dp_attention: shard the PAGE axis over every device — each rank
@@ -72,6 +73,15 @@ class MeshContext:
         - otherwise the default head-sharded layout."""
         layer_axis = PP_AXIS if self.pp_size > 1 else None
         n_dev = self.dp_size * self.tp_size
+        if attn_tp and num_pages % self.dp_size == 0:
+            # attn-TP: pages over the attention-DP axis, heads over the
+            # attn-TP axis (reference: sub-TP attention groups,
+            # parallel_state.py:1496)
+            head_axis = TP_AXIS if (2 * kv_heads) % self.tp_size == 0                 and kv_heads > 1 else None
+            return NamedSharding(
+                self.mesh,
+                P(layer_axis, DP_AXIS, None, head_axis, None),
+            )
         if dp_attention and num_pages % n_dev == 0:
             return NamedSharding(
                 self.mesh, P(layer_axis, (DP_AXIS, TP_AXIS), None, None, None)
