@@ -280,11 +280,16 @@ def main():
     # ---- headline leg ----
     if args.model == "8b":
         # north star (BASELINE.json): Llama-3.1-8B W4A16 tok/s/chip.
-        # fp8 KV halves decode's dominant HBM term and is required to fit
-        # 64k KV tokens beside ~5 GB of W4A16 weights in 16 GB HBM.
+        # fp8 KV is required to fit the full-batch KV footprint beside
+        # ~5.5 GB of W4A16 weights in 16 GB HBM. Pool sized for every
+        # prompt resident (in+out+page slack per seq) — an exactly-full
+        # pool retraction-thrashes the tail of the run.
         cfg = llama31_8b_config()
         kv_dtype = args.kv_cache_dtype or "fp8_e4m3"
-        args.max_total_tokens = min(args.max_total_tokens, 65536)
+        per_seq = args.input_len + args.output_len + 2 * args.page_size
+        need = args.num_prompts * ((per_seq + args.page_size - 1)
+                                   // args.page_size) * args.page_size
+        args.max_total_tokens = min(args.max_total_tokens, need)
         name = "llama3.1-8b"
     elif args.model == "1b":
         cfg = llama32_1b_config()
@@ -304,6 +309,7 @@ def main():
     # ---- secondary leg: the 1B config tracked since round 1 ----
     if args.model == "8b" and not args.skip_secondary:
         try:
+            args.max_total_tokens = 131072  # don't inherit the 8B clamp
             tok_s_1b, extra_1b, eng = run_llm_bench(
                 llama32_1b_config(), args,
                 args.kv_cache_dtype or "bfloat16", "llama3.2-1b")

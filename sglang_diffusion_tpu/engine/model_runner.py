@@ -533,9 +533,14 @@ class ModelRunner:
         est = sum(int(np.prod(sd.shape)) * sd.dtype.itemsize
                   for _, sd in flat)
         try:
-            limit = jax.devices()[0].memory_stats().get("bytes_limit", 0)
+            stats = jax.devices()[0].memory_stats()
+            limit = (stats or {}).get("bytes_limit", 0)
         except Exception:  # noqa: BLE001 — CPU backend has no stats
             limit = 0
+        if not limit and jax.default_backend() == "tpu":
+            # the remote-TPU transport reports no memory stats; assume the
+            # v5e default so 8B-class models take the streaming path
+            limit = 16 * 1024 ** 3
         if not limit or est < 0.5 * limit:
             return None
         logger.info(
@@ -551,7 +556,9 @@ class ModelRunner:
         def gen(k, shape, dt, kind):
             if kind == "ones":  # norm gammas
                 return jnp.ones(shape, dt)
-            return (0.02 * jax.random.normal(k, shape, jnp.float32)).astype(dt)
+            # generate IN the target dtype: an f32 intermediate for a
+            # stacked 8B leaf is 7.5 GB of avoidable peak
+            return jax.random.normal(k, shape, dt) * jnp.asarray(0.02, dt)
 
         leaves = []
         for i, (path, sd) in enumerate(flat):
@@ -560,7 +567,16 @@ class ModelRunner:
             kind = "ones" if len(sd.shape) <= 1 else "normal"
             leaf = gen(sub, tuple(sd.shape), sd.dtype, kind)
             if name in _QUANT_KEYS and len(sd.shape) >= 2:
-                qleaf = qfn(leaf)
+                if leaf.ndim >= 3:
+                    # stacked [L, K, N] leaves: quantize per layer so the
+                    # f32 quantization temps stay ~1/L of the leaf
+                    parts = [qfn(leaf[l]) for l in range(leaf.shape[0])]
+                    qleaf = {
+                        k2: jnp.stack([p[k2] for p in parts])
+                        for k2 in parts[0]
+                    }
+                else:
+                    qleaf = qfn(leaf)
                 leaf.delete()
                 leaf = qleaf
             leaves.append(leaf)
