@@ -85,7 +85,7 @@ SCENARIOS = {
     # 9 steps, no CFG; H100 avg 83.75 ms/step (zimage_image_t2i).
     "zimage_full_t2i": dict(
         family="zimage", height=1024, width=1024, steps=9,
-        h100_step_ms=83.75,
+        h100_step_ms=83.75, flash_attn=True,
         zimage=dict(dim=3840, num_layers=30, n_refiner_layers=2,
                     num_attention_heads=30, n_kv_heads=30,
                     cap_feat_dim=2560, axes_dims=(32, 48, 48),
@@ -217,10 +217,11 @@ def main():
         )
 
         zcfg = ZImageConfig(**sc["zimage"])
+        attn_impl = "flash" if sc.get("flash_attn") else "dense"
         params = jax.jit(
             lambda k: ZImageDiT.init_params(k, zcfg, jnp.bfloat16)
         )(__import__("jax").random.PRNGKey(0))
-        fwd = ZImageDiT.make_forward(zcfg)
+        fwd = ZImageDiT.make_forward(zcfg, attn_impl=attn_impl)
         h = sc["height"] // 8
         w = sc["width"] // 8
         cap = jnp.asarray(

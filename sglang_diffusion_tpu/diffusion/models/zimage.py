@@ -164,7 +164,7 @@ class ZImageDiT:
         }
 
     @staticmethod
-    def _block_body(cfg: ZImageConfig):
+    def _block_body(cfg: ZImageConfig, attn_impl: str = "dense"):
         E = cfg.dim
         Hq, Hkv, D = cfg.num_attention_heads, cfg.n_kv_heads, cfg.head_dim
         eps = cfg.norm_eps
@@ -183,10 +183,23 @@ class ZImageDiT:
                 rep = Hq // Hkv
                 k = jnp.repeat(k, rep, axis=2)
                 v = jnp.repeat(v, rep, axis=2)
-            s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                           k.astype(jnp.float32)) / np.sqrt(D)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+            if attn_impl == "flash":
+                # memory-lean path for full-depth full-resolution runs:
+                # the dense einsum materializes f32 [B, H, T, T] scores
+                # (~2.3 GB at 1024^2 x 30 heads), which with 12 GB of
+                # bf16 weights exceeds a 16 GB chip
+                from sglang_diffusion_tpu.ops.flash_pallas import (
+                    flash_attention,
+                )
+
+                o = flash_attention(q, k, v, 1.0 / float(np.sqrt(D)),
+                                    causal=False,
+                                    interpret=jax.default_backend() != "tpu")
+            else:
+                s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                               k.astype(jnp.float32)) / np.sqrt(D)
+                p = jax.nn.softmax(s, axis=-1)
+                o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
             return jnp.dot(o.reshape(b, t, Hq * D).astype(x.dtype),
                            bp["wo"])
 
@@ -218,12 +231,13 @@ class ZImageDiT:
         return body
 
     @staticmethod
-    def make_forward(cfg: ZImageConfig):
+    def make_forward(cfg: ZImageConfig, attn_impl: str = "dense"):
         """forward(params, latent [B, h, w, C], cap [B, Tc, cap_dim],
         t [B]) -> velocity [B, h, w, C]. h/w in latent pixels; tokens are
         patch_size**2 patches. Static shapes; caption/image padded to
-        seq_multiple inside."""
-        body = ZImageDiT._block_body(cfg)
+        seq_multiple inside. attn_impl="flash" uses the Pallas flash
+        kernel (O(T) memory) for full-depth/resolution runs."""
+        body = ZImageDiT._block_body(cfg, attn_impl)
         ps = cfg.patch_size
         eps = cfg.norm_eps
 
