@@ -138,6 +138,11 @@ class ServerArgs:
     # dump each step's tokens/logprobs to npz for the cross-run comparator
     # (reference: srt/debug_utils/dumper.py + comparator/)
     debug_dump_dir: Optional[str] = None
+    # batch-invariant deterministic inference (reference:
+    # srt/batch_invariant_ops): pin decode/prefill to ONE executable
+    # (bs/chunk/page-hint buckets collapsed to maxima) so per-row results
+    # are bit-stable regardless of batch composition. Costs padding FLOPs.
+    enable_deterministic_inference: bool = False
     # abort requests stuck too long (0 = disabled; reference:
     # scheduler._abort_on_waiting_timeout / _abort_on_running_timeout)
     waiting_timeout_s: float = 0.0

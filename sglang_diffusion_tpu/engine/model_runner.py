@@ -206,6 +206,33 @@ class ModelRunner:
             BS_BUCKETS if self.pp_microbatches == 1
             else [b for b in BS_BUCKETS if b % self.pp_microbatches == 0]
         )
+        self.lq_buckets = list(LQ_BUCKETS)
+        from sglang_diffusion_tpu.utils.environ import envs as _envs
+
+        self.deterministic = bool(
+            args.enable_deterministic_inference
+            or _envs.SGLD_TPU_DETERMINISTIC.get()
+        )
+        if self.deterministic:
+            # Batch-invariant inference by CONSTRUCTION (reference analog:
+            # srt/batch_invariant_ops — fixed reduction orders): pin every
+            # step to a single executable by collapsing the batch-size,
+            # chunk-length, and page-hint buckets to their maxima. One
+            # executable means XLA's tiling/reduction order is identical
+            # regardless of batch composition, so each row's logits are
+            # bit-stable however the batch is packed. Costs padding FLOPs;
+            # it is a mode, like the reference's.
+            self.bs_buckets = [select_bucket(
+                self.bs_buckets, max(1, args.max_running_requests))]
+            self.lq_buckets = [select_bucket(
+                LQ_BUCKETS,
+                max(16, min(args.chunked_prefill_size
+                            if args.chunked_prefill_size > 0 else 16,
+                            self.context_len)))]
+            logger.info(
+                "deterministic batch-invariant mode: bs bucket %d, "
+                "lq bucket %d, page hint pinned",
+                self.bs_buckets[0], self.lq_buckets[0])
         if mesh_ctx.pp_size > 1:
             from sglang_diffusion_tpu.parallel.pipeline import pp_partition_specs
 
@@ -698,7 +725,7 @@ class ModelRunner:
             toks, lps = jax.device_get((toks, lps))
             return toks[:b], lps[:b]
         lq = plan.token_ids.shape[1]
-        lb = select_bucket(LQ_BUCKETS, lq)
+        lb = select_bucket(self.lq_buckets, lq)
         toks, lps, self.kv_cache = step_l(
             self.params, self.kv_cache,
             jnp.asarray(pad2(plan.token_ids, w=lb)),
@@ -934,7 +961,7 @@ class ModelRunner:
         b = plan.token_ids.shape[0]
         bb = select_bucket(self.bs_buckets, b)
         lq = plan.token_ids.shape[1]
-        lb = select_bucket(LQ_BUCKETS, lq)
+        lb = select_bucket(self.lq_buckets, lq)
         E = self.cfg.hidden_size
         mm_mask = np.zeros((bb, lb), bool)
         mm_embeds = jnp.zeros((bb, lb, E), self.dtype)
@@ -1138,6 +1165,8 @@ class ModelRunner:
         compiles land inside serving) — the kernel skips DMAs for pages
         beyond each sequence's kv_len, so a loose hint costs VMEM scratch
         but no HBM bandwidth."""
+        if getattr(self, "deterministic", False):
+            return self.max_pages_per_seq
         need = max(1, cdiv(max_ctx, self.args.page_size))
         hint = 1
         while hint < need:
@@ -1242,8 +1271,8 @@ class ModelRunner:
 
         if self.args.disable_jit:
             return 0
-        lq_list = [t for t in LQ_BUCKETS
-                   if t <= select_bucket(LQ_BUCKETS, max_tokens)]
+        lq_list = [t for t in self.lq_buckets
+                   if t <= select_bucket(self.lq_buckets, max_tokens)]
         n = 0
         for bs in sorted({select_bucket(self.bs_buckets, b)
                           for b in bs_list}):
@@ -1290,7 +1319,7 @@ class ModelRunner:
             return ("decode", bb, plan.horizon,
                     self._pages_hint_for(max_ctx))
         return (plan.kind, bb,
-                select_bucket(LQ_BUCKETS, plan.token_ids.shape[1]))
+                select_bucket(self.lq_buckets, plan.token_ids.shape[1]))
 
     def run_batch(
         self, plan: BatchPlan, samp_meta_np: Dict[str, np.ndarray]
@@ -1401,7 +1430,7 @@ class ModelRunner:
             )
 
         lq = plan.token_ids.shape[1]
-        lb = select_bucket(LQ_BUCKETS, lq)
+        lb = select_bucket(self.lq_buckets, lq)
 
         def pad2(x, fill=0):
             out = np.full((bb, lb), fill, x.dtype)
