@@ -147,6 +147,15 @@ class Engine:
         self.scheduler = Scheduler(
             self.args, self.allocator, self.radix, self.runner.max_pages_per_seq
         )
+        if self.runner.has_linear_state and not self.args.disable_radix_cache:
+            # hybrid families get the exact-prefix state cache instead of
+            # the radix tree (reference analog: mamba_radix_cache.py)
+            from sglang_diffusion_tpu.kv.linear_state_cache import (
+                LinearStateCache,
+            )
+
+            self.scheduler.linear_cache = LinearStateCache(
+                self.runner, self.allocator)
         lw = model_config.layer_windows()
         if lw is not None and (lw >= 0).all():
             # every layer is sliding: KV behind the window is reclaimable
@@ -762,7 +771,8 @@ class Engine:
                 req.finished_at = time.monotonic()
                 self.scheduler.running.remove(req)
                 self.scheduler._release_pages(
-                    req, insert_to_cache=self.radix is not None
+                    req, insert_to_cache=(self.radix is not None
+                          or self.scheduler.linear_cache is not None)
                 )
                 self.scheduler.num_finished += 1
                 finished.append(req)

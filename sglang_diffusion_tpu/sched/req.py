@@ -46,6 +46,11 @@ class Req:
     cached_prefix_len: int = 0  # tokens served from radix cache (page-aligned)
     num_computed: int = 0  # tokens whose KV is in cache and attended
     prefix_node: Optional[object] = None  # radix TreeNode, locked while running
+    # hybrid linear-state prefix entry (kv/linear_state_cache.py)
+    prefix_entry: Optional[object] = None
+    # hybrid models: the live state slot advanced past num_computed
+    # (decode overshoot) — snapshot would be unsound
+    state_dirty: bool = False
 
     is_retracted: bool = False
     # SWA window reclamation: leading pages already returned to the

@@ -107,6 +107,9 @@ class Scheduler:
         # set by the engine for all-sliding-window models: enables
         # mid-flight reclamation of pages behind the attention window
         self.swa_window = None
+        # hybrid linear-attention prefix cache (kv/linear_state_cache.py;
+        # reference analog: mamba_radix_cache.py) — set by the engine
+        self.linear_cache = None
         self.swa_reclaimed_pages = 0
         if args.speculative_algorithm == "ngram":
             from sglang_diffusion_tpu.spec.ngram import (
@@ -153,6 +156,8 @@ class Scheduler:
         if self.has_work():
             return
         tree_pages = 0
+        if self.linear_cache is not None:
+            tree_pages += self.linear_cache.held_pages()
         if self.radix is not None and hasattr(self.radix, "root"):
             if self.radix.root is not None:
                 stack = [self.radix.root]
@@ -314,7 +319,9 @@ class Scheduler:
             return None
         adder = PrefillAdder(
             free_kv_tokens=self.allocator.free_tokens
-            + (self.radix.evictable_tokens if self.radix else 0),
+            + (self.radix.evictable_tokens if self.radix else 0)
+            + (self.linear_cache.evictable_tokens()
+               if self.linear_cache else 0),
             running_reqs=self.running,
             new_token_ratio=self.new_token_ratio,
             max_prefill_tokens=self.args.max_prefill_tokens,
@@ -362,8 +369,22 @@ class Scheduler:
 
     def _match_and_lock_prefix(self, req: Req) -> int:
         """Radix prefix match at admission; returns cached token count."""
-        if req.num_computed > 0 or self.radix is None:
+        if req.num_computed > 0:
             return req.num_computed  # resumed chunked/retracted req
+        if self.linear_cache is not None:
+            # hybrid families: exact-prefix entries with state snapshots
+            if req.lora_slot:
+                return req.num_computed
+            entry = self.linear_cache.match(req.all_ids())
+            if entry is not None:
+                self.linear_cache.restore(entry, req)
+                req.prefix_entry = entry
+                self.cached_tokens_served += req.num_computed
+            else:
+                self.linear_cache.misses += 1
+            return req.num_computed
+        if self.radix is None:
+            return req.num_computed
         if req.lora_slot:
             # adapter-specific KV must not mix with base-model cache entries
             return req.num_computed
@@ -382,6 +403,12 @@ class Scheduler:
         return req.num_computed
 
     def _unlock_prefix(self, req: Req) -> None:
+        if req.prefix_entry is not None:
+            self.linear_cache.release(req.prefix_entry)
+            req.prefix_entry = None
+            req.pages = []
+            req.cached_prefix_len = 0
+            req.num_computed = 0
         if req.prefix_node is not None:
             self.radix.dec_lock_ref(req.prefix_node)
             req.prefix_node = None
@@ -390,12 +417,14 @@ class Scheduler:
             req.num_computed = 0
 
     def _ensure_pages(self, req: Req, new_total_tokens: int) -> bool:
-        """Grow req.pages to cover new_total_tokens; may evict radix."""
+        """Grow req.pages to cover new_total_tokens; may evict caches."""
         need = cdiv(new_total_tokens, self.page_size) - len(req.pages)
         if need <= 0:
             return True
         if self.allocator.free_pages < need and self.radix is not None:
             self.radix.evict(need - self.allocator.free_pages)
+        if self.allocator.free_pages < need and self.linear_cache is not None:
+            self.linear_cache.evict(need - self.allocator.free_pages)
         got = self.allocator.try_alloc(need)
         if got is None:
             return False
@@ -496,6 +525,13 @@ class Scheduler:
         cap = self.max_pages_per_seq * self.page_size
         room = min(cap - r.num_computed for r in self.running)
         h = max(1, min(h, room))
+        # hybrid linear-state models with the prefix cache: overshoot
+        # would advance the recurrent state past the finish point and
+        # poison snapshots — clamp to the shortest remaining budget
+        if self.linear_cache is not None:
+            h = min(h, min(r.remaining_new_tokens()
+                           for r in self.running))
+            h = max(1, h)
         # round down to a power of two so the compiled-shape set stays small
         return 1 << (h.bit_length() - 1)
 
@@ -653,7 +689,8 @@ class Scheduler:
                 )
             free = self.allocator.free_pages + (
                 self.radix.evictable_tokens // self.page_size if self.radix else 0
-            )
+            ) + (self.linear_cache.evictable_tokens() // self.page_size
+                 if self.linear_cache else 0)
             if need <= free:
                 break
             victim = max(
@@ -713,6 +750,24 @@ class Scheduler:
         """Give back req's pages; optionally publish KV into the radix tree.
         Ownership: the first cached_prefix_len/page pages belong to the tree
         (shared); insert() may dedup more (reference radix_cache.py:459)."""
+        if self.linear_cache is not None:
+            # hybrid prefix entries: the cache may take ownership of ALL
+            # pages (state snapshot + exact prefix); otherwise free the
+            # pages beyond the matched chain
+            entry = req.prefix_entry
+            n_chain = len(self.linear_cache._all_pages(entry)) if entry \
+                else 0
+            saved = False
+            if insert_to_cache and not req.lora_slot \
+                    and req.status != ReqStatus.ABORTED:
+                saved = self.linear_cache.save(req, entry)
+            if entry is not None:
+                self.linear_cache.release(entry)
+                req.prefix_entry = None
+            if not saved:
+                self.allocator.free(req.pages[n_chain:])
+            req.pages = []
+            return
         shared_pages = req.cached_prefix_len // self.page_size
         if req.lora_slot:
             insert_to_cache = False
@@ -870,7 +925,11 @@ class Scheduler:
             else:
                 for k in range(plan.horizon):
                     if req.finished:
-                        break  # overshoot tokens past stop/eos are dropped
+                        # overshoot tokens past stop/eos are dropped; for
+                        # hybrids the state slot has advanced past the
+                        # finish point — mark unsound for snapshots
+                        req.state_dirty = True
+                        break
                     req.num_computed += 1
                     self._append_token(
                         req, int(next_tokens[i, k]),
@@ -883,7 +942,7 @@ class Scheduler:
             if req.finished:
                 if req in self.running:
                     self.running.remove(req)
-                self._release_pages(req, insert_to_cache=self.radix is not None)
+                self._release_pages(req, insert_to_cache=(self.radix is not None or self.linear_cache is not None))
                 self.num_finished += 1
                 finished.append(req)
         if plan.kind == "decode":
