@@ -874,7 +874,13 @@ class Engine:
                 issued = (cur_plan, toks, lps)
             if inflight is not None:
                 p_prev, t_prev, l_prev = inflight
-                t_np, l_np = _jax.device_get((t_prev, l_prev))
+                if self._tracing:
+                    from sglang_diffusion_tpu.observability import step_span
+
+                    with step_span("decode", len(p_prev.reqs)):
+                        t_np, l_np = _jax.device_get((t_prev, l_prev))
+                else:
+                    t_np, l_np = _jax.device_get((t_prev, l_prev))
                 nb = len(p_prev.reqs)
                 fin = self.scheduler.process_batch_result(
                     p_prev, t_np[:nb], l_np[:nb]
