@@ -197,6 +197,19 @@ class ModelConfig:
             )
             mc.raw = outer
             return mc
+        # DeepSeek-VL2 nests its MLA LM under language_config (reference
+        # configs/deepseekvl2.py); hoist like the text_config VLMs below.
+        if "language_config" in cfg and "vision_config" in cfg:
+            outer = cfg
+            inner = dict(cfg["language_config"])
+            inner.setdefault("architectures", ["DeepseekV2ForCausalLM"])
+            mc = cls.from_hf_config(inner)
+            mc.architecture = (outer.get("architectures")
+                               or ["DeepseekVL2ForCausalLM"])[0]
+            mc.vision = VisionConfig.from_hf(outer["vision_config"], outer)
+            mc.image_token_id = outer.get("image_token_id")
+            mc.raw = outer
+            return mc
         # VLM configs nest the language model under text_config; hoist it so
         # the LM fields live at the top level (the runner's KV geometry and
         # layer loop read them there) and attach the vision half.
