@@ -141,7 +141,9 @@ def load_hf_params(
             w = np.ascontiguousarray(w.transpose(2, 3, 1, 0))
         return w
 
-    for path, (tmpl, tf) in wmap.items():
+    for path, entry in wmap.items():
+        tmpl, tf = entry[0], entry[1]
+        lrange = entry[2] if len(entry) > 2 else None
         if "{j}" in tmpl:
             # vision-tower layer index (separate depth from the LM)
             per_layer = [
@@ -155,8 +157,11 @@ def load_hf_params(
             node[path[-1]] = jnp.asarray(leaf, dtype)
             continue
         if "{i}" in tmpl:
+            # optional third map element: (start, stop) layer range for
+            # split layer groups (deepseek dense_layers/moe_layers,
+            # step3 moe tail) — default is all L layers
             per_layer = []
-            for i in range(L):
+            for i in range(*(lrange if lrange is not None else (L,))):
                 if "{x}" in tmpl:
                     per_exp = []
                     x = 0

@@ -59,6 +59,7 @@ def get_model_cls(architecture: str):
     import sglang_diffusion_tpu.models.kimi_k2  # noqa: F401
     import sglang_diffusion_tpu.models.glm4v  # noqa: F401
     import sglang_diffusion_tpu.models.deepseek_vl2  # noqa: F401
+    import sglang_diffusion_tpu.models.step3_vl  # noqa: F401
 
     if architecture not in _REGISTRY:
         raise KeyError(
