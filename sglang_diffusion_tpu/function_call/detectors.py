@@ -386,6 +386,267 @@ class Step3Detector(BaseDetector):
         return (normal or None), calls
 
 
+class DeepSeekV31Detector(BaseDetector):
+    """DeepSeek-V3.1 flat format (reference deepseekv31_detector.py:29):
+    <｜tool▁call▁begin｜>NAME<｜tool▁sep｜>{json}<｜tool▁call▁end｜> — the
+    name sits directly before the sep (no `function` keyword) and the
+    arguments are a bare JSON object (no ```json fence)."""
+
+    name = "deepseekv31"
+    markers = ("<｜tool▁calls▁begin｜>",)
+    _re = re.compile(
+        r"<｜tool▁call▁begin｜>\s*([\w.\-]+)<｜tool▁sep｜>\s*(\{.*?\})\s*"
+        r"<｜tool▁call▁end｜>",
+        re.S,
+    )
+
+    def detect(self, text, names):
+        calls = []
+        for m in self._re.finditer(text):
+            fn, payload = m.group(1), m.group(2)
+            if names and fn not in names:
+                continue
+            try:
+                calls.append(_mk_call(fn, json.loads(payload)))
+            except json.JSONDecodeError:
+                continue
+        if not calls:
+            return text, []
+        normal = text.split("<｜tool▁calls▁begin｜>", 1)[0].strip()
+        return (normal or None), calls
+
+
+class DeepSeekV32Detector(BaseDetector):
+    """DeepSeek-V3.2 DSML format (reference deepseekv32_detector.py:22):
+    <｜DSML｜function_calls> wrapping <｜DSML｜invoke name="fn"> blocks whose
+    body is either typed parameter tags
+    <｜DSML｜parameter name="k" string="true">v</｜DSML｜parameter>
+    or a direct JSON object."""
+
+    name = "deepseekv32"
+    markers = ("<｜DSML｜function_calls>",)
+    _invoke = re.compile(
+        r'<｜DSML｜invoke name="([^"]+)">(.*?)</｜DSML｜invoke>', re.S
+    )
+    _param = re.compile(
+        r'<｜DSML｜parameter name="([^"]+)"([^>]*)>(.*?)</｜DSML｜parameter>',
+        re.S,
+    )
+
+    def detect(self, text, names):
+        calls = []
+        for m in self._invoke.finditer(text):
+            fn, body = m.group(1), m.group(2)
+            if names and fn not in names:
+                continue
+            params = self._param.findall(body)
+            if params:
+                args = {}
+                for k, attrs, v in params:
+                    v = v.strip()
+                    # string="true" pins the value as a raw string;
+                    # otherwise JSON-literal coerce (numbers/bools/objects)
+                    args[k] = v if 'string="true"' in attrs else _coerce(v)
+            else:
+                stripped = body.strip()
+                try:
+                    args = json.loads(stripped) if stripped else {}
+                except json.JSONDecodeError:
+                    continue
+            calls.append(_mk_call(fn, args))
+        if not calls:
+            return text, []
+        normal = text.split("<｜DSML｜function_calls>", 1)[0].strip()
+        return (normal or None), calls
+
+
+class GigaChat3Detector(BaseDetector):
+    """GigaChat-3 role-separated call (reference gigachat3_detector.py:16):
+    CONTENT<|message_sep|>function call<|role_sep|>\\n{"name":..,
+    "arguments": {..}} — one call per response, content before the
+    message separator."""
+
+    name = "gigachat3"
+    markers = ("function call<|role_sep|>",)
+    _call = re.compile(r"function call<\|role_sep\|>\n(.*)", re.S)
+
+    def detect(self, text, names):
+        t = text
+        if t.rstrip().endswith("</s>"):
+            t = t[: t.rfind("</s>")]
+        m = self._call.search(t)
+        if not m:
+            return text, []
+        try:
+            obj = json.loads(m.group(1), strict=False)
+        except json.JSONDecodeError:
+            return text, []
+        call = _obj_to_call(obj, names)
+        if call is None or not isinstance(obj.get("arguments"), dict):
+            return text, []
+        normal = t[: m.start()]
+        normal = normal.split("<|message_sep|>", 1)[0].strip()
+        return (normal or None), [call]
+
+
+class Glm47MoeDetector(Glm4MoeDetector):
+    """GLM-4.7 uses the same <tool_call>NAME<arg_key>..<arg_value>.. block
+    format as GLM-4-MoE (reference glm47_moe_detector.py:145 differs only
+    in streaming-side value typing)."""
+
+    name = "glm47_moe"
+
+
+class InternlmDetector(BaseDetector):
+    """InternLM2 / Intern-S1 plugin format (reference
+    internlm_detector.py:30): text<|action_start|> <|plugin|>\\n{json}
+    <|action_end|>; the json carries name + parameters/arguments."""
+
+    name = "internlm"
+    markers = ("<|action_start|>",)
+    _re = re.compile(
+        r"<\|action_start\|>\s*<\|plugin\|>\s*(\{.*?\})\s*<\|action_end\|>",
+        re.S,
+    )
+
+    def detect(self, text, names):
+        calls, spans = [], []
+        for m in self._re.finditer(text):
+            try:
+                call = _obj_to_call(json.loads(m.group(1)), names)
+            except json.JSONDecodeError:
+                call = None
+            if call:
+                calls.append(call)
+                spans.append(m.span())
+        if not calls:
+            return text, []
+        return (_strip_spans(text, spans) or None), calls
+
+
+class Lfm2Detector(BaseDetector):
+    """LFM2 bracketed call list (reference lfm2_detector.py:4):
+    <|tool_call_start|>[fn(a="v"), ...]<|tool_call_end|> — pythonic call
+    list, or a JSON array of {"name","arguments"} objects."""
+
+    name = "lfm2"
+    markers = ("<|tool_call_start|>",)
+    _re = re.compile(
+        r"<\|tool_call_start\|>\s*(\[.*?\])\s*<\|tool_call_end\|>", re.S
+    )
+
+    def detect(self, text, names):
+        import ast
+
+        calls, spans = [], []
+        for m in self._re.finditer(text):
+            body = m.group(1)
+            got = []
+            try:  # JSON array form first
+                arr = json.loads(body)
+                if isinstance(arr, list):
+                    got = [c for c in (_obj_to_call(o, names) for o in arr)
+                           if c]
+            except json.JSONDecodeError:
+                try:  # pythonic form
+                    tree = ast.parse(body.strip(), mode="eval")
+                    if isinstance(tree.body, ast.List):
+                        for el in tree.body.elts:
+                            if not (isinstance(el, ast.Call)
+                                    and isinstance(el.func, ast.Name)):
+                                continue
+                            if names and el.func.id not in names:
+                                continue
+                            args = {
+                                kw.arg: ast.literal_eval(kw.value)
+                                for kw in el.keywords
+                            }
+                            got.append(_mk_call(el.func.id, args))
+                except (SyntaxError, ValueError):
+                    got = []
+            if got:
+                calls.extend(got)
+                spans.append(m.span())
+        if not calls:
+            return text, []
+        return (_strip_spans(text, spans) or None), calls
+
+
+class MimoDetector(BaseDetector):
+    """MiMo format (reference mimo_detector.py:138): qwen3-coder-style
+    <function=NAME><parameter=K>V</parameter></function> body wrapped in
+    <tool_call>..</tool_call>."""
+
+    name = "mimo"
+    markers = ("<tool_call>\n<function=", "<tool_call><function=")
+    _func = re.compile(r"<function=([^>\n]+)>(.*?)</function>", re.S)
+    _param = re.compile(r"<parameter=([^>\n]+)>(.*?)</parameter>", re.S)
+    _block = re.compile(r"<tool_call>(.*?)</tool_call>", re.S)
+
+    def detect(self, text, names):
+        calls, spans = [], []
+        for bm in self._block.finditer(text):
+            got = []
+            for m in self._func.finditer(bm.group(1)):
+                fn = m.group(1).strip()
+                if names and fn not in names:
+                    continue
+                args = {
+                    k.strip(): _coerce(v.strip("\n"))
+                    for k, v in self._param.findall(m.group(2))
+                }
+                got.append(_mk_call(fn, args))
+            if got:
+                calls.extend(got)
+                spans.append(bm.span())
+        if not calls:
+            return text, []
+        return (_strip_spans(text, spans) or None), calls
+
+
+class MinimaxM2Detector(BaseDetector):
+    """MiniMax-M2 XML invokes (reference minimax_m2.py:17):
+    <minimax:tool_call><invoke name="fn"><parameter name="k">v</parameter>
+    </invoke></minimax:tool_call>."""
+
+    name = "minimax_m2"
+    markers = ("<minimax:tool_call>",)
+    _invoke = re.compile(r'<invoke name="([^"]+)">(.*?)</invoke>', re.S)
+    _param = re.compile(r'<parameter name="([^"]+)">(.*?)</parameter>', re.S)
+
+    def detect(self, text, names):
+        calls = []
+        for m in self._invoke.finditer(text):
+            fn = m.group(1)
+            if names and fn not in names:
+                continue
+            args = {
+                k: _coerce(v.strip()) for k, v in self._param.findall(m.group(2))
+            }
+            calls.append(_mk_call(fn, args))
+        if not calls:
+            return text, []
+        normal = text.split("<minimax:tool_call>", 1)[0].strip()
+        return (normal or None), calls
+
+
+class TrinityDetector(Qwen25Detector):
+    """Trinity: qwen25 <tool_call> blocks that may sit inside <think>
+    sections (reference trinity_detector.py:11 strips the think tags,
+    keeping their content, before parsing)."""
+
+    name = "trinity"
+
+    def _strip(self, text: str) -> str:
+        return text.replace("<think>", "").replace("</think>", "")
+
+    def has_tool_call(self, text: str) -> bool:
+        return super().has_tool_call(self._strip(text))
+
+    def detect(self, text, names):
+        return super().detect(self._strip(text), names)
+
+
 def _coerce(v: str):
     """Best-effort typing for XML-ish parameter values: JSON literal if it
     parses, else the raw string (reference detectors type by tool schema;
@@ -411,10 +672,13 @@ def _strip_spans(text: str, spans) -> str:
 # hermes must come after them)
 _DETECTORS = {
     d.name: d for d in (
-        Qwen3CoderDetector(), Glm4MoeDetector(), KimiK2Detector(),
-        GptOssDetector(), Step3Detector(), DeepSeekDetector(),
-        MistralDetector(), Llama3Detector(), HermesDetector(),
-        Qwen25Detector(), PythonicDetector(),
+        MimoDetector(), Qwen3CoderDetector(), Glm4MoeDetector(),
+        Glm47MoeDetector(), KimiK2Detector(), GptOssDetector(),
+        Step3Detector(), MinimaxM2Detector(), DeepSeekV32Detector(),
+        DeepSeekDetector(), DeepSeekV31Detector(), GigaChat3Detector(),
+        InternlmDetector(), Lfm2Detector(), MistralDetector(),
+        Llama3Detector(), HermesDetector(), Qwen25Detector(),
+        TrinityDetector(), PythonicDetector(),
     )
 }
 

@@ -411,6 +411,141 @@ class _Step3Call(_JsonCall):
         }]
 
 
+class _DeepSeekV31Call(_JsonCall):
+    """DeepSeek-V3.1 body (reference deepseekv31_detector.py:29):
+    NAME<｜tool▁sep｜>{json args} — the name precedes the sep directly
+    and the arguments stream as bare JSON."""
+
+    SEP = "<｜tool▁sep｜>"
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        out: List[Dict] = []
+        if self.invalid or self.done:
+            return out
+        if self.name is None:
+            at = self.buf.find(self.SEP)
+            if at >= 0:
+                name = self.buf[:at].strip()
+                if not name or (self.names and name not in self.names):
+                    self.invalid = True
+                    return out
+                self.name = name
+                self.args_at = at + len(self.SEP)
+                out.append({
+                    "index": self.index, "id": self.call_id,
+                    "type": "function",
+                    "function": {"name": name, "arguments": ""},
+                })
+        if self.name is not None and self.args_at is not None:
+            span, complete = _json_value_span(self.buf[self.args_at:])
+            new = self.buf[self.args_at + self.args_sent:
+                           self.args_at + span]
+            if new:
+                out.append({
+                    "index": self.index, "function": {"arguments": new},
+                })
+            self.args_sent = span
+            if complete:
+                self.done = True
+        return out
+
+
+class _DsmlCall(_Step3Call):
+    """DeepSeek-V3.2 body (after '<｜DSML｜invoke name="'): NAME"> then
+    typed <｜DSML｜parameter name=..> tags or a direct JSON object; args
+    emit at </｜DSML｜invoke>."""
+
+    _param_re = re.compile(
+        r'<｜DSML｜parameter name="([^"]+)"([^>]*)>(.*?)</｜DSML｜parameter>',
+        re.S)
+
+    def finalize(self) -> List[Dict]:
+        if self.invalid or self.name is None or self.done:
+            return []
+        from sglang_diffusion_tpu.function_call.detectors import _coerce
+
+        params = self._param_re.findall(self.buf)
+        if params:
+            args = {
+                k: (v.strip() if 'string="true"' in attrs
+                    else _coerce(v.strip()))
+                for k, attrs, v in params
+            }
+        else:
+            body = self.buf
+            q = body.find('">')
+            body = body[q + 2:] if q >= 0 else body
+            try:
+                args = json.loads(body.strip() or "{}")
+            except json.JSONDecodeError:
+                args = {}
+        self.done = True
+        return [{
+            "index": self.index,
+            "function": {"arguments": json.dumps(args)},
+        }]
+
+
+class _MinimaxCall(_Step3Call):
+    """MiniMax-M2 body (after '<invoke name="'): NAME"> then
+    <parameter name="k">v</parameter> tags; args emit at </invoke>."""
+
+    _param_re = re.compile(
+        r'<parameter name="([^"]+)">(.*?)</parameter>', re.S)
+
+    def finalize(self) -> List[Dict]:
+        if self.invalid or self.name is None or self.done:
+            return []
+        from sglang_diffusion_tpu.function_call.detectors import _coerce
+
+        args = {
+            k: _coerce(v.strip())
+            for k, v in self._param_re.findall(self.buf)
+        }
+        self.done = True
+        return [{
+            "index": self.index,
+            "function": {"arguments": json.dumps(args)},
+        }]
+
+
+class _Lfm2Call(_JsonCall):
+    """LFM2 body: a bracketed pythonic call list or JSON array; parsed
+    whole at <|tool_call_end|> via the non-streaming detector (typed
+    python literals need the complete body)."""
+
+    def feed(self, text: str) -> List[Dict]:
+        self.buf += text
+        return []
+
+    def finalize(self) -> List[Dict]:
+        if self.done:
+            return []
+        from sglang_diffusion_tpu.function_call.detectors import (
+            Lfm2Detector,
+        )
+
+        body = f"<|tool_call_start|>{self.buf}<|tool_call_end|>"
+        _, calls = Lfm2Detector().detect(body, self.names)
+        self.done = True
+        out: List[Dict] = []
+        for i, c in enumerate(calls):
+            if i == 0:
+                self.name = c["function"]["name"]
+            out.append({
+                "index": self.index + i, "id": c["id"],
+                "type": "function",
+                "function": {"name": c["function"]["name"],
+                             "arguments": ""},
+            })
+            out.append({
+                "index": self.index + i,
+                "function": {"arguments": c["function"]["arguments"]},
+            })
+        return out
+
+
 class _MistralCall:
     """Mistral body: a JSON ARRAY of {"name", "arguments"} objects — one
     streaming sub-call per element, each with its own call index."""
@@ -494,6 +629,26 @@ SPECS: Dict[str, _Spec] = {
     "step3": _Spec('<steptml:invoke name="', "</steptml:invoke>",
                    _Step3Call,
                    strip=("<｜tool_calls_begin｜>", "<｜tool_calls_end｜>")),
+    "deepseekv31": _Spec("<｜tool▁call▁begin｜>", "<｜tool▁call▁end｜>",
+                         _DeepSeekV31Call,
+                         strip=("<｜tool▁calls▁begin｜>",
+                                "<｜tool▁calls▁end｜>")),
+    "deepseekv32": _Spec('<｜DSML｜invoke name="', "</｜DSML｜invoke>",
+                         _DsmlCall,
+                         strip=("<｜DSML｜function_calls>",
+                                "</｜DSML｜function_calls>")),
+    "gigachat3": _Spec("function call<|role_sep|>", None, _JsonCall,
+                       strip=("<|message_sep|>",)),
+    "glm47_moe": _Spec("<tool_call>", "</tool_call>", _Glm4Call),
+    "internlm": _Spec("<|action_start|> <|plugin|>", "<|action_end|>",
+                      _JsonCall),
+    "lfm2": _Spec("<|tool_call_start|>", "<|tool_call_end|>", _Lfm2Call),
+    "mimo": _Spec("<tool_call>", "</tool_call>", _XmlCall),
+    "minimax_m2": _Spec('<invoke name="', "</invoke>", _MinimaxCall,
+                        strip=("<minimax:tool_call>",
+                               "</minimax:tool_call>")),
+    "trinity": _Spec("<tool_call>", "</tool_call>", _JsonCall,
+                     strip=("<think>", "</think>")),
 }
 
 
