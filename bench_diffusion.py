@@ -108,6 +108,21 @@ SCENARIOS = {
     # blockwise autoregressive frames with a growing KV context, 3 DMD
     # steps per block (Self-Forcing defaults). No direct H100 baseline
     # row exists for the causal stage; times reported standalone.
+    # Hunyuan3D-2.0 shape generation at TRUE dims (hidden 1024, 16 double
+    # + 32 single blocks, 1024x64 latent set, DINO ctx 1536; reference
+    # configs/models/dits/hunyuan3d.py:20-31). CFG pair per step like the
+    # reference pipeline. H100 steady denoise_step_ms ~65.6
+    # (perf_baselines.json hunyuan3d_shape_gen); volume decode + marching
+    # tetrahedra timed separately (analog of the Export stage, 8735.6 ms
+    # on H100 at octree 384 — ours at octree 256 noted in the record).
+    # octree 64 here: a random-weight SDF is zero-crossing noise, so the
+    # isosurface fills the volume and extraction cost scales with R^3
+    # rather than a real shape's R^2 (measured: 15.2M verts / 290 s at
+    # 256). Real checkpoints use 256-384 like the reference.
+    "hunyuan3d_shape_full": dict(
+        family="hunyuan3d", steps=5, h100_step_ms=65.6,
+        octree_resolution=64,
+    ),
     "self_forcing_wan_t2v": dict(
         family="causal_wan", height=480, width=832, frames=12,
         steps=3, frames_per_block=3, dmd_steps=[999, 757, 522], wan=dict(),
@@ -266,6 +281,80 @@ def main():
             rec["h100_step_ms"] = sc["h100_step_ms"]
             rec["vs_h100_baseline"] = round(
                 sc["h100_step_ms"] / (e2e / steps), 3)
+        print(json.dumps(rec))
+        return
+    elif sc.get("family") == "hunyuan3d":
+        import time as _t
+
+        import numpy as _np
+
+        import jax
+        from sglang_diffusion_tpu.diffusion.hunyuan3d import (
+            Hunyuan3DConfig,
+            Hunyuan3DDiT,
+            ShapeVAE,
+            ShapeVAEConfig,
+            flow_match_sigmas,
+        )
+        from sglang_diffusion_tpu.diffusion.mesh import grid_to_mesh
+
+        cfg = Hunyuan3DConfig()  # true hunyuan3d-dit-v2-0 dims
+        vcfg = ShapeVAEConfig()
+        params = jax.jit(
+            lambda k: Hunyuan3DDiT.init_params(k, cfg, jnp.bfloat16)
+        )(__import__("jax").random.PRNGKey(0))
+        fwd = Hunyuan3DDiT.make_forward(cfg)
+        rng = _np.random.default_rng(0)
+        # CFG pair (cond + zero uncond) in one batch, like the pipeline
+        cond = jnp.asarray(
+            _np.concatenate([rng.standard_normal((1, 196, cfg.context_in_dim)),
+                             _np.zeros((1, 196, cfg.context_in_dim))]),
+            jnp.bfloat16)
+        lat = jax.random.normal(
+            jax.random.PRNGKey(7), (2, cfg.num_latents, cfg.in_channels),
+            jnp.bfloat16)
+        f = jax.jit(fwd)
+        sig = flow_match_sigmas(steps)
+        t0 = _t.time()
+        _np.asarray(jax.device_get(f(
+            params, lat, cond, jnp.full((2,), 1.0, jnp.float32)
+        )[0, 0, :1].astype(jnp.float32)))
+        print(f"warmup: {_t.time()-t0:.1f}s", file=sys.stderr)
+        times = []
+        for i in range(steps):
+            t0 = _t.time()
+            _np.asarray(jax.device_get(f(
+                params, lat, cond, jnp.full((2,), float(sig[i]), jnp.float32)
+            )[0, 0, :1].astype(jnp.float32)))
+            times.append(_t.time() - t0)
+        step_ms = 1000 * float(_np.median(times))
+        # Export stage analog: VAE volume decode + marching tetrahedra
+        res = sc["octree_resolution"]
+        vae_params = jax.jit(
+            lambda k: ShapeVAE.init_params(k, vcfg, jnp.bfloat16)
+        )(__import__("jax").random.PRNGKey(1))
+        sdf_fn = jax.jit(ShapeVAE.make_sdf_grid_fn(vcfg, res, chunk=32768))
+        lat1 = lat[:1].astype(jnp.bfloat16)
+        t0 = _t.time()
+        grid = _np.asarray(jax.device_get(sdf_fn(vae_params, lat1)))[0]
+        decode_ms = (_t.time() - t0) * 1000
+        t0 = _t.time()
+        verts, faces = grid_to_mesh(grid, 0.0)
+        extract_ms = (_t.time() - t0) * 1000
+        rec = {
+            "metric": f"diffusion_{args.scenario}",
+            "avg_denoise_step_ms": round(step_ms, 1),
+            "volume_decode_ms": round(decode_ms, 1),
+            "surface_extract_ms": round(extract_ms, 1),
+            "octree_resolution": res,
+            "num_vertices": int(len(verts)),
+            "steps": steps,
+            "note": "TRUE hunyuan3d-2.0 dims, random weights; decode "
+                    "includes warmup compile for the SDF grid program",
+        }
+        if sc.get("h100_step_ms"):
+            rec["h100_step_ms"] = sc["h100_step_ms"]
+            rec["vs_h100_baseline"] = round(sc["h100_step_ms"] / step_ms, 3)
         print(json.dumps(rec))
         return
     elif sc.get("family") == "wan_full":

@@ -62,7 +62,8 @@ def _sp_from_openai(body: Dict[str, Any], default_max: int) -> SamplingParams:
 
 
 class ApiServer:
-    def __init__(self, engine: Engine, args: ServerArgs, diff_generator=None):
+    def __init__(self, engine: Engine, args: ServerArgs, diff_generator=None,
+                 mesh_pipeline=None):
         self.engine = engine
         self.args = args
         self.eloop = EngineLoop(engine)
@@ -75,6 +76,10 @@ class ApiServer:
 
             register_image_routes(self.http, diff_generator)
             register_video_routes(self.http, diff_generator)
+        if mesh_pipeline is not None:
+            from sglang_diffusion_tpu.server.mesh_api import register_mesh_routes
+
+            register_mesh_routes(self.http, mesh_pipeline)
 
     # ------------- lifecycle -------------
     async def run(self) -> None:
