@@ -45,6 +45,7 @@ def get_model_cls(architecture: str):
     import sglang_diffusion_tpu.models.phi3  # noqa: F401
     import sglang_diffusion_tpu.models.olmo2  # noqa: F401
     import sglang_diffusion_tpu.models.olmoe  # noqa: F401
+    import sglang_diffusion_tpu.models.granitemoe  # noqa: F401
     import sglang_diffusion_tpu.models.qwen3_next  # noqa: F401
     import sglang_diffusion_tpu.models.starcoder2  # noqa: F401
     import sglang_diffusion_tpu.models.gpt_oss  # noqa: F401

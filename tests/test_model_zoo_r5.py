@@ -305,3 +305,73 @@ def test_kimi_k2_resolves_to_deepseek_family():
 
     assert get_model_cls("KimiK2ForCausalLM") is DeepseekFamily
     assert get_model_cls("KimiK25ForCausalLM") is DeepseekFamily
+
+
+def test_granitemoe_parity_vs_hf():
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    hf = GraniteMoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=6, num_experts_per_tok=2,
+        embedding_multiplier=6.0, residual_multiplier=0.22,
+        attention_multiplier=0.02, logits_scaling=3.0,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        rope_theta=10000.0, attention_bias=False,
+    )
+    torch.manual_seed(47)
+    model = GraniteMoeForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["GraniteMoeForCausalLM"]})
+    cls = get_model_cls("GraniteMoeForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t = 12
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        ref = model(input_ids=ids).logits[0].numpy()
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"),
+                           logits_mode="all")
+    kv, meta = _paged_ctx(cfg, t)
+    logits, _ = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                    jnp.asarray(np.arange(t)[None]), kv, meta)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
+                               rtol=2e-2)
+
+
+def test_granitemoe_shared_parity_vs_hf():
+    from transformers import (
+        GraniteMoeSharedConfig,
+        GraniteMoeSharedForCausalLM,
+    )
+
+    hf = GraniteMoeSharedConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        shared_intermediate_size=40,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.03, logits_scaling=2.0,
+        max_position_embeddings=128, tie_word_embeddings=True,
+        rope_theta=10000.0, attention_bias=False,
+    )
+    torch.manual_seed(53)
+    model = GraniteMoeSharedForCausalLM(hf).eval()
+    cfg = ModelConfig.from_hf_config(
+        hf.to_dict() | {"architectures": ["GraniteMoeSharedForCausalLM"]})
+    cls = get_model_cls("GraniteMoeSharedForCausalLM")
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = cls.params_from_state_dict(cfg, sd)
+    t = 10
+    ids = torch.randint(0, 96, (1, t))
+    with torch.no_grad():
+        ref = model(input_ids=ids).logits[0].numpy()
+    fwd = cls.make_forward(cfg, get_attention_backend("xla"),
+                           logits_mode="all")
+    kv, meta = _paged_ctx(cfg, t)
+    logits, _ = fwd(params, jnp.asarray(ids.numpy().astype(np.int32)),
+                    jnp.asarray(np.arange(t)[None]), kv, meta)
+    np.testing.assert_allclose(np.asarray(logits[0]), ref, atol=3e-3,
+                               rtol=2e-2)
