@@ -130,6 +130,11 @@ class ServerArgs:
     # thinking-model reasoning separation (reference: --reasoning-parser,
     # srt/parser/reasoning_parser.py): deepseek-r1/qwen3/kimi/glm45/...
     reasoning_parser: Optional[str] = None
+    # Hunyuan3D image-to-mesh serving: register /v1/meshes routes backed
+    # by a Hunyuan3DPipeline (reference: mesh_api.py mounted when the
+    # hunyuan3d pipeline is loaded). "default" = true hunyuan3d-2.0 dims
+    # with random weights; a path = diffusers-style checkpoint directory.
+    mesh_model: Optional[str] = None
     # OTel request tracing (reference: --enable-trace, srt/observability/)
     enable_trace: bool = False
     trace_exporter: str = "memory"  # memory | console | otlp

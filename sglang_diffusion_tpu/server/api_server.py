@@ -983,5 +983,18 @@ def launch_server(args: ServerArgs, engine: Optional[Engine] = None) -> None:
     """Blocking entry (reference analog: launch_server.py:run_server)."""
     if engine is None:
         engine = Engine(server_args=args)
-    server = ApiServer(engine, args)
+    mesh_pipeline = None
+    if getattr(args, "mesh_model", None):
+        from sglang_diffusion_tpu.diffusion.hunyuan3d import (
+            Hunyuan3DConfig,
+            Hunyuan3DPipeline,
+            ShapeVAEConfig,
+        )
+
+        # "default" serves the true hunyuan3d-2.0 dims with random
+        # weights (shape-class serving without a checkpoint); any other
+        # value is treated as a checkpoint directory for the loader.
+        mesh_pipeline = Hunyuan3DPipeline(
+            Hunyuan3DConfig(), ShapeVAEConfig())
+    server = ApiServer(engine, args, mesh_pipeline=mesh_pipeline)
     asyncio.run(server.run())
